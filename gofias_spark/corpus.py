@@ -1,0 +1,169 @@
+"""Corpus ingest: the ``docs`` source table and ``doc_meta`` derivation.
+
+Input table shape is mandated by BASELINE.json input_hint:
+    docs(repo STRING, path STRING, commit STRING, lang STRING, content STRING)
+Doc identity = (repo, path, commit). Derived per row:
+    doc_id  — deterministic dense int64, global rank by (repo, path, commit)
+    sha256  — sha2(content, 256), the per-row invariant vs the source
+    doclen  — analyzed token count (standard analyzer)
+
+The reference ingests XML row-by-row into ES bulk requests
+(/root/reference/app/util/xml.go:15-43 → elasticAddressRepository.go:648-732);
+here ingest is a declarative DataFrame lineage, and doc_id assignment is the
+scale-safe replacement for Lucene's internal docIDs: range-repartition by key,
+sort within partitions, then per-partition offsets + row_number — no global
+single-partition window, deterministic across reruns and parallelism levels
+(SURVEY.md §4.3 "deterministic docID assignment").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+KEY = ["repo", "path", "commit"]
+
+_EXT_LANG = {
+    "go": "go", "md": "md", "py": "py", "js": "js", "java": "java",
+    "yml": "yaml", "yaml": "yaml", "json": "json", "proto": "proto",
+    "mod": "gomod", "sum": "gosum", "txt": "txt",
+}
+
+
+def assign_doc_ids(docs: DataFrame, num_parts: int | None = None) -> DataFrame:
+    """Add a deterministic dense ``doc_id`` = global rank by (repo,path,commit).
+
+    Scale-safe: range partition by key (partition *boundaries* may vary with
+    input layout, but concatenating range partitions in order and ranking
+    within each yields the same total order — hence identical doc_ids — at
+    any parallelism). One extra count-per-partition pass; no global window.
+    """
+    spark = docs.sparkSession
+    if num_parts is None:
+        num_parts = max(spark.sparkContext.defaultParallelism, 4)
+    parted = (
+        docs.repartitionByRange(num_parts, *KEY)
+        .sortWithinPartitions(*KEY)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    parted = parted.persist()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offmap = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    w = Window.partitionBy("_pid").orderBy(*KEY)
+    out = (
+        parted.withColumn(
+            "doc_id",
+            (offmap[F.col("_pid")] + F.row_number().over(w) - 1).cast("long"),
+        )
+        .drop("_pid")
+    )
+    return out
+
+
+def with_doc_meta(docs_with_ids: DataFrame, docs_per_part: int) -> DataFrame:
+    """Append sha256 / doclen / doc_part columns (doclen via built-in exprs —
+    standard analyzer token count, JVM-side, no Python)."""
+    # same word class as Python re \w (see query/naive.py SPLIT_PATTERN)
+    tokens = F.filter(
+        F.split(F.lower(F.col("content")), r"[^\p{L}\p{Nd}\p{Nl}\p{No}_]+"),
+        lambda t: t != F.lit(""),
+    )
+    return (
+        docs_with_ids.withColumn("sha256", F.sha2(F.col("content"), 256))
+        .withColumn("doclen", F.size(tokens))
+        .withColumn(
+            "doc_part", (F.col("doc_id") / F.lit(docs_per_part)).cast("int")
+        )
+    )
+
+
+def load_refcorpus(spark: SparkSession, root: str = "/root/reference") -> DataFrame:
+    """FIXTURES.md §2: the reference repo's own files as rows (one per file),
+    repo='GarinAG/gofias', commit='v1', content = exact bytes (utf-8,
+    errors=replace). sha256(content) is the per-row invariant."""
+    rootp = Path(root)
+    rows = []
+    for p in sorted(rootp.rglob("*")):
+        if not p.is_file():
+            continue
+        rel = str(p.relative_to(rootp))
+        content = p.read_bytes().decode("utf-8", errors="replace")
+        ext = p.suffix.lstrip(".").lower()
+        rows.append(
+            ("GarinAG/gofias", rel, "v1", _EXT_LANG.get(ext, ext or "txt"), content)
+        )
+    return spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic corpus (FIXTURES.md §1) — seeded pseudo-source.
+_KEYWORDS = [
+    "func", "def", "class", "return", "import", "package", "for", "while",
+    "if", "else", "switch", "case", "var", "const", "type", "struct",
+]
+_WORDS = [
+    "index", "search", "query", "batch", "bulk", "shard", "merge", "token",
+    "score", "rank", "filter", "parse", "stream", "channel", "worker",
+    "client", "server", "handler", "repo", "service", "config", "logger",
+    "buffer", "cache", "elastic", "address", "house", "region", "city",
+    "street", "level", "parent", "suggest", "version", "update", "delete",
+]
+
+
+def synth_rows(
+    n_docs: int, seed: int = 42, rev: int = 0
+) -> list[tuple[str, str, str, str, str]]:
+    """Seed-fixed synthetic (repo, path, commit, lang, content) rows.
+
+    Zipf-ish vocabulary of ~5000 identifiers; one designated hot term
+    ``common_util`` in ~50% of docs (skew exercise, FIXTURES.md §1)."""
+    rng = random.Random(seed)
+    vocab = [f"{rng.choice(_WORDS)}_{i}" for i in range(5000)]
+    exts = ["py", "go", "js", "java", "md", "txt"]
+    rows = []
+    for i in range(n_docs):
+        repo = f"org{i % 7}/project{i % 23}"
+        ext = exts[i % len(exts)]
+        path = f"src/{_WORDS[i % len(_WORDS)]}/{_WORDS[(i * 7) % len(_WORDS)]}_{i}.{ext}"
+        commit = hashlib.sha1(f"{repo}/{path}@{rev}".encode()).hexdigest()
+        n_lines = rng.randint(5, 80)
+        lines = []
+        for _ in range(n_lines):
+            kw = rng.choice(_KEYWORDS)
+            # Zipf-ish: rank ~ floor(5000 * u^3) favors low ranks
+            ident = vocab[min(4999, int(5000 * rng.random() ** 3))]
+            arg = vocab[min(4999, int(5000 * rng.random() ** 3))]
+            lit = rng.randint(0, 999)
+            lines.append(f"{kw} {ident}({arg}, {lit})")
+        if i % 2 == 0:
+            lines.append("common_util helper(common_util, 1)")
+        rows.append((repo, path, commit, ext, "\n".join(lines)))
+    return rows
+
+
+def synth_corpus(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
+    return spark.createDataFrame(synth_rows(n_docs, seed), schema=DOCS_SCHEMA)

@@ -1,0 +1,124 @@
+"""Posting-list compression: docID delta + varbyte blocks with block-max
+metadata. All encode/decode is vectorized numpy (runs inside Arrow UDFs).
+
+The reference delegates postings entirely to Lucene (SURVEY.md §2.3 T9 — no
+gofias code exists for this layer); this module is the native replacement.
+Format per block (one row in the postings table):
+
+    term        STRING   — the analyzed term
+    block_id    INT      — ordinal within (term, doc_part, segment)
+    n           INT      — postings in this block (<= block_size)
+    base        BIGINT   — doc_id immediately before the block's first doc
+    last        BIGINT   — last doc_id in the block (range pruning)
+    docs        BINARY   — varbyte(delta(doc_ids) from ``base``), strictly > 0
+    tfs         BINARY   — varbyte(term frequencies)
+    dls         BINARY   — varbyte(document lengths)
+    tf_max      BIGINT   — max tf in block   (block-max WAND bound)
+    dl_min      BIGINT   — min dl in block   (block-max WAND bound)
+
+Storing (tf_max, dl_min) instead of a precomputed max-score keeps the bound
+valid when avgdl changes after incremental merges: the query-time upper bound
+idf * (k1+1) * tf_max / (tf_max + k1*(1-b+b*dl_min/avgdl)) is monotone in tf
+and anti-monotone in dl, hence >= every posting's true contribution.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# varbyte: 7 payload bits per byte, little-endian groups, high bit = continue.
+_THRESHOLDS = (np.uint64(128) ** np.arange(1, 10, dtype=np.uint64)).astype(
+    np.uint64
+)
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized variable-byte encode of a uint64 array."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = 1 + (v[:, None] >= _THRESHOLDS[None, :]).sum(axis=1)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for j in range(int(nbytes.max())):
+        mask = nbytes > j
+        pos = starts[mask] + j
+        payload = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
+        out[pos] = payload.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varbyte_decode(data: bytes) -> np.ndarray:
+    """Vectorized variable-byte decode -> uint64 array."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = b < 128
+    # group id of each byte: cumulative count of completed values before it
+    group = np.zeros(b.size, dtype=np.int64)
+    np.cumsum(is_last[:-1], out=group[1:])
+    starts = np.flatnonzero(np.r_[True, is_last[:-1]])
+    k = np.arange(b.size, dtype=np.int64) - starts[group]
+    payload = (b.astype(np.uint64) & np.uint64(0x7F)) << (
+        np.uint64(7) * k.astype(np.uint64)
+    )
+    return np.add.reduceat(payload, starts)
+
+
+def delta_encode(doc_ids: np.ndarray, base: int) -> np.ndarray:
+    """Strictly-increasing doc_ids -> positive gaps from ``base``."""
+    ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    gaps = np.diff(ids, prepend=np.int64(base))
+    if ids.size and gaps.min() <= 0:
+        raise ValueError("doc_ids must be strictly increasing and > base")
+    return gaps.astype(np.uint64)
+
+
+def delta_decode(gaps: np.ndarray, base: int) -> np.ndarray:
+    return (np.cumsum(gaps.astype(np.int64)) + np.int64(base)).astype(np.int64)
+
+
+def encode_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_size: int,
+) -> list[dict]:
+    """Split one term's sorted postings into compressed block rows.
+
+    Returns plain dicts (block_id, n, base, last, docs, tfs, dls, tf_max,
+    dl_min) — the caller adds term / doc_part / segment columns.
+    """
+    ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tf = np.ascontiguousarray(tfs, dtype=np.uint64)
+    dl = np.ascontiguousarray(dls, dtype=np.uint64)
+    blocks: list[dict] = []
+    for bid, lo in enumerate(range(0, ids.size, block_size)):
+        hi = min(lo + block_size, ids.size)
+        base = int(ids[lo] - 1) if lo == 0 else int(ids[lo - 1])
+        bi = ids[lo:hi]
+        blocks.append(
+            {
+                "block_id": bid,
+                "n": int(hi - lo),
+                "base": base,
+                "last": int(bi[-1]),
+                "docs": varbyte_encode(delta_encode(bi, base)),
+                "tfs": varbyte_encode(tf[lo:hi]),
+                "dls": varbyte_encode(dl[lo:hi]),
+                "tf_max": int(tf[lo:hi].max()),
+                "dl_min": int(dl[lo:hi].min()),
+                "tf_sum": int(tf[lo:hi].sum()),
+            }
+        )
+    return blocks
+
+
+def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Block row (mapping with docs/tfs/dls/base) -> (doc_ids, tfs, dls)."""
+    ids = delta_decode(varbyte_decode(row["docs"]), int(row["base"]))
+    tf = varbyte_decode(row["tfs"]).astype(np.float64)
+    dl = varbyte_decode(row["dls"]).astype(np.float64)
+    return ids, tf, dl

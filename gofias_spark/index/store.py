@@ -1,0 +1,163 @@
+"""Index store: segment directories + JSON manifest with per-partition lineage.
+
+The reference tracks import state in a one-document ES index
+(`fias_version`: version id + row counts, /root/reference/app/infrastructure/
+persistence/version/elastic/repository/versionRepository.go:18-119) — presence
+of the doc decides full vs delta import. Our manifest generalizes that into
+per-partition lineage (north_rule: "resumable from checkpoint with
+per-partition lineage + metrics"):
+
+index_root/
+  manifest.json                  — committed segments, tombstone files, stats
+  seg_<id>/
+    meta.json                    — N, sum_dl, doc_id range, analyzer config,
+                                   per-partition lineage (rows, bytes, secs)
+    doc_meta/part=K/*.parquet    — doc_id, repo, path, commit, lang, sha256,
+                                   doclen, doc_part
+    postings/part=K/*.parquet    — compressed blocks (codec.py format)
+    term_stats/*.parquet         — term, df (per-segment)
+  tombstones/*.parquet           — doc_id, dl (deleted/overwritten docs)
+  stats_delta/*.parquet          — term, ddf (df corrections from deletes)
+
+Commits are atomic-by-rename: writers stage under ``_staging/<uuid>`` and the
+manifest is replaced last (POSIX rename), so a killed build never corrupts a
+readable index; resume skips partitions whose lineage rows are committed.
+
+On a real deployment this store maps 1:1 onto Iceberg tables (manifest ->
+Iceberg snapshot metadata, segments -> partitioned data files, tombstones ->
+positional deletes); the sandbox has no Iceberg runtime jar, so the layout is
+implemented directly over parquet + JSON with the same commit semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+
+from gofias_spark.config import AnalyzerConfig, BM25Params, IndexConfig
+
+MANIFEST = "manifest.json"
+
+
+@dataclass
+class PartitionLineage:
+    part: int
+    rows: int
+    n_docs: int
+    sum_dl: int
+    build_secs: float
+    status: str = "committed"
+
+
+@dataclass
+class SegmentMeta:
+    seg_id: int
+    n_docs: int
+    sum_dl: int
+    min_doc_id: int
+    max_doc_id: int
+    analyzer: dict
+    partitions: list[dict] = field(default_factory=list)
+
+
+class IndexStore:
+    def __init__(self, root: str | os.PathLike):
+        self.root = Path(root)
+
+    # -- paths ------------------------------------------------------------
+    def seg_dir(self, seg_id: int) -> Path:
+        return self.root / f"seg_{seg_id}"
+
+    def staging_dir(self) -> Path:
+        d = self.root / "_staging" / uuid.uuid4().hex
+        d.mkdir(parents=True, exist_ok=True)
+        return d
+
+    # -- manifest ---------------------------------------------------------
+    def read_manifest(self) -> dict:
+        p = self.root / MANIFEST
+        if not p.exists():
+            return {
+                "format_version": 1,
+                "segments": [],
+                "next_doc_id": 0,
+                "next_seg_id": 0,
+                "tombstones": {"n_docs": 0, "sum_dl": 0, "files": []},
+                "config": {
+                    "analyzer": asdict(AnalyzerConfig()),
+                    "bm25": asdict(BM25Params()),
+                    "docs_per_part": IndexConfig().docs_per_part,
+                    "block_size": IndexConfig().block_size,
+                },
+                "history": [],
+            }
+        return json.loads(p.read_text())
+
+    def write_manifest(self, manifest: dict) -> None:
+        self.root.mkdir(parents=True, exist_ok=True)
+        tmp = self.root / f".{MANIFEST}.{uuid.uuid4().hex}.tmp"
+        manifest = dict(manifest)
+        manifest.setdefault("history", []).append(
+            {"ts": time.time(), "segments": len(manifest.get("segments", []))}
+        )
+        tmp.write_text(json.dumps(manifest, indent=2, sort_keys=True))
+        tmp.rename(self.root / MANIFEST)
+
+    def exists(self) -> bool:
+        return (self.root / MANIFEST).exists()
+
+    # -- segment lifecycle --------------------------------------------------
+    def read_seg_meta(self, seg_id: int) -> SegmentMeta:
+        d = json.loads((self.seg_dir(seg_id) / "meta.json").read_text())
+        return SegmentMeta(**d)
+
+    def write_seg_meta(self, meta: SegmentMeta) -> None:
+        d = self.seg_dir(meta.seg_id)
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "meta.json").write_text(json.dumps(asdict(meta), indent=2))
+
+    def committed_parts(self, seg_id: int) -> set[int]:
+        """Partition ids with committed lineage in segment meta — the resume
+        skip-list."""
+        meta_path = self.seg_dir(seg_id) / "meta.json"
+        if not meta_path.exists():
+            return set()
+        meta = json.loads(meta_path.read_text())
+        return {
+            p["part"]
+            for p in meta.get("partitions", [])
+            if p.get("status") == "committed"
+        }
+
+    def promote_partition_dirs(
+        self, staging: Path, seg_id: int, table: str
+    ) -> list[int]:
+        """Move ``part=K`` dirs from a staged write into the segment dir.
+        Rename per partition — each partition commit is atomic."""
+        dest_root = self.seg_dir(seg_id) / table
+        dest_root.mkdir(parents=True, exist_ok=True)
+        moved = []
+        src_root = staging / table
+        for part_dir in sorted(src_root.glob("doc_part=*")):
+            part = int(part_dir.name.split("=", 1)[1])
+            dest = dest_root / part_dir.name
+            if dest.exists():
+                shutil.rmtree(part_dir)
+            else:
+                part_dir.rename(dest)
+            moved.append(part)
+        return moved
+
+    def cleanup_staging(self) -> None:
+        d = self.root / "_staging"
+        if d.exists():
+            shutil.rmtree(d, ignore_errors=True)
+
+    def destroy(self) -> None:
+        if self.root.exists():
+            shutil.rmtree(self.root)

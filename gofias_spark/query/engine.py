@@ -1,0 +1,323 @@
+"""SearchEngine — the query API surface over a built index.
+
+Reproduces the reference's query entry points (SURVEY.md §2.11:
+GetAddressByTerm / GetSuggests / GetByGuid / count / version-stats,
+/root/reference/app/interfaces/grpc/proto/v1/fias/fias.proto:80-119 and
+elasticAddressRepository.go:335-640) as a Python API over DataFrames:
+
+    engine.search(query, k, filters=..., mode="and"|"or", offset=...)
+    engine.count(query=None, filters=...)
+    engine.get_doc(repo=..., path=..., commit=...) / get_doc(doc_id=...)
+    engine.stats()
+
+Execution shape (one Spark job per query):
+    analyze query (driver)  →  term-stats lookup (tiny filtered scan)
+    →  postings scan filtered to query terms (row-group pruned: files are
+       sorted by term, parquet min/max prune)
+    →  cogroup by doc_part with the filter/tombstone side
+       (filters push down to the doc_meta parquet scan)
+    →  per-partition kernel top-k (Arrow applyInPandas)
+    →  global TakeOrderedAndProject (orderBy score desc, doc_id asc; limit)
+    →  broadcast join back to doc_meta for display columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gofias_spark.analyzer import analyze_query
+from gofias_spark.config import AnalyzerConfig, BM25Params
+from gofias_spark.index.store import IndexStore
+from gofias_spark.query import kernel as K
+
+RESULT_SCHEMA = "doc_id long, score double"
+
+
+def compile_filters(filters: dict | None):
+    """Filter dict -> pyspark Column over doc_meta, mirroring the reference's
+    filter-object compilation (F7, elasticAddressRepository.go:516-540):
+    equality / IN-list on keyword-ish fields + path prefix."""
+    if not filters:
+        return None
+    cond = F.lit(True)
+    for field, val in filters.items():
+        if field == "path_prefix":
+            cond = cond & F.col("path").startswith(val)
+        elif isinstance(val, (list, tuple, set)):
+            cond = cond & F.col(field).isin(list(val))
+        else:
+            cond = cond & (F.col(field) == F.lit(val))
+    return cond
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index_root: str, cache: bool = True):
+        self.spark = spark
+        self.store = IndexStore(index_root)
+        self.manifest = self.store.read_manifest()
+        cfg = self.manifest["config"]
+        self.analyzer = AnalyzerConfig(**cfg["analyzer"])
+        self.bm25 = BM25Params(**cfg.get("bm25", {}))
+        self._seg_ids = self.manifest["segments"]
+        self._seg_metas = {
+            s: self.store.read_seg_meta(s) for s in self._seg_ids
+        }
+        tomb = self.manifest.get("tombstones", {"n_docs": 0, "sum_dl": 0})
+        self.n_docs = sum(m.n_docs for m in self._seg_metas.values()) - tomb[
+            "n_docs"
+        ]
+        self.sum_dl = sum(m.sum_dl for m in self._seg_metas.values()) - tomb[
+            "sum_dl"
+        ]
+        self.avgdl = self.sum_dl / self.n_docs if self.n_docs else 0.0
+
+        self.postings = self._union("postings", seg_col=True)
+        self.doc_meta = self._union("doc_meta")
+        self._tombstones = self._read_tombstones()
+        self._stats = self._build_stats()
+        self._stats_cache: dict[str, int] | None = None
+        if cache:
+            self.postings = self.postings.persist()
+            self._stats = self._stats.persist()
+
+    # -- loading ------------------------------------------------------------
+    def _union(self, table: str, seg_col: bool = False) -> DataFrame:
+        dfs = []
+        for s in self._seg_ids:
+            df = self.spark.read.parquet(str(self.store.seg_dir(s) / table))
+            if seg_col:
+                df = df.withColumn("seg", F.lit(s))
+            dfs.append(df)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def _read_tombstones(self) -> DataFrame | None:
+        files = self.manifest.get("tombstones", {}).get("files", [])
+        if not files:
+            return None
+        return self.spark.read.parquet(*[str(self.store.root / f) for f in files])
+
+    def _build_stats(self) -> DataFrame:
+        """Live per-term document frequency: per-segment df summed, minus
+        deletions recorded in stats_delta at merge time."""
+        stats = self._union("term_stats").groupBy("term").agg(
+            F.sum("df").alias("df")
+        )
+        delta_dir = self.store.root / "stats_delta"
+        if delta_dir.exists() and any(delta_dir.iterdir()):
+            ddf = (
+                self.spark.read.parquet(str(delta_dir))
+                .groupBy("term")
+                .agg(F.sum("ddf").alias("ddf"))
+            )
+            stats = (
+                stats.join(ddf, "term", "left")
+                .withColumn(
+                    "df", F.col("df") - F.coalesce(F.col("ddf"), F.lit(0))
+                )
+                .drop("ddf")
+            )
+        return stats.filter(F.col("df") > 0)
+
+    def warm(self, max_terms: int = 2_000_000) -> None:
+        """Collect term stats to a driver dict (latency path for repeated
+        queries; skipped automatically for huge vocabularies)."""
+        if self._stats.count() <= max_terms:
+            pdf = self._stats.toPandas()
+            self._stats_cache = dict(zip(pdf["term"], pdf["df"].astype(int)))
+
+    # -- BM25 ---------------------------------------------------------------
+    def _idf(self, df: int) -> float:
+        return float(
+            np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+        )
+
+    def _term_dfs(self, qterms: list[str]) -> dict[str, int]:
+        if self._stats_cache is not None:
+            return {t: self._stats_cache.get(t, 0) for t in qterms}
+        rows = self._stats.filter(F.col("term").isin(qterms)).collect()
+        found = {r["term"]: int(r["df"]) for r in rows}
+        return {t: found.get(t, 0) for t in qterms}
+
+    # -- queries --------------------------------------------------------------
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        offset: int = 0,
+        mode: str = "and",
+        filters: dict | None = None,
+        with_meta: bool = True,
+    ) -> DataFrame:
+        """BM25 top-k. ``mode='and'`` = reference match operator=and semantics;
+        ``offset`` mirrors from/size paging (O4, default size 100 in
+        fias.proto:126-128)."""
+        spark = self.spark
+        qterms = analyze_query(query, self.analyzer)
+        dfs = self._term_dfs(qterms)
+        if mode == "and":
+            if not qterms or any(dfs[t] == 0 for t in qterms):
+                return self._empty_result(with_meta)
+        else:
+            qterms = [t for t in qterms if dfs[t] > 0]
+            if not qterms:
+                return self._empty_result(with_meta)
+        idf = {t: self._idf(dfs[t]) for t in qterms}
+        topn = offset + k
+        params = dict(
+            qterms=qterms,
+            idf=idf,
+            avgdl=self.avgdl,
+            k1=self.bm25.k1,
+            b=self.bm25.b,
+            topn=topn,
+        )
+        blocks = self.postings.filter(F.col("term").isin(qterms))
+        right, right_kind = self._right_side(filters)
+        fn = K.score_and if mode == "and" else K.score_or
+
+        def cokernel(left: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0:
+                return K._empty()
+            allowed = excluded = None
+            ids = np.sort(right_pdf["doc_id"].to_numpy(dtype=np.int64)) if len(
+                right_pdf
+            ) else np.empty(0, dtype=np.int64)
+            if right_kind == "allowed":
+                allowed = ids
+            elif right_kind == "excluded":
+                excluded = ids
+            return fn(left, allowed=allowed, excluded=excluded, **params)
+
+        if right is not None:
+            scored = (
+                blocks.groupby("doc_part")
+                .cogroup(right.groupby("doc_part"))
+                .applyInPandas(cokernel, schema=RESULT_SCHEMA)
+            )
+        else:
+            scored = blocks.groupby("doc_part").applyInPandas(
+                lambda pdf: fn(pdf, **params), schema=RESULT_SCHEMA
+            )
+        topk = (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .offset(offset)
+            .limit(k)
+        )
+        if not with_meta:
+            return topk
+        meta = self.doc_meta.select(
+            "doc_id", "repo", "path", "commit", "lang", "sha256"
+        )
+        return (
+            F.broadcast(topk).alias("r").join(meta.alias("m"), "doc_id")
+            .select("doc_id", "score", "repo", "path", "commit", "lang", "sha256")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    def _right_side(self, filters: dict | None):
+        """Build the cogroup right side: allowed doc_ids (filters, minus
+        tombstones) or excluded doc_ids (tombstones only)."""
+        cond = compile_filters(filters)
+        if cond is not None:
+            allowed = self.doc_meta.filter(cond).select("doc_part", "doc_id")
+            if self._tombstones is not None:
+                allowed = allowed.join(
+                    self._tombstones.select("doc_id"), "doc_id", "left_anti"
+                )
+            return allowed, "allowed"
+        if self._tombstones is not None:
+            tomb = self._tombstones.select("doc_id").withColumn(
+                "doc_part",
+                (
+                    F.col("doc_id") / F.lit(self.manifest["config"]["docs_per_part"])
+                ).cast("int"),
+            )
+            return tomb.select("doc_part", "doc_id"), "excluded"
+        return None, "none"
+
+    def _empty_result(self, with_meta: bool) -> DataFrame:
+        schema = (
+            "doc_id long, score double, repo string, path string, "
+            "commit string, lang string, sha256 string"
+            if with_meta
+            else RESULT_SCHEMA
+        )
+        return self.spark.createDataFrame([], schema=schema)
+
+    def count(self, query: str | None = None, filters: dict | None = None) -> int:
+        """Filtered count (A1 analogue, client.go:151-162)."""
+        if query is None:
+            cond = compile_filters(filters)
+            df = self.doc_meta
+            if cond is not None:
+                df = df.filter(cond)
+            if self._tombstones is not None:
+                df = df.join(
+                    self._tombstones.select("doc_id"), "doc_id", "left_anti"
+                )
+            return df.count()
+        qterms = analyze_query(query, self.analyzer)
+        dfs = self._term_dfs(qterms)
+        if not qterms or any(dfs[t] == 0 for t in qterms):
+            return 0
+        blocks = self.postings.filter(F.col("term").isin(qterms))
+        right, right_kind = self._right_side(filters)
+
+        def cokernel(left: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0:
+                return pd.DataFrame({"c": pd.Series(dtype="int64")})
+            allowed = excluded = None
+            ids = np.sort(right_pdf["doc_id"].to_numpy(dtype=np.int64)) if len(
+                right_pdf
+            ) else np.empty(0, dtype=np.int64)
+            if right_kind == "allowed":
+                allowed = ids
+            elif right_kind == "excluded":
+                excluded = ids
+            return pd.DataFrame(
+                {"c": [K.count_and(left, qterms, allowed=allowed, excluded=excluded)]}
+            )
+
+        if right is not None:
+            counts = (
+                blocks.groupby("doc_part")
+                .cogroup(right.groupby("doc_part"))
+                .applyInPandas(cokernel, schema="c long")
+            )
+        else:
+            counts = blocks.groupby("doc_part").applyInPandas(
+                lambda pdf: pd.DataFrame({"c": [K.count_and(pdf, qterms)]}),
+                schema="c long",
+            )
+        row = counts.agg(F.sum("c").alias("total")).collect()[0]
+        return int(row["total"] or 0)
+
+    def get_doc(self, doc_id: int | None = None, **key) -> DataFrame:
+        """Fetch by id / identity key (GetByGuid analogue,
+        elasticAddressRepository.go:335-374)."""
+        df = self.doc_meta
+        if doc_id is not None:
+            df = df.filter(F.col("doc_id") == doc_id)
+        for col in ("repo", "path", "commit"):
+            if col in key:
+                df = df.filter(F.col(col) == key[col])
+        if self._tombstones is not None:
+            df = df.join(self._tombstones.select("doc_id"), "doc_id", "left_anti")
+        return df
+
+    def stats(self) -> dict:
+        """Version/health analogue (versionHandler.go:30-38)."""
+        return {
+            "segments": list(self._seg_ids),
+            "n_docs": self.n_docs,
+            "sum_dl": self.sum_dl,
+            "avgdl": self.avgdl,
+            "next_doc_id": self.manifest["next_doc_id"],
+            "analyzer": self.manifest["config"]["analyzer"],
+        }

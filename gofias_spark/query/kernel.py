@@ -1,0 +1,302 @@
+"""Per-partition BM25 scoring kernels (numpy, runs inside Arrow UDFs).
+
+The reference delegates scoring to Lucene, which since 8.0 runs Block-Max
+WAND for top-k `size` queries (SURVEY.md §4.2). This module is the native
+replacement, operating on the codec.py compressed block format:
+
+  * ``score_and``  — conjunctive (match operator=and, the reference's query
+    semantics, elasticAddressRepository.go:483): rarest-term-first block-range
+    pruning + sorted-array intersection, then exact BM25.
+  * ``score_or``   — disjunctive block-max WAND: blocks processed in
+    descending score-bound order; once the running top-k threshold θ exceeds
+    a block's bound the block is skipped; survivors get an exact rescore
+    (candidate-rescue), so the result is EXACTLY the true top-k.
+
+Both kernels apply doc-level masks (tombstones / attribute filters) before
+candidate selection, mirroring the reference's unscored bool-filter context
+(elasticAddressRepository.go:449-452).
+
+Float determinism: per-doc scores accumulate term contributions in query-term
+order — the same order the pure-Python oracle uses — so scores are
+bit-comparable (tests use rtol 1e-9).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from gofias_spark.index.codec import decode_block
+
+
+def _bm25_contrib(
+    tf: np.ndarray, dl: np.ndarray, idf: float, k1: float, b: float, avgdl: float
+) -> np.ndarray:
+    return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def _block_ub(
+    tf_max: np.ndarray, dl_min: np.ndarray, idf: float, k1: float, b: float,
+    avgdl: float,
+) -> np.ndarray:
+    """Upper bound of any posting's contribution in a block: tf_norm is
+    increasing in tf and decreasing in dl, so (tf_max, dl_min) bounds it."""
+    t = tf_max.astype(np.float64)
+    d = dl_min.astype(np.float64)
+    return idf * t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * d / avgdl))
+
+
+def _decode_term(tdf: pd.DataFrame):
+    """All blocks of one term within a doc_part -> sorted (ids, tf, dl)."""
+    ids_l, tf_l, dl_l = [], [], []
+    for row in tdf.itertuples():
+        i, t, d = decode_block(
+            {"docs": row.docs, "tfs": row.tfs, "dls": row.dls, "base": row.base}
+        )
+        ids_l.append(i)
+        tf_l.append(t)
+        dl_l.append(d)
+    ids = np.concatenate(ids_l)
+    tf = np.concatenate(tf_l)
+    dl = np.concatenate(dl_l)
+    order = np.argsort(ids, kind="mergesort")
+    return ids[order], tf[order], dl[order]
+
+
+def _apply_mask(
+    ids: np.ndarray, allowed: np.ndarray | None, excluded: np.ndarray | None
+) -> np.ndarray:
+    """Boolean keep-mask for sorted-membership filters."""
+    keep = np.ones(ids.size, dtype=bool)
+    if allowed is not None:
+        if allowed.size == 0:
+            return np.zeros(ids.size, dtype=bool)
+        pos = np.searchsorted(allowed, ids)
+        pos = np.minimum(pos, allowed.size - 1)
+        keep &= allowed[pos] == ids
+    if excluded is not None and excluded.size:
+        pos = np.searchsorted(excluded, ids)
+        pos = np.minimum(pos, excluded.size - 1)
+        keep &= excluded[pos] != ids
+    return keep
+
+
+def score_and(
+    blocks: pd.DataFrame,
+    qterms: list[str],
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    topn: int,
+    allowed: np.ndarray | None = None,
+    excluded: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Exact conjunctive BM25 top-n within one doc_part."""
+    per_term = {t: g for t, g in blocks.groupby("term", sort=False)}
+    if any(t not in per_term for t in qterms):
+        return _empty()
+    # rarest term first: fewest postings in this partition
+    order = sorted(qterms, key=lambda t: int(per_term[t]["n"].sum()))
+    first = order[0]
+    cand, _, _ = _decode_term(per_term[first])
+    keep = _apply_mask(cand, allowed, excluded)
+    cand = cand[keep]
+    decoded: dict[str, tuple] = {}
+    for t in order[1:]:
+        if cand.size == 0:
+            return _empty()
+        lo, hi = int(cand[0]), int(cand[-1])
+        # block-range pruning: only decode blocks overlapping the candidate range
+        tdf = per_term[t]
+        tdf = tdf[(tdf["last"] >= lo) & (tdf["base"] < hi + 1)]
+        if len(tdf) == 0:
+            return _empty()
+        ids, tf, dl = _decode_term(tdf)
+        decoded[t] = (ids, tf, dl)
+        pos = np.searchsorted(ids, cand)
+        pos_c = np.minimum(pos, ids.size - 1)
+        cand = cand[ids[pos_c] == cand]
+    if cand.size == 0:
+        return _empty()
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for t in qterms:  # oracle summation order
+        if t in decoded:
+            ids, tf, dl = decoded[t]
+        else:
+            ids, tf, dl = _decode_term(per_term[t])
+        pos = np.searchsorted(ids, cand)
+        scores += _bm25_contrib(tf[pos], dl[pos], idf[t], k1, b, avgdl)
+    return _topn(cand, scores, topn)
+
+
+def score_or(
+    blocks: pd.DataFrame,
+    qterms: list[str],
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    topn: int,
+    allowed: np.ndarray | None = None,
+    excluded: np.ndarray | None = None,
+    seed_blocks: int = 16,
+) -> pd.DataFrame:
+    """Exact disjunctive BM25 top-n via block-max pruning + rescue rescore."""
+    present = [t for t in qterms if (blocks["term"] == t).any()]
+    if not present:
+        return _empty()
+    per_term = {t: blocks[blocks["term"] == t] for t in present}
+    ub: dict[str, np.ndarray] = {}
+    gmax: dict[str, float] = {}
+    for t in present:
+        g = per_term[t]
+        ub[t] = _block_ub(
+            g["tf_max"].to_numpy(), g["dl_min"].to_numpy(), idf[t], k1, b, avgdl
+        )
+        gmax[t] = float(ub[t].max())
+    total_gmax = sum(gmax.values())
+    # flat block table with per-block bound = own ub + others' global max
+    flat = []
+    for t in present:
+        g = per_term[t].reset_index(drop=True)
+        bounds = ub[t] + (total_gmax - gmax[t])
+        for j in range(len(g)):
+            flat.append((float(bounds[j]), t, j))
+    flat.sort(key=lambda x: -x[0])
+
+    # θ seeding: decode the best `seed_blocks` blocks, then prune the rest
+    n_seed = min(len(flat), max(seed_blocks, 1))
+    processed = flat[:n_seed]
+    theta = -np.inf
+    contrib_docs, contrib_vals, contrib_terms = [], [], []
+
+    def _process(entries):
+        for _, t, j in entries:
+            row = per_term[t].reset_index(drop=True).iloc[j]
+            ids, tf, dl = decode_block(row)
+            keep = _apply_mask(ids, allowed, excluded)
+            if not keep.all():
+                ids, tf, dl = ids[keep], tf[keep], dl[keep]
+            if ids.size == 0:
+                continue
+            contrib_docs.append(ids)
+            contrib_vals.append(_bm25_contrib(tf, dl, idf[t], k1, b, avgdl))
+            contrib_terms.append(np.full(ids.size, qterms.index(t), dtype=np.int32))
+
+    _process(processed)
+    if contrib_docs:
+        theta = _kth_score(contrib_docs, contrib_vals, contrib_terms, topn)
+    pruned, survivors = [], []
+    for entry in flat[n_seed:]:
+        (pruned if entry[0] < theta else survivors).append(entry)
+    _process(survivors)
+    if not contrib_docs:
+        return _empty()
+    doc, score = _sum_contribs(contrib_docs, contrib_vals, contrib_terms)
+
+    if pruned:
+        # candidate rescue: docs whose partial score + possible missing
+        # contributions from pruned blocks could reach the current kth score
+        kth = _kth_of(score, topn)
+        missing = np.zeros(doc.size, dtype=np.float64)
+        for bound_val, t, j in pruned:
+            row = per_term[t].reset_index(drop=True).iloc[j]
+            lo_id, hi_id = int(row["base"]) + 1, int(row["last"])
+            i0 = np.searchsorted(doc, lo_id)
+            i1 = np.searchsorted(doc, hi_id, side="right")
+            missing[i0:i1] += ub[t][j]
+        rescue = np.flatnonzero((score + missing >= kth) & (missing > 0))
+        if rescue.size:
+            rescue_ids = doc[rescue]
+            for bound_val, t, j in pruned:
+                row = per_term[t].reset_index(drop=True).iloc[j]
+                lo_id, hi_id = int(row["base"]) + 1, int(row["last"])
+                i0 = np.searchsorted(rescue_ids, lo_id)
+                i1 = np.searchsorted(rescue_ids, hi_id, side="right")
+                if i0 == i1:
+                    continue
+                ids, tf, dl = decode_block(row)
+                keep = _apply_mask(ids, allowed, excluded)
+                ids, tf, dl = ids[keep], tf[keep], dl[keep]
+                pos = np.searchsorted(ids, rescue_ids[i0:i1])
+                pos_c = np.minimum(pos, max(ids.size - 1, 0))
+                hit = ids.size > 0
+                if not hit:
+                    continue
+                m = ids[pos_c] == rescue_ids[i0:i1]
+                score[rescue[i0:i1][m]] += _bm25_contrib(
+                    tf[pos_c[m]], dl[pos_c[m]], idf[t], k1, b, avgdl
+                )
+    return _topn(doc, score, topn)
+
+
+def count_and(
+    blocks: pd.DataFrame,
+    qterms: list[str],
+    allowed: np.ndarray | None = None,
+    excluded: np.ndarray | None = None,
+) -> int:
+    """Count of docs matching all query terms (+ filters) in one doc_part."""
+    per_term = {t: g for t, g in blocks.groupby("term", sort=False)}
+    if any(t not in per_term for t in qterms):
+        return 0
+    order = sorted(qterms, key=lambda t: int(per_term[t]["n"].sum()))
+    cand, _, _ = _decode_term(per_term[order[0]])
+    cand = cand[_apply_mask(cand, allowed, excluded)]
+    for t in order[1:]:
+        if cand.size == 0:
+            return 0
+        ids, _, _ = _decode_term(per_term[t])
+        pos = np.searchsorted(ids, cand)
+        pos_c = np.minimum(pos, ids.size - 1)
+        cand = cand[ids[pos_c] == cand]
+    return int(cand.size)
+
+
+# -- helpers ----------------------------------------------------------------
+
+
+def _empty() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+    )
+
+
+def _sum_contribs(docs_l, vals_l, terms_l):
+    """Group-sum contributions per doc, adding terms in query order per doc
+    (stable sort by (doc, term_pos) then reduceat)."""
+    docs = np.concatenate(docs_l)
+    vals = np.concatenate(vals_l)
+    tpos = np.concatenate(terms_l)
+    order = np.lexsort((tpos, docs))
+    docs, vals = docs[order], vals[order]
+    uniq, starts = np.unique(docs, return_index=True)
+    sums = np.add.reduceat(vals, starts)
+    return uniq, sums
+
+
+def _kth_score(docs_l, vals_l, terms_l, k) -> float:
+    _, sums = _sum_contribs(docs_l, vals_l, terms_l)
+    return _kth_of(sums, k)
+
+
+def _kth_of(scores: np.ndarray, k: int) -> float:
+    if scores.size == 0:
+        return -np.inf
+    if scores.size <= k:
+        return float(scores.min())
+    return float(np.partition(scores, -k)[-k])
+
+
+def _topn(doc: np.ndarray, score: np.ndarray, topn: int) -> pd.DataFrame:
+    if doc.size > topn:
+        # select everything >= the topn-th largest score (keeps all ties for
+        # exact doc_id-asc tie-break), then sort only that slice
+        kth = np.partition(score, doc.size - topn)[doc.size - topn]
+        mask = score >= kth
+        d, s = doc[mask], score[mask]
+    else:
+        d, s = doc, score
+    order = np.lexsort((d, -s))[:topn]
+    return pd.DataFrame({"doc_id": d[order], "score": s[order]})

@@ -1,0 +1,81 @@
+"""SparkSession factory with the engine's tuned defaults.
+
+Local-mode testing uses ``local[N]``; the same configuration scales to a real
+cluster — everything scale-sensitive is expressed via partitioning (see
+IndexConfig.docs_per_part), not via local-mode assumptions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "gofias_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("GOFIAS_SPARK_MASTER", "local[*]")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master == "local[*]" and cpus:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = _parallelism_of(master)
+        shuffle_partitions = max(8, n)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("GOFIAS_DRIVER_MEM", "8g"))
+        # parquet scans: keep row groups prunable on the postings `term` column
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``gofias_spark`` importable on executor Python workers, the
+    programmatic equivalent of ``spark-submit --py-files gofias_spark.zip``
+    (the deployment mode mandated by BASELINE.json). Idempotent."""
+    import zipfile
+    from pathlib import Path
+    from tempfile import gettempdir
+
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = Path(gettempdir()) / f"gofias_spark_pyfiles_{os.getpid()}.zip"
+    if not zip_path.exists():
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                zf.write(p, f"gofias_spark/{p.relative_to(pkg_dir)}")
+    try:
+        spark.sparkContext.addPyFile(str(zip_path))
+    except Exception:
+        pass  # already added in this context
+
+
+def _parallelism_of(master: str) -> int:
+    if master.startswith("local["):
+        inner = master[len("local[") : -1]
+        if inner == "*":
+            return os.cpu_count() or 8
+        try:
+            return int(inner)
+        except ValueError:
+            return 8
+    return 32
