@@ -1,0 +1,217 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond the reference's dedup surface (order-preserving unique,
+/root/reference/app/util/utils.go:19-31; last-wins batch dedup,
+elasticAddressRepository.go:654-667), these are the document-level dedup
+primitives a training-data pipeline needs. All JVM-side DataFrame ops (no
+Python in the hot path) except MinHash, which uses numpy in a vectorized
+pandas UDF.
+
+Scale notes:
+  * exact_duplicates: one hash-groupBy shuffle keyed by content digest.
+  * shingle-join near-dup: candidate generation via a distinct-shingle
+    equi-join (exact blocking — any pair with Jaccard > 0 shares a shingle),
+    then exact Jaccard verification; prune hyper-common shingles by df cap
+    to bound the join fan-out (standard blocking trick at web scale).
+  * minhash_lsh: signatures via xxhash64 permutations, banded into buckets;
+    bucket equi-join yields candidates — probabilistic recall, linear cost.
+  * simhash: 64-bit md5-derived simhash; equal hashes => near-identical
+    token multisets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gofias_spark.query.naive import tokens_col
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "content"
+) -> DataFrame:
+    """Group identical texts: (digest, keep_id, n_dupes), keep = min id.
+    Hash-groupBy, map-side combinable."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dupes"),
+        )
+    )
+
+
+def _shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    toks = tokens_col(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    max_shingle_df: int | None = 10000,
+) -> DataFrame:
+    """Exact near-duplicate pairs (a < b) with shingle-Jaccard >= threshold.
+
+    Blocking join on shared shingles (a superset of all qualifying pairs),
+    then exact |A∩B| / (|A|+|B|−|A∩B|). ``max_shingle_df`` drops
+    stop-shingles from candidate generation only — the exact Jaccard is
+    still computed on full shingle sets, so results stay exact as long as
+    every qualifying pair shares at least one sub-cap shingle."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), _shingles(F.col(text_col), n).alias("sh")
+    ).persist()
+    sizes = sh.select("id", F.size("sh").alias("sz"))
+    exploded = sh.select("id", F.explode("sh").alias("s"))
+    if max_shingle_df is not None:
+        hot = (
+            exploded.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("s")
+        )
+        exploded = exploded.join(F.broadcast(hot), "s", "left_anti")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """MinHash signatures over word-shingles: (id, sig array<long>).
+    Permutations simulated as xxhash64(shingle, seed=i) minima — all
+    JVM-side aggregation, no Python."""
+    exploded = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(F.col(text_col), n)).alias("s"),
+    )
+    mins = exploded.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """LSH candidate pairs: band the signature, bucket-join on equal bands.
+    Returns (id_a, id_b, n_bands_matched)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(
+                            *[
+                                F.element_at("sig", i * rows_per_band + j + 1)
+                                for j in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_bands_matched"))
+    )
+
+
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "content"
+) -> DataFrame:
+    """64-bit SimHash per doc from xxhash64(token) weighted by tf: bit b of
+    the result is 1 iff sum over tokens of tf * sign(bit b of hash) > 0.
+    Pure JVM expression tree (64 conditional sums)."""
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("t"))
+        .groupBy("id", "t")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.xxhash64("t"))
+    )
+    bit_sums = tf.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                    F.col("tf"),
+                ).otherwise(-F.col("tf"))
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim + F.when(
+            F.col(f"b{b}") > 0, F.lit(1).cast("long") * F.lit(2 ** b if b < 63 else -(2 ** 63))
+        ).otherwise(F.lit(0).cast("long"))
+    return bit_sums.select("id", sim.alias("simhash"))
+
+
+def last_wins_dedup(
+    df: DataFrame, key_cols: list[str], order_col: str
+) -> DataFrame:
+    """A3 analogue (upsert buffer keyed last-wins,
+    elasticAddressRepository.go:654-667): latest row per key."""
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
