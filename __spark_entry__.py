@@ -1,38 +1,700 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-10 over sf0.001 documents.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2):
+full-text search (AND/OR/prefix/paging/top-1/count/stats), corpus curation
+(dedup exact/jaccard/simhash/minhash-LSH, text stats, langid, token counts,
+fingerprints), similarity search (brute-force + LSH cosine), multimodal
+plumbing, and the relational operator analogues (filters, joins, agg, sort,
+union, scalar fns, geo) over the TPC-H-ish driver tables.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents (same column names,
+floats rounded identically on both sides). Approximate operators
+(minhash-LSH, ANN) intentionally have no oracle -> rows-only check.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gofias_spark import __version__
+from gofias_spark.config import AnalyzerConfig, IndexConfig
+from gofias_spark.index.build import build_segment
+from gofias_spark.index.store import IndexStore
+from gofias_spark.operators import dedup as D
+from gofias_spark.operators import multimodal as MM
+from gofias_spark.operators import similarity as SIM
+from gofias_spark.operators import textstats as TS
+from gofias_spark.query.engine import SearchEngine
+from gofias_spark.query.naive import naive_bm25, tokens_col
+
+FORMAT_VERSION = "f1"
+K1, B = 1.2, 0.75
+_ENGINES: dict = {}
+
+# ---------------------------------------------------------------------------
+# documents table -> engine docs schema (repo constant + zero-padded path so
+# internal doc_id order == original doc_id order; see SURVEY.md §1.4)
+
+
+def _docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.lit("corpus").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("path"),
+        F.lit("v0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _engine(spark: SparkSession, sf_dir: str, mode: str = "standard") -> SearchEngine:
+    key = (sf_dir, mode)
+    if key in _ENGINES:
+        return _ENGINES[key]
+    tag = hashlib.md5(
+        f"{sf_dir}|{mode}|{__version__}|{FORMAT_VERSION}".encode()
+    ).hexdigest()[:16]
+    root = f"/tmp/gofias_entry_idx/{tag}"
+    analyzer = (
+        AnalyzerConfig()
+        if mode == "standard"
+        else AnalyzerConfig(mode="edge_ngram", min_gram=1, max_gram=40)
+    )
+    cfg = IndexConfig(docs_per_part=256, block_size=128, analyzer=analyzer)
+    store = IndexStore(root)
+    try:
+        if not store.exists():
+            build_segment(spark, _docs_df(spark, sf_dir), root, cfg)
+        eng = SearchEngine(spark, root)
+    except Exception:
+        store.destroy()
+        build_segment(spark, _docs_df(spark, sf_dir), root, cfg)
+        eng = SearchEngine(spark, root)
+    eng.warm()
+    _ENGINES[key] = eng
+    return eng
+
+
+def _ft(engine_result: DataFrame) -> DataFrame:
+    """Engine hits -> (doc_id = original id, score rounded) for oracle compare."""
+    return engine_result.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# full-text queries
+
+
+def _q_ft_and(spark, sf):
+    return _ft(_engine(spark, sf).search("spark join", k=10))
+
+
+def _q_ft_or(spark, sf):
+    return _ft(_engine(spark, sf).search("vector stream customer", k=10, mode="or"))
+
+
+def _q_ft_filter(spark, sf):
+    return _ft(
+        _engine(spark, sf).search("table scan", k=10, filters={"lang": "en"})
+    )
+
+
+def _q_ft_top1(spark, sf):
+    return _ft(_engine(spark, sf).search("merge batch", k=1))
+
+
+def _q_ft_paging(spark, sf):
+    return _ft(_engine(spark, sf).search("data query", k=10, offset=5))
+
+
+def _q_ft_count(spark, sf):
+    n = _engine(spark, sf).count("window group")
+    return spark.createDataFrame([(n,)], schema="cnt long")
+
+
+def _q_ft_prefix(spark, sf):
+    return _ft(_engine(spark, sf, mode="edge_ngram").search("wind", k=10))
+
+
+def _q_ft_naive(spark, sf):
+    docs = _documents(spark, sf)
+    return naive_bm25(
+        docs, ["spark", "join"], k=10, text_col="text", round_to=4
+    )
+
+
+def _q_ft_term_stats(spark, sf):
+    eng = _engine(spark, sf)
+    terms = ["spark", "join", "window"]
+    return eng._stats.filter(F.col("term").isin(terms)).select(
+        "term", F.col("df").cast("long").alias("df")
+    )
+
+
+def _q_ft_global_stats(spark, sf):
+    eng = _engine(spark, sf)
+    return spark.createDataFrame(
+        [(eng.n_docs, round(eng.avgdl, 4))], schema="n_docs long, avgdl double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# curation / similarity / multimodal
+
+
+def _q_dedup_exact(spark, sf):
+    return D.exact_duplicates(_documents(spark, sf), text_col="text")
+
+
+def _q_dedup_jaccard(spark, sf):
+    return D.ngram_jaccard_pairs(
+        _documents(spark, sf), threshold=0.5, n=3, text_col="text"
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _q_dedup_simhash(spark, sf):
+    """md5-derived 60-bit simhash (md5 exists in both engines)."""
+    docs = _documents(spark, sf)
+    tf = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(tokens_col(F.col("text"))).alias("t"),
+        )
+        .groupBy("id", "t")
+        .agg(F.count("*").alias("tf"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+        )
+    )
+    bit_sums = tf.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                    F.col("tf"),
+                ).otherwise(-F.col("tf"))
+            ).alias(f"b{b}")
+            for b in range(60)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(60):
+        sim = sim + F.when(
+            F.col(f"b{b}") > 0, F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bit_sums.select(
+        F.col("id").alias("doc_id"), sim.alias("simhash")
+    )
+
+
+def _q_minhash_lsh(spark, sf):  # approximate -> rows-only
+    return D.minhash_lsh_candidates(
+        _documents(spark, sf), num_hashes=32, bands=8, text_col="text"
+    )
+
+
+def _q_textstats(spark, sf):
+    return TS.quality_features(_documents(spark, sf), text_col="text")
+
+
+def _q_langid(spark, sf):
+    return TS.langid_heuristic(_documents(spark, sf), text_col="text")
+
+
+def _q_token_counts(spark, sf):
+    return TS.token_counts(_documents(spark, sf), text_col="text")
+
+
+def _q_fingerprints(spark, sf):
+    return TS.fingerprints(_documents(spark, sf), text_col="text")
+
+
+def _query_vec(spark, sf):
+    row = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def _q_sim_cosine(spark, sf):
+    vecs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return SIM.cosine_topk(vecs, _query_vec(spark, sf), k=10, round_to=4)
+
+
+def _q_ann_lsh(spark, sf):  # approximate -> rows-only
+    vecs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return SIM.ann_lsh_topk(vecs, _query_vec(spark, sf), k=10, bits=6)
+
+
+def _q_mm_decode(spark, sf):
+    media = MM.with_binary_payload(_documents(spark, sf), text_col="text")
+    return MM.decode_features(media).select(
+        "doc_id", "media_type", "n_bytes", "first_byte"
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational analogues over TPC-H-ish tables
+
+
+def _t(spark, sf, name):
+    return spark.read.parquet(f"{sf}/{name}.parquet")
+
+
+def _q_rel_filter_count(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _q_rel_in_range(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") >= 45)
+            & F.col("l_returnflag").isin(["A", "N"])
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+def _q_rel_join_agg(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def _q_rel_hierarchy(spark, sf):
+    n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "n_name",
+            "r_name",
+            F.concat_ws(", ", "r_name", "n_name").alias("full_name"),
+        )
+    )
+
+
+def _q_rel_lastwins(spark, sf):
+    ev = _t(spark, sf, "events")
+    return D.last_wins_dedup(
+        ev.select("user_id", "event_id", "event_type", "ts"),
+        ["user_id"],
+        "event_id",
+    ).select("user_id", "event_id", "event_type")
+
+
+def _q_rel_maxby(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(1)
+    )
+
+
+def _q_rel_union_distinct(spark, sf):
+    c = _t(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+def _q_rel_concat_display(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(
+            F.trim(F.col("p_brand")),
+            F.lit(" "),
+            F.trim(F.col("p_type")),
+            F.when(F.col("p_size") > 25, F.lit(" (large)")).otherwise(
+                F.lit("")
+            ),
+        ).alias("display"),
+    )
+
+
+def _q_rel_geo_nearest(spark, sf):
+    n = _t(spark, sf, "nation")
+    lat = (F.col("n_nationkey") * 7 % 180 - 90 + 0.5).cast("double")
+    lon = (F.col("n_nationkey") * 13 % 360 - 180 + 0.5).cast("double")
+    dist = (
+        F.lit(2.0)
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(lat) / 2), 2)
+                + F.cos(F.radians(F.lit(0.0)))
+                * F.cos(F.radians(lat))
+                * F.pow(F.sin(F.radians(lon) / 2), 2)
+            )
+        )
+    )
+    return (
+        n.select("n_name", F.round(dist, 2).alias("dist_km"))
+        .orderBy(F.asc("dist_km"), F.asc("n_name"))
+        .limit(5)
+    )
+
+
+def _q_rel_merge_coalesce(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.coalesce(
+                F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")),
+                F.col("o_orderstatus"),
+            ).alias("effective"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 AND top-10 over the sf0.001 documents corpus."""
+    return _q_ft_and(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # full-text core (SURVEY.md §2.3/§2.6: T1-T9, O1-O6, A1, A6, F7)
+        "ft_and_top10": _q_ft_and,
+        "ft_or_top10": _q_ft_or,
+        "ft_and_filter_lang": _q_ft_filter,
+        "ft_top1": _q_ft_top1,
+        "ft_paging": _q_ft_paging,
+        "ft_count": _q_ft_count,
+        "ft_prefix_top10": _q_ft_prefix,
+        "ft_naive_bm25": _q_ft_naive,
+        "ft_term_stats": _q_ft_term_stats,
+        "ft_global_stats": _q_ft_global_stats,
+        # corpus curation
+        "dedup_exact_groups": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_minhash_lsh": _q_minhash_lsh,  # approximate, rows-only
+        "text_quality_features": _q_textstats,
+        "text_langid": _q_langid,
+        "text_token_counts": _q_token_counts,
+        "text_fingerprints": _q_fingerprints,
+        # similarity / multimodal
+        "sim_cosine_top10": _q_sim_cosine,
+        "sim_ann_lsh_top10": _q_ann_lsh,  # approximate, rows-only
+        "mm_decode_features": _q_mm_decode,
+        # relational analogues (F1-F7, J1-J3, A1-A4, O1-O7, U1-U2, X5-X9)
+        "rel_filter_count": _q_rel_filter_count,
+        "rel_in_range_sort_limit": _q_rel_in_range,
+        "rel_join_agg": _q_rel_join_agg,
+        "rel_hierarchy_join": _q_rel_hierarchy,
+        "rel_lastwins_dedup": _q_rel_lastwins,
+        "rel_maxby_top1": _q_rel_maxby,
+        "rel_union_distinct": _q_rel_union_distinct,
+        "rel_concat_display": _q_rel_concat_display,
+        "rel_geo_nearest": _q_rel_geo_nearest,
+        "rel_merge_coalesce": _q_rel_merge_coalesce,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+TOK = (
+    "SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) "
+    "AS term FROM documents"
+)
+
+
+def _bm25_sql(
+    terms: list[str],
+    k: int,
+    mode: str = "and",
+    lang: str | None = None,
+    offset: int = 0,
+) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    filt = (
+        f"JOIN documents fd ON tf.doc_id = fd.doc_id AND fd.lang = '{lang}'"
+        if lang
+        else ""
+    )
+    and_clause = (
+        f"WHERE matched = {len(set(terms))}" if mode == "and" else ""
+    )
+    return f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score,
+         count(*) AS matched
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s {filt}
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM scored
+{and_clause}
+ORDER BY score DESC, doc_id ASC LIMIT {k} OFFSET {offset}
+"""
+
+
+def _prefix_bm25_sql(prefix: str, k: int, max_gram: int = 40) -> str:
+    """Edge-ngram index semantics: tf(prefix) = tokens starting with it,
+    dl = total grams = sum(min(len(token), max_gram)) (min_gram=1)."""
+    return f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id,
+              coalesce(sum(least(length(t.term), {max_gram})), 0)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok
+       WHERE term LIKE '{prefix}%' GROUP BY doc_id),
+dfq AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT tf.doc_id,
+       round(ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)), 4)
+       AS score
+FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s CROSS JOIN dfq
+ORDER BY score DESC, tf.doc_id ASC LIMIT {k}
+"""
+
+
+def _simhash_sql() -> str:
+    bit_cols = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS b{b}"
+        for b in range(60)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {2**b}::BIGINT ELSE 0 END)"
+        for b in range(60)
+    )
+    return f"""
+WITH tok AS ({TOK}),
+tfh AS (SELECT doc_id, term, count(*)::BIGINT AS tf,
+               ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+        FROM tok GROUP BY doc_id, term),
+bits AS (SELECT doc_id, {bit_cols} FROM tfh GROUP BY doc_id)
+SELECT doc_id, {sim_expr} AS simhash FROM bits
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    shingle = (
+        "SELECT doc_id AS id, list_distinct([array_to_string(toks[i:i+2], ' ') "
+        "FOR i IN range(1, len(toks) - 1)]) AS sh FROM "
+        "(SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks "
+        "FROM documents) WHERE len(toks) >= 3"
+    )
+    return {
+        "ft_and_top10": _bm25_sql(["spark", "join"], 10),
+        "ft_or_top10": _bm25_sql(
+            ["vector", "stream", "customer"], 10, mode="or"
+        ),
+        "ft_and_filter_lang": _bm25_sql(["table", "scan"], 10, lang="en"),
+        "ft_top1": _bm25_sql(["merge", "batch"], 1),
+        "ft_paging": _bm25_sql(["data", "query"], 10, offset=5),
+        "ft_count": f"""
+WITH tok AS ({TOK}),
+m AS (SELECT doc_id, count(DISTINCT term) AS nt FROM tok
+      WHERE term IN ('window', 'group') GROUP BY doc_id)
+SELECT count(*)::BIGINT AS cnt FROM m WHERE nt = 2
+""",
+        "ft_prefix_top10": _prefix_bm25_sql("wind", 10),
+        "ft_naive_bm25": _bm25_sql(["spark", "join"], 10),
+        "ft_term_stats": f"""
+WITH tok AS ({TOK})
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+WHERE term IN ('spark', 'join', 'window') GROUP BY term
+""",
+        "ft_global_stats": f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id)
+SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 4) AS avgdl FROM dl
+""",
+        "dedup_exact_groups": """
+SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dupes
+FROM documents GROUP BY md5(text)
+""",
+        "dedup_ngram_jaccard": f"""
+WITH sh AS ({shingle}),
+ex AS (SELECT id, unnest(sh) AS s FROM sh),
+sz AS (SELECT id, len(sh) AS sz FROM sh),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+          GROUP BY a.id, b.id)
+SELECT id_a, id_b,
+       round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+""",
+        "dedup_simhash": _simhash_sql(),
+        "text_quality_features": f"""
+WITH tok AS ({TOK}),
+agg AS (SELECT doc_id, count(*) AS n_tokens,
+               count(DISTINCT term) AS n_distinct,
+               sum(CASE WHEN term IN ('the','a','of','to','in','and','is','for')
+                   THEN 1 ELSE 0 END) AS n_stop,
+               sum(length(term)) AS sum_len
+        FROM tok GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0)::INT AS n_tokens,
+       length(d.text)::INT AS n_chars,
+       round((length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
+             / greatest(length(d.text), 1), 4) AS punct_ratio,
+       round(coalesce(a.n_stop, 0) / greatest(coalesce(a.n_tokens, 0), 1), 4)
+           AS stopword_ratio,
+       round(coalesce(a.n_distinct, 0) / greatest(coalesce(a.n_tokens, 0), 1), 4)
+           AS distinct_ratio,
+       round(coalesce(a.sum_len, 0) / greatest(coalesce(a.n_tokens, 0), 1), 4)
+           AS mean_token_len
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+""",
+        "text_langid": f"""
+WITH tok AS ({TOK}),
+s AS (SELECT d.doc_id,
+        coalesce(sum(CASE WHEN t.term IN ('der','die','und','ist','nicht') THEN 1 ELSE 0 END), 0) AS s_de,
+        coalesce(sum(CASE WHEN t.term IN ('the','and','of','to','is') THEN 1 ELSE 0 END), 0) AS s_en,
+        coalesce(sum(CASE WHEN t.term IN ('el','la','que','los','es') THEN 1 ELSE 0 END), 0) AS s_es,
+        coalesce(sum(CASE WHEN t.term IN ('le','la','et','est','les') THEN 1 ELSE 0 END), 0) AS s_fr
+      FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id)
+SELECT doc_id,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS lang_guess
+FROM s
+""",
+        "text_token_counts": f"""
+WITH tok AS ({TOK}),
+w AS (SELECT doc_id, count(*) AS word_tokens,
+             sum(ceil(length(term) / 4.0))::BIGINT AS bpe
+      FROM tok GROUP BY doc_id)
+SELECT d.doc_id,
+       len(regexp_extract_all(d.text, '\\S+'))::INT AS ws_tokens,
+       coalesce(w.word_tokens, 0)::INT AS word_tokens,
+       coalesce(w.bpe, 0)::BIGINT AS bpe_tokens_est
+FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+""",
+        "text_fingerprints": """
+SELECT doc_id,
+       md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9_]+'), ' '))
+           AS fingerprint,
+       list_min(list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                t -> md5(t))) AS min_token_md5
+FROM documents
+""",
+        "sim_cosine_top10": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+      FROM embeddings e CROSS JOIN q)
+SELECT vec_id, round(cosine, 4) AS cosine FROM s
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+        "mm_decode_features": """
+SELECT doc_id, 'text/plain' AS media_type,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       ascii(substr(text, 1, 1))::INT AS first_byte
+FROM documents
+""",
+        "rel_filter_count": (
+            "SELECT o_orderstatus, count(*) AS cnt FROM orders "
+            "GROUP BY o_orderstatus"
+        ),
+        "rel_in_range_sort_limit": """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+WHERE l_quantity >= 45 AND l_returnflag IN ('A', 'N')
+ORDER BY l_orderkey, l_linenumber LIMIT 20
+""",
+        "rel_join_agg": """
+SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+        "rel_hierarchy_join": """
+SELECT n_name, r_name, r_name || ', ' || n_name AS full_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+""",
+        "rel_lastwins_dedup": """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+""",
+        "rel_maxby_top1": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1
+""",
+        "rel_union_distinct": """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+        "rel_concat_display": """
+SELECT p_partkey,
+       trim(p_brand) || ' ' || trim(p_type)
+       || (CASE WHEN p_size > 25 THEN ' (large)' ELSE '' END) AS display
+FROM part
+""",
+        "rel_geo_nearest": """
+WITH g AS (SELECT n_name,
+  ((n_nationkey * 7) % 180 - 90 + 0.5)::DOUBLE AS lat,
+  ((n_nationkey * 13) % 360 - 180 + 0.5)::DOUBLE AS lon
+  FROM nation)
+SELECT n_name,
+       round(2.0 * 6371.0 * asin(sqrt(
+           pow(sin(radians(lat) / 2), 2)
+           + cos(radians(0.0)) * cos(radians(lat))
+             * pow(sin(radians(lon) / 2), 2))), 2) AS dist_km
+FROM g ORDER BY dist_km ASC, n_name ASC LIMIT 5
+""",
+        "rel_merge_coalesce": """
+SELECT o_orderkey,
+       coalesce(nullif(o_orderpriority, '1-URGENT'), o_orderstatus) AS effective
+FROM orders WHERE o_orderkey % 97 = 0
+""",
+    }

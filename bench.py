@@ -1,0 +1,138 @@
+"""Benchmark entry point (driver contract).
+
+Runs the headline pipeline at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" (per-step sec),
+"sf"} plus informative extras (files_per_sec at build, cpus).
+
+Steps timed:
+  * index_build      — documents -> postings+doc_meta+stats+manifest (cold)
+  * ft_* queries     — warm BM25 top-k / filter / count via the engine
+  * naive_bm25       — DataFrame-only scorer (no index) for comparison
+  * dedup_exact, sim_cosine_top10, text_quality — curation operators
+
+Scaling evidence (local[8] vs local[32]) is produced by scripts/run_scaling.py
+which invokes this file at two parallelism levels on identical input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from gofias_spark.config import IndexConfig
+    from gofias_spark.index.build import build_segment
+    from gofias_spark.query.engine import SearchEngine
+    from gofias_spark.query.naive import naive_bm25
+    from gofias_spark.operators.dedup import exact_duplicates
+    from gofias_spark.operators.similarity import cosine_topk
+    from gofias_spark.operators.textstats import quality_features
+    from gofias_spark.session import get_spark
+
+    spark = get_spark(
+        "gofias_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(8, cpus),
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.lit("corpus").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("path"),
+        F.lit("v0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    n_docs = docs.count()
+
+    timings: dict[str, float] = {}
+    root = tempfile.mkdtemp(prefix="gofias_bench_idx_")
+    shutil.rmtree(root, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    build_segment(
+        spark, docs, root,
+        IndexConfig(docs_per_part=max(256, n_docs // (4 * cpus) + 1),
+                    block_size=128),
+    )
+    timings["index_build"] = time.perf_counter() - t0
+
+    engine = SearchEngine(spark, root)
+    engine.warm()
+    engine.search("warmup", k=1).collect()  # JIT/first-job warmup
+
+    def bench(name, fn, repeat=3):
+        best = min(
+            _timed(fn) for _ in range(repeat)
+        )
+        timings[name] = best
+
+    bench("ft_and_top10", lambda: engine.search("spark join", k=10).collect())
+    bench(
+        "ft_or_top10",
+        lambda: engine.search("vector stream customer", k=10, mode="or").collect(),
+    )
+    bench(
+        "ft_filter_top10",
+        lambda: engine.search("table scan", k=10, filters={"lang": "en"}).collect(),
+    )
+    bench("ft_count", lambda: engine.count("window group"))
+    docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench(
+        "naive_bm25",
+        lambda: naive_bm25(docs_raw, ["spark", "join"], k=10, text_col="text").collect(),
+        repeat=1,
+    )
+    bench(
+        "dedup_exact",
+        lambda: exact_duplicates(docs_raw, text_col="text").count(),
+        repeat=1,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    bench("sim_cosine_top10", lambda: cosine_topk(emb, qv, k=10).collect())
+    bench(
+        "text_quality",
+        lambda: quality_features(docs_raw, text_col="text").count(),
+        repeat=1,
+    )
+
+    total = sum(timings.values())
+    out = {
+        "metric": "index_build_plus_query_suite",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": sf,
+        "n_docs": n_docs,
+        "build_files_per_sec": round(n_docs / timings["index_build"], 1),
+        "cpus": cpus,
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+    print(json.dumps(out))
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""Query API facade — the reference's RPC surface (SURVEY.md §2.11) mapped
+onto the engine.
+
+Reference routes (/root/reference/app/interfaces/grpc/proto/v1/fias/
+fias.proto:80-119, handlers grpc/handler/addressHandler.go):
+
+    GetAddressByTerm   -> search_by_term   (T5 match AND + F7 filters + O4)
+    GetSuggests        -> suggest          (J5 union backfill from the
+                                            prefix/edge-ngram index)
+    GetAddressByPostal -> exact keyword filter + sort (F3 + O2)
+    GetByGuid          -> get_doc
+    GetAllCities       -> list_by_filters
+    GetVersion/Health  -> stats
+
+This module is the "thin query driver" — a Python API launched via
+spark-submit --py-files (see scripts/query_cli.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gofias_spark.query.engine import SearchEngine, compile_filters
+
+
+class FulltextAPI:
+    """Pairs a standard-analyzer index with an optional edge-ngram (prefix)
+    index, mirroring the reference's address index whose fields carry both
+    an index-time edge_ngram analyzer and a search-time keyword analyzer
+    (elasticAddressRepository.go:67-71)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_root: str,
+        prefix_index_root: str | None = None,
+    ):
+        self.spark = spark
+        self.engine = SearchEngine(spark, index_root)
+        self.prefix_engine = (
+            SearchEngine(spark, prefix_index_root)
+            if prefix_index_root
+            else None
+        )
+
+    def search_by_term(
+        self,
+        term: str,
+        size: int = 100,
+        from_: int = 0,
+        filters: dict | None = None,
+    ) -> DataFrame:
+        """GetAddressByTerm analogue: AND match + filters + paging
+        (default size 100, fias.proto:126-128)."""
+        return self.engine.search(
+            term, k=size, offset=from_, mode="and", filters=filters
+        )
+
+    def suggest(
+        self, term: str, size: int = 10, filters: dict | None = None
+    ) -> DataFrame:
+        """GetSuggests analogue with J5-style union backfill
+        (addressHandler.go:81-137): exact AND hits first; if fewer than
+        ``size``, fill the remainder with prefix-index hits (deduped)."""
+        primary = self.engine.search(term, k=size, filters=filters)
+        if self.prefix_engine is None:
+            return primary
+        n = primary.count()
+        if n >= size:
+            return primary
+        backfill = (
+            self.prefix_engine.search(term, k=size, filters=filters)
+            .join(primary.select("doc_id"), "doc_id", "left_anti")
+            .limit(size - n)
+        )
+        return primary.unionByName(backfill).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+
+    def get_doc(self, **key) -> DataFrame:
+        return self.engine.get_doc(**key)
+
+    def list_by_filters(
+        self, filters: dict, limit: int = 10000
+    ) -> DataFrame:
+        """GetAllCities-shape scan: unscored filter + stable sort + cap
+        (elasticAddressRepository.go:414-440)."""
+        cond = compile_filters(filters)
+        df = self.engine.doc_meta
+        if cond is not None:
+            df = df.filter(cond)
+        if self.engine._tombstones is not None:
+            df = df.join(
+                self.engine._tombstones.select("doc_id"), "doc_id", "left_anti"
+            )
+        return df.orderBy("repo", "path").limit(limit)
+
+    def count(self, term: str | None = None, filters: dict | None = None) -> int:
+        return self.engine.count(term, filters)
+
+    def version(self) -> dict:
+        return self.engine.stats()
