@@ -167,3 +167,62 @@ def synth_rows(
 
 def synth_corpus(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(synth_rows(n_docs, seed), schema=DOCS_SCHEMA)
+
+
+def synth_corpus_distributed(
+    spark: SparkSession, n_docs: int, seed: int = 42, num_parts: int = 128
+) -> DataFrame:
+    """Executor-side deterministic corpus generation for large scales.
+
+    Content is a pure function of (seed, doc index) — independent of
+    partitioning/parallelism — generated vectorized with numpy inside
+    mapInPandas. Used for throughput/scaling benches where driver-side
+    ``synth_rows`` would bottleneck."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    kw = np.array(_KEYWORDS)
+    words = np.array(_WORDS)
+    exts = np.array(["py", "go", "js", "java", "md", "txt"])
+
+    def gen(batches):
+        for pdf in batches:
+            idx = pdf["id"].to_numpy()
+            out_rows = []
+            for i in idx:
+                rng = np.random.default_rng(seed * 10_000_003 + int(i))
+                n_lines = int(rng.integers(5, 81))
+                kws = kw[rng.integers(0, kw.size, n_lines)]
+                a = rng.random(n_lines) ** 3
+                b = rng.random(n_lines) ** 3
+                idents = [
+                    f"{words[int(x * words.size)]}_{int(x * 5000)}" for x in a
+                ]
+                args = [
+                    f"{words[int(x * words.size)]}_{int(x * 5000)}" for x in b
+                ]
+                lits = rng.integers(0, 1000, n_lines)
+                lines = [
+                    f"{k} {ident}({arg}, {lit})"
+                    for k, ident, arg, lit in zip(kws, idents, args, lits)
+                ]
+                if i % 2 == 0:
+                    lines.append("common_util helper(common_util, 1)")
+                ext = exts[int(i) % exts.size]
+                repo = f"org{int(i) % 7}/project{int(i) % 23}"
+                path = (
+                    f"src/{words[int(i) % words.size]}/"
+                    f"{words[(int(i) * 7) % words.size]}_{int(i)}.{ext}"
+                )
+                commit = hashlib.sha1(f"{repo}/{path}@0".encode()).hexdigest()
+                out_rows.append(
+                    (repo, path, commit, str(ext), "\n".join(lines))
+                )
+            yield pd.DataFrame(
+                out_rows, columns=["repo", "path", "commit", "lang", "content"]
+            )
+
+    return (
+        spark.range(0, n_docs, numPartitions=num_parts)
+        .mapInPandas(gen, schema=DOCS_SCHEMA)
+    )

@@ -34,10 +34,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from gofias_spark.analyzer import term_frequencies, tokenize_series
+from gofias_spark.analyzer import term_frequencies
 from gofias_spark.config import IndexConfig
 from gofias_spark.corpus import assign_doc_ids, with_doc_meta
-from gofias_spark.index.codec import encode_blocks
+from gofias_spark.index.codec import encode_blocks_batch
 from gofias_spark.index.store import IndexStore, PartitionLineage, SegmentMeta
 
 BLOCK_SCHEMA = T.StructType(
@@ -74,33 +74,18 @@ def _encode_partition_factory(cfg: IndexConfig):
                 {f.name: pd.Series(dtype="object") for f in BLOCK_SCHEMA}
             )
         tf = tf.sort_values(["term", "doc_id"], kind="mergesort")
-        terms = tf["term"].to_numpy()
-        doc_ids = tf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = tf["tf"].to_numpy(dtype=np.uint64)
-        dls = tf["dl"].to_numpy(dtype=np.uint64)
-        uniq, starts = np.unique(terms, return_index=True)
-        bounds = np.append(starts, terms.size)
-        rows: list[dict] = []
-        for i, term in enumerate(uniq):
-            lo, hi = bounds[i], bounds[i + 1]
-            for blk in encode_blocks(
-                doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi], block_size
-            ):
-                blk["term"] = term
-                blk["doc_part"] = doc_part
-                rows.append(blk)
-        out = pd.DataFrame(rows)
+        cols = encode_blocks_batch(
+            tf["term"].to_numpy(),
+            tf["doc_id"].to_numpy(dtype=np.int64),
+            tf["tf"].to_numpy(dtype=np.uint64),
+            tf["dl"].to_numpy(dtype=np.uint64),
+            block_size,
+        )
+        out = pd.DataFrame(cols)
+        out["doc_part"] = doc_part
         return out[[f.name for f in BLOCK_SCHEMA]]
 
     return encode_partition
-
-
-def _doclen_udf(analyzer_cfg):
-    @F.pandas_udf(T.LongType())
-    def doclen(content: pd.Series) -> pd.Series:
-        return tokenize_series(content, analyzer_cfg).map(len).astype("int64")
-
-    return doclen
 
 
 def prepare_docs(
@@ -108,16 +93,17 @@ def prepare_docs(
 ) -> DataFrame:
     """docs -> docs + (doc_id, sha256, doclen, doc_part).
 
-    ``doclen`` is the *analyzed* token count under this index's analyzer (so
-    edge_ngram/ngram segments carry gram-inflated lengths, matching how
-    index-time token filters inflate Lucene field norms in the reference)."""
+    ``doclen`` here is the JVM-computed standard token count (informational
+    display column; whole-stage codegen, no extra Python pass). The exact
+    *analyzed* dl used for BM25 lives inside the postings (codec ``dls``) and
+    in segment ``sum_dl``; tombstone accounting re-derives exact dl from the
+    removed docs' content at merge time (delta-sized work)."""
     with_ids = assign_doc_ids(docs)
     if doc_id_offset:
         with_ids = with_ids.withColumn(
             "doc_id", F.col("doc_id") + F.lit(doc_id_offset)
         )
-    out = with_doc_meta(with_ids, cfg.docs_per_part)
-    return out.withColumn("doclen", _doclen_udf(cfg.analyzer)(F.col("content")))
+    return with_doc_meta(with_ids, cfg.docs_per_part)
 
 
 def build_segment(

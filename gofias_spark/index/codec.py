@@ -116,6 +116,99 @@ def encode_blocks(
     return blocks
 
 
+def _varbyte_nbytes(v: np.ndarray) -> np.ndarray:
+    return 1 + (v[:, None] >= _THRESHOLDS[None, :]).sum(axis=1)
+
+
+def encode_blocks_batch(
+    terms: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_size: int,
+):
+    """Encode ALL terms of a partition in one vectorized pass.
+
+    Inputs are sorted by (term, doc_id). Semantically identical to calling
+    ``encode_blocks`` per term (tested equal), but varbyte-encodes the whole
+    gap/tf/dl arrays once and slices per-block byte ranges out of the three
+    streams — O(3) numpy passes instead of O(3 * n_terms) tiny calls, the
+    difference between 115us and ~1us per term in the index build's hot UDF.
+
+    Returns a dict of column arrays/lists shaped like BLOCK_SCHEMA minus
+    doc_part."""
+    n = doc_ids.size
+    ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tf = np.ascontiguousarray(tfs, dtype=np.uint64)
+    dl = np.ascontiguousarray(dls, dtype=np.uint64)
+    uniq, term_starts = np.unique(terms, return_index=True)
+    # within-term position of each posting
+    term_of = np.zeros(n, dtype=np.int64)
+    term_of[term_starts[1:]] = 1
+    term_of = np.cumsum(term_of)
+    p = np.arange(n, dtype=np.int64) - term_starts[term_of]
+    # gaps: plain diffs, reset to 1 at each term's first posting
+    gaps = np.empty(n, dtype=np.int64)
+    if n:
+        gaps[0] = 1
+        gaps[1:] = ids[1:] - ids[:-1]
+        gaps[term_starts] = 1
+    if n and gaps.min() <= 0:
+        raise ValueError("doc_ids must be strictly increasing per term")
+    gaps_u = gaps.astype(np.uint64)
+
+    # block boundaries: every posting with p % block_size == 0 starts a block
+    block_starts = np.flatnonzero(p % block_size == 0)
+    block_ends = np.append(block_starts[1:], n)
+    block_term = term_of[block_starts]
+    m = block_starts.size
+
+    enc_docs = varbyte_encode(gaps_u)
+    enc_tfs = varbyte_encode(tf)
+    enc_dls = varbyte_encode(dl)
+    off_docs = np.zeros(n + 1, dtype=np.int64)
+    off_tfs = np.zeros(n + 1, dtype=np.int64)
+    off_dls = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(_varbyte_nbytes(gaps_u), out=off_docs[1:])
+    np.cumsum(_varbyte_nbytes(tf), out=off_tfs[1:])
+    np.cumsum(_varbyte_nbytes(dl), out=off_dls[1:])
+
+    first_of_term = p[block_starts] == 0
+    base = np.where(
+        first_of_term,
+        ids[block_starts] - 1,
+        ids[np.maximum(block_starts - 1, 0)],
+    )
+    return {
+        "term": uniq[block_term],
+        "block_id": (p[block_starts] // block_size).astype(np.int64),
+        "n": (block_ends - block_starts).astype(np.int64),
+        "base": base.astype(np.int64),
+        "last": ids[block_ends - 1],
+        "docs": [
+            enc_docs[off_docs[s] : off_docs[e]]
+            for s, e in zip(block_starts, block_ends)
+        ],
+        "tfs": [
+            enc_tfs[off_tfs[s] : off_tfs[e]]
+            for s, e in zip(block_starts, block_ends)
+        ],
+        "dls": [
+            enc_dls[off_dls[s] : off_dls[e]]
+            for s, e in zip(block_starts, block_ends)
+        ],
+        "tf_max": np.maximum.reduceat(tf, block_starts).astype(np.int64)
+        if m
+        else np.empty(0, dtype=np.int64),
+        "dl_min": np.minimum.reduceat(dl, block_starts).astype(np.int64)
+        if m
+        else np.empty(0, dtype=np.int64),
+        "tf_sum": np.add.reduceat(tf, block_starts).astype(np.int64)
+        if m
+        else np.empty(0, dtype=np.int64),
+    }
+
+
 def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Block row (mapping with docs/tfs/dls/base) -> (doc_ids, tfs, dls)."""
     ids = delta_decode(varbyte_decode(row["docs"]), int(row["base"]))

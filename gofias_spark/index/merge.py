@@ -61,6 +61,26 @@ def _removed_term_dfs(analyzer: AnalyzerConfig):
     return fn
 
 
+def _removed_doc_dls(analyzer: AnalyzerConfig):
+    """mapInPandas: removed docs -> (doc_id, dl) with the EXACT analyzed
+    token count (must mirror the dl stored in postings, or post-merge
+    avgdl — and therefore BM25 — would drift from the oracle)."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            dl = tokenize_series(pdf["content"], analyzer).map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "dl": dl.astype("int64"),
+                }
+            )
+
+    return fn
+
+
 def apply_delta(
     spark: SparkSession,
     index_root: str,
@@ -111,14 +131,17 @@ def apply_delta(
     n_removed = removed.count()
 
     if n_removed:
-        # 1) tombstones (doc_id, dl)
+        # 1) tombstones (doc_id, exact analyzed dl)
         tomb_name = f"tombstones/tomb_{uuid.uuid4().hex}.parquet"
-        removed.select(
-            "doc_id", F.col("doclen").alias("dl")
-        ).write.mode("overwrite").parquet(str(store.root / tomb_name))
-        sum_dl_removed = removed.agg(
-            F.sum("doclen").alias("s")
-        ).collect()[0]["s"]
+        tomb_df = removed.select("doc_id", "content").mapInPandas(
+            _removed_doc_dls(analyzer), schema="doc_id long, dl long"
+        )
+        tomb_df.write.mode("overwrite").parquet(str(store.root / tomb_name))
+        sum_dl_removed = (
+            spark.read.parquet(str(store.root / tomb_name))
+            .agg(F.sum("dl").alias("s"))
+            .collect()[0]["s"]
+        )
         # 2) per-term df corrections from removed docs' stored content
         ddf = (
             removed.select("content")

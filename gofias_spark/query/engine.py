@@ -79,9 +79,13 @@ class SearchEngine:
         self._tombstones = self._read_tombstones()
         self._stats = self._build_stats()
         self._stats_cache: dict[str, int] | None = None
+        self._meta_slim = self.doc_meta.select(
+            "doc_id", "repo", "path", "commit", "lang", "sha256"
+        )
         if cache:
             self.postings = self.postings.persist()
             self._stats = self._stats.persist()
+            self._meta_slim = self._meta_slim.persist()
 
     # -- loading ------------------------------------------------------------
     def _union(self, table: str, seg_col: bool = False) -> DataFrame:
@@ -211,9 +215,7 @@ class SearchEngine:
         )
         if not with_meta:
             return topk
-        meta = self.doc_meta.select(
-            "doc_id", "repo", "path", "commit", "lang", "sha256"
-        )
+        meta = self._meta_slim
         return (
             F.broadcast(topk).alias("r").join(meta.alias("m"), "doc_id")
             .select("doc_id", "score", "repo", "path", "commit", "lang", "sha256")

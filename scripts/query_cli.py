@@ -1,0 +1,94 @@
+"""spark-submit entry point: query a built index (the reference's API
+surface as a CLI — GetAddressByTerm/GetSuggests/count/version analogues).
+
+    spark-submit --py-files gofias_spark.zip scripts/query_cli.py \
+        --index /path/index search "bulk index" --k 10 [--mode or] \
+        [--filter lang=go] [--filter path_prefix=app/] [--offset 0]
+    ... count "bulk index" [--filter lang=go]
+    ... get --repo R --path P
+    ... stats
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from gofias_spark.query.engine import SearchEngine  # noqa: E402
+from gofias_spark.session import get_spark  # noqa: E402
+
+
+def _filters(pairs: list[str] | None) -> dict | None:
+    if not pairs:
+        return None
+    return dict(p.split("=", 1) for p in pairs)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("search")
+    s.add_argument("query")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--offset", type=int, default=0)
+    s.add_argument("--mode", default="and", choices=["and", "or"])
+    s.add_argument("--filter", action="append")
+
+    c = sub.add_parser("count")
+    c.add_argument("query", nargs="?")
+    c.add_argument("--filter", action="append")
+
+    g = sub.add_parser("get")
+    g.add_argument("--repo")
+    g.add_argument("--path")
+    g.add_argument("--commit")
+    g.add_argument("--doc-id", type=int)
+
+    sub.add_parser("stats")
+
+    args = ap.parse_args()
+    spark = get_spark("gofias_query")
+    eng = SearchEngine(spark, args.index)
+
+    if args.cmd == "search":
+        rows = eng.search(
+            args.query,
+            k=args.k,
+            offset=args.offset,
+            mode=args.mode,
+            filters=_filters(args.filter),
+        ).collect()
+        for r in rows:
+            print(
+                f"{r['score']:.6f}\t{r['doc_id']}\t{r['repo']}/{r['path']}"
+                f"@{r['commit']}\t{r['lang']}"
+            )
+    elif args.cmd == "count":
+        print(eng.count(args.query, _filters(args.filter)))
+    elif args.cmd == "get":
+        key = {
+            k: v
+            for k, v in [
+                ("repo", args.repo), ("path", args.path),
+                ("commit", args.commit),
+            ]
+            if v
+        }
+        rows = eng.get_doc(doc_id=args.doc_id, **key).collect()
+        for r in rows:
+            print(json.dumps({k: r[k] for k in
+                              ("doc_id", "repo", "path", "commit", "lang",
+                               "sha256")}))
+    else:
+        print(json.dumps(eng.stats(), indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -72,11 +72,11 @@ def gen_corpus(n_docs: int) -> str:
         return path
     shutil.rmtree(path, ignore_errors=True)
     sys.path.insert(0, REPO)
-    from gofias_spark.corpus import synth_corpus
+    from gofias_spark.corpus import synth_corpus_distributed
     from gofias_spark.session import get_spark
 
     spark = get_spark("corpusgen", master="local[32]")
-    synth_corpus(spark, n_docs).repartition(64).write.mode(
+    synth_corpus_distributed(spark, n_docs, num_parts=256).write.mode(
         "overwrite"
     ).parquet(path)
     spark.stop()
