@@ -19,6 +19,7 @@ single-partition window, deterministic across reruns and parallelism levels
 from __future__ import annotations
 
 import hashlib
+import numpy as np
 import random
 from pathlib import Path
 

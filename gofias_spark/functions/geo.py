@@ -30,8 +30,8 @@ def parse_geo_point(col: Column) -> tuple[Column, Column]:
     """'lat,lon' string -> (lat, lon) doubles; malformed -> nulls
     (mirrors ES ignore_malformed, elasticAddressRepository.go:217-220)."""
     parts = F.split(F.trim(col), r"\s*,\s*")
-    lat = F.element_at(parts, 1).cast("double")
-    lon = F.element_at(parts, 2).cast("double")
+    lat = F.try_element_at(parts, F.lit(1)).try_cast("double")
+    lon = F.try_element_at(parts, F.lit(2)).try_cast("double")
     return lat, lon
 
 

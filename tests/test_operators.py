@@ -1,0 +1,147 @@
+"""Operator unit tests: dedup family, similarity search, multimodal plumbing,
+scalar text/geo functions — semantics beyond what the DuckDB contract checks
+(recall behavior of approximate ops, constructed near-dup cases)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gofias_spark.functions.geo import haversine_km, nearest, parse_geo_point
+from gofias_spark.functions.text import (
+    prepare_full_name,
+    replace_synonyms,
+    trim_name,
+)
+from gofias_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from gofias_spark.operators.multimodal import (
+    decode_features,
+    with_binary_payload,
+)
+from gofias_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+
+@pytest.fixture(scope="module")
+def near_dupes(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    mutated = base.replace("lazy", "sleepy", 1)
+    rows = [
+        (0, base),
+        (1, base),              # exact dup of 0
+        (2, mutated),           # near dup of 0
+        (3, "completely different words about spark and indexes " * 6),
+        (4, "another unrelated document mentioning nothing shared xyz " * 6),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_exact_duplicates(near_dupes):
+    groups = {
+        r["keep_id"]: r["n_dupes"]
+        for r in exact_duplicates(near_dupes).collect()
+    }
+    assert groups[0] == 2  # docs 0 and 1 identical
+    assert groups[2] == 1 and groups[3] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(near_dupes):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(near_dupes, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_minhash_lsh_recalls_near_dup(near_dupes):
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            near_dupes, num_hashes=64, bands=16
+        ).collect()
+    }
+    assert (0, 1) in cands  # identical: all bands match
+    assert (0, 2) in cands  # high-jaccard near dup: some band matches
+    assert (3, 4) not in cands
+
+
+def test_simhash_identical_and_near(near_dupes):
+    h = {r["id"]: r["simhash"] for r in simhash64(near_dupes).collect()}
+    assert h[0] == h[1]
+    hamming = bin((h[0] ^ h[2]) & (2**64 - 1)).count("1")
+    assert hamming <= 12  # near dup: few bits differ
+    hamming_far = bin((h[0] ^ h[3]) & (2**64 - 1)).count("1")
+    assert hamming_far > hamming
+
+
+def test_cosine_topk_and_ann(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 16))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in vecs[13]]
+    exact = cosine_topk(df, q, k=5).collect()
+    assert exact[0]["vec_id"] == 13  # self is nearest
+    assert abs(exact[0]["cosine"] - 1.0) < 1e-9
+    # brute-force numpy cross-check of the full ranking
+    sims = vecs @ vecs[13] / (
+        np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[13])
+    )
+    order = np.lexsort((np.arange(50), -sims))[:5]
+    assert [r["vec_id"] for r in exact] == list(order)
+    # ANN: query's own bucket always contains the query vector itself
+    ann = ann_lsh_topk(df, q, k=5, bits=4).collect()
+    assert ann[0]["vec_id"] == 13
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "")], "doc_id long, content string"
+    )
+    media = with_binary_payload(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    out = {r["doc_id"]: r for r in decode_features(media, dim=4).collect()}
+    assert out[1]["n_bytes"] == 11
+    assert out[1]["first_byte"] == ord("h")
+    assert len(out[1]["feature"]) == 4
+    assert abs(
+        out[1]["byte_mean"]
+        - np.frombuffer(b"hello world", dtype=np.uint8).mean()
+    ) < 1e-9
+    assert out[2]["n_bytes"] == 0 and out[2]["byte_mean"] is None
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(" -.,Ленина,. ", "ул", "Ленина", "городское поселение Мирный ёлка")],
+        "raw string, short string, name string, addr string",
+    )
+    row = df.select(
+        trim_name(F.col("raw")).alias("trimmed"),
+        prepare_full_name(F.col("short"), F.col("name")).alias("full"),
+        replace_synonyms(F.col("addr")).alias("repl"),
+    ).collect()[0]
+    assert row["trimmed"] == "Ленина"
+    assert row["full"] == "ул. Ленина"
+    assert row["repl"] == "город Мирный елка"
+
+
+def test_geo_functions(spark):
+    df = spark.createDataFrame(
+        [("a", 55.75, 37.62), ("b", 59.94, 30.31), ("c", 0.0, 0.0)],
+        "name string, lat double, lon double",
+    )
+    # Moscow<->SPb ~ 635 km
+    got = nearest(df, 55.75, 37.62, k=2).collect()
+    assert [r["name"] for r in got] == ["a", "b"]
+    assert abs(got[1]["dist_km"] - 635) < 10
+    parsed = spark.createDataFrame([("55.75, 37.62",), ("bogus",)], "p string")
+    lat, lon = parse_geo_point(F.col("p"))
+    rows = parsed.select(lat.alias("lat"), lon.alias("lon")).collect()
+    assert abs(rows[0]["lat"] - 55.75) < 1e-9
+    assert rows[1]["lat"] is None
