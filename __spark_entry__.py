@@ -31,7 +31,7 @@ from gofias_spark.operators import textstats as TS
 from gofias_spark.query.engine import SearchEngine
 from gofias_spark.query.naive import naive_bm25, tokens_col
 
-FORMAT_VERSION = "f1"
+FORMAT_VERSION = "f2"
 K1, B = 1.2, 0.75
 _ENGINES: dict = {}
 
@@ -67,7 +67,7 @@ def _engine(spark: SparkSession, sf_dir: str, mode: str = "standard") -> SearchE
         if mode == "standard"
         else AnalyzerConfig(mode="edge_ngram", min_gram=1, max_gram=40)
     )
-    cfg = IndexConfig(docs_per_part=256, block_size=128, analyzer=analyzer)
+    cfg = IndexConfig(n_buckets=4, block_size=128, analyzer=analyzer)
     store = IndexStore(root)
     try:
         if not store.exists():

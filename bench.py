@@ -67,8 +67,7 @@ def main() -> None:
     t0 = time.perf_counter()
     build_segment(
         spark, docs, root,
-        IndexConfig(docs_per_part=max(256, n_docs // (4 * cpus) + 1),
-                    block_size=128),
+        IndexConfig(n_buckets=4 * cpus, block_size=128),
     )
     timings["index_build"] = time.perf_counter() - t0
 

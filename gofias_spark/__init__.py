@@ -8,7 +8,7 @@ top-k with block-max pruning — is implemented natively on Spark DataFrames
 with vectorized Arrow/pandas UDFs (no per-row Python).
 
 Design highlights (see SURVEY.md §4.3, §7):
-  * document-partitioned index (``doc_part = doc_id // docs_per_part``):
+  * document-partitioned index (``doc_part = seg<<20 | keyhash-bucket``):
     index build is shuffle-free per partition, hot terms spread across all
     partitions (no term-partition skew), queries merge per-partition top-k.
   * postings compressed as docID delta + varbyte blocks with block-max

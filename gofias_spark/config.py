@@ -64,26 +64,36 @@ class AnalyzerConfig:
             raise ValueError("require 1 <= min_gram <= max_gram")
 
 
+# doc_id bit layout: [ seg_id : 16 | bucket : 20 | rank : 28 ] — doc_ids are
+# deterministic (bucket = key hash, rank = key sort order within bucket),
+# unique across segments without an offset protocol, and doc-partition
+# extraction is a shift: doc_part = doc_id >> RANK_BITS = (seg << 20) | bucket.
+RANK_BITS = 28
+BUCKET_BITS = 20
+
+
 @dataclass(frozen=True)
 class IndexConfig:
     """Physical layout of the index.
 
-    ``docs_per_part`` controls the document partitioning: doc_part =
-    doc_id // docs_per_part. The index is *document-partitioned* (like an ES
-    shard, elasticAddressRepository.go:28-29 uses 1 shard; we are explicitly
-    multi-partition): postings for every term are split across doc
+    ``n_buckets`` controls the document partitioning: each doc hashes to
+    bucket = pmod(xxhash64(repo, path, commit), n_buckets), and a doc
+    partition is one (segment, bucket). The index is *document-partitioned*
+    (like an ES shard, elasticAddressRepository.go:28-29 uses 1 shard; we are
+    explicitly multi-partition): postings for every term are split across doc
     partitions, so hot terms ("the", "import") never concentrate in one task
     — the skew answer demanded by the north rule, without salting machinery.
+    Crucially the bucket hash is computable row-wise, so the index build
+    moves document content through exactly ONE shuffle (the bucket
+    repartition) — doc_id assignment, doc_meta write and posting encode all
+    reuse that partitioning.
 
     ``block_size`` is the number of postings per compressed block (doc-id
     delta + varbyte), each carrying block-max metadata (tf_max, dl_min) for
     WAND pruning. 128 matches Lucene's skip/block granularity.
     """
 
-    docs_per_part: int = 65536
+    n_buckets: int = 64
     block_size: int = 128
     analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
     bm25: BM25Params = field(default_factory=BM25Params)
-
-    def doc_part(self, doc_id: int) -> int:
-        return doc_id // self.docs_per_part

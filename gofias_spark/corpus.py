@@ -46,60 +46,57 @@ _EXT_LANG = {
 }
 
 
-def assign_doc_ids(docs: DataFrame, num_parts: int | None = None) -> DataFrame:
-    """Add a deterministic dense ``doc_id`` = global rank by (repo,path,commit).
+def assign_doc_ids(
+    docs: DataFrame, n_buckets: int = 64, seg_id: int = 0
+) -> DataFrame:
+    """Add deterministic ``doc_id`` / ``doc_part`` via key-hash bucketing.
 
-    Scale-safe: range partition by key (partition *boundaries* may vary with
-    input layout, but concatenating range partitions in order and ranking
-    within each yields the same total order — hence identical doc_ids — at
-    any parallelism). One extra count-per-partition pass; no global window.
+    doc_id = (seg_id << 48) | (bucket << RANK_BITS) | rank, where
+    bucket = pmod(xxhash64(repo, path, commit), n_buckets) and rank is the
+    row's (repo, path, commit) sort position within its bucket.
+
+    Properties the engine depends on:
+      * deterministic and parallelism-invariant (hash + in-bucket key sort —
+        no sampling, no partition-boundary dependence);
+      * computable with a SINGLE shuffle of the content (the bucket
+        repartition), which the downstream doc_meta write and posting-encode
+        groupBy reuse (HashPartitioning(bucket) already satisfies their
+        clustering) — at 100 TB this one shuffle IS the index build's data
+        movement;
+      * doc_ids are dense within a bucket (delta+varbyte locality) and
+        globally unique across segments without an offset protocol.
     """
-    spark = docs.sparkSession
-    if num_parts is None:
-        num_parts = max(spark.sparkContext.defaultParallelism, 4)
+    from gofias_spark.config import BUCKET_BITS, RANK_BITS
+
+    if n_buckets > (1 << BUCKET_BITS):
+        raise ValueError(f"n_buckets > {1 << BUCKET_BITS}")
+    bucket = F.pmod(F.xxhash64(*KEY), F.lit(n_buckets)).cast("long")
+    doc_part = F.lit(seg_id << BUCKET_BITS).cast("long") + bucket
+    # partition ON doc_part so the persisted frame's HashPartitioning
+    # satisfies every downstream clustering (doc_meta write, encode groupBy)
     parted = (
-        docs.repartitionByRange(num_parts, *KEY)
-        .sortWithinPartitions(*KEY)
-        .withColumn("_pid", F.spark_partition_id())
+        docs.withColumn("doc_part", doc_part)
+        .repartition(n_buckets, "doc_part")
+        .sortWithinPartitions("doc_part", *KEY)
     )
-    parted = parted.persist()
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offmap = F.create_map(
-        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    w = Window.partitionBy("doc_part").orderBy(*KEY)
+    doc_id = F.col("doc_part") * F.lit(1 << RANK_BITS) + (
+        F.row_number().over(w) - 1
     )
-    w = Window.partitionBy("_pid").orderBy(*KEY)
-    out = (
-        parted.withColumn(
-            "doc_id",
-            (offmap[F.col("_pid")] + F.row_number().over(w) - 1).cast("long"),
-        )
-        .drop("_pid")
-    )
-    return out
+    return parted.withColumn("doc_id", doc_id.cast("long"))
 
 
-def with_doc_meta(docs_with_ids: DataFrame, docs_per_part: int) -> DataFrame:
-    """Append sha256 / doclen / doc_part columns (doclen via built-in exprs —
+def with_doc_meta(docs_with_ids: DataFrame) -> DataFrame:
+    """Append sha256 / doclen columns (doclen via built-in exprs —
     standard analyzer token count, JVM-side, no Python)."""
     # same word class as Python re \w (see query/naive.py SPLIT_PATTERN)
     tokens = F.filter(
         F.split(F.lower(F.col("content")), r"[^\p{L}\p{Nd}\p{Nl}\p{No}_]+"),
         lambda t: t != F.lit(""),
     )
-    return (
-        docs_with_ids.withColumn("sha256", F.sha2(F.col("content"), 256))
-        .withColumn("doclen", F.size(tokens))
-        .withColumn(
-            "doc_part", (F.col("doc_id") / F.lit(docs_per_part)).cast("int")
-        )
-    )
+    return docs_with_ids.withColumn(
+        "sha256", F.sha2(F.col("content"), 256)
+    ).withColumn("doclen", F.size(tokens))
 
 
 def load_refcorpus(spark: SparkSession, root: str = "/root/reference") -> DataFrame:

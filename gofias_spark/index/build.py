@@ -43,7 +43,7 @@ from gofias_spark.index.store import IndexStore, PartitionLineage, SegmentMeta
 BLOCK_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
-        T.StructField("doc_part", T.IntegerType(), False),
+        T.StructField("doc_part", T.LongType(), False),
         T.StructField("block_id", T.IntegerType(), False),
         T.StructField("n", T.IntegerType(), False),
         T.StructField("base", T.LongType(), False),
@@ -89,21 +89,20 @@ def _encode_partition_factory(cfg: IndexConfig):
 
 
 def prepare_docs(
-    docs: DataFrame, cfg: IndexConfig, doc_id_offset: int = 0
+    docs: DataFrame, cfg: IndexConfig, seg_id: int = 0
 ) -> DataFrame:
-    """docs -> docs + (doc_id, sha256, doclen, doc_part).
+    """docs -> docs + (doc_id, doc_part, sha256, doclen).
+
+    One shuffle total (the bucket repartition inside assign_doc_ids); the
+    window rank, sha256/doclen projections, doc_meta write and the encode
+    groupBy all run on that partitioning without further exchanges.
 
     ``doclen`` here is the JVM-computed standard token count (informational
     display column; whole-stage codegen, no extra Python pass). The exact
     *analyzed* dl used for BM25 lives inside the postings (codec ``dls``) and
     in segment ``sum_dl``; tombstone accounting re-derives exact dl from the
     removed docs' content at merge time (delta-sized work)."""
-    with_ids = assign_doc_ids(docs)
-    if doc_id_offset:
-        with_ids = with_ids.withColumn(
-            "doc_id", F.col("doc_id") + F.lit(doc_id_offset)
-        )
-    return with_doc_meta(with_ids, cfg.docs_per_part)
+    return with_doc_meta(assign_doc_ids(docs, cfg.n_buckets, seg_id))
 
 
 def build_segment(
@@ -112,7 +111,6 @@ def build_segment(
     index_root: str,
     cfg: IndexConfig | None = None,
     seg_id: int | None = None,
-    doc_id_offset: int = 0,
     _fail_after_parts: int | None = None,
 ) -> dict:
     """Build (or resume) one segment from a docs DataFrame.
@@ -126,7 +124,7 @@ def build_segment(
     if seg_id is None:
         seg_id = manifest["next_seg_id"]
 
-    prepared = prepare_docs(docs, cfg, doc_id_offset).persist()
+    prepared = prepare_docs(docs, cfg, seg_id).persist()
     committed = store.committed_parts(seg_id)
     todo = prepared.filter(~F.col("doc_part").isin(list(committed)) if committed else F.lit(True))
 
@@ -239,7 +237,8 @@ def build_segment(
         manifest["next_doc_id"], seg_meta.max_doc_id + 1
     )
     manifest["config"]["analyzer"] = asdict(cfg.analyzer)
-    manifest["config"]["docs_per_part"] = cfg.docs_per_part
+    manifest["config"]["n_buckets"] = cfg.n_buckets
+    manifest["config"].pop("docs_per_part", None)
     manifest["config"]["block_size"] = cfg.block_size
     store.write_manifest(manifest)
     store.cleanup_staging()

@@ -11,7 +11,8 @@ Mirrors the reference's delta-import semantics (SURVEY.md §2.9):
     (versionRepository.go:102-119 persists counts per import).
 
 Physical design (Lucene-style segments, Iceberg-MERGE-equivalent):
-  * upserts build a NEW segment (doc_ids continue from manifest.next_doc_id);
+  * upserts build a NEW segment (doc_ids are unique by construction:
+    the segment id is part of the doc_id bit layout);
   * replaced/deleted docs become TOMBSTONES (doc_id + analyzed dl), masked at
     query time and subtracted from N / sum_dl;
   * per-term df corrections go to ``stats_delta`` (term, ddf), computed by
@@ -93,7 +94,7 @@ def apply_delta(
     store = IndexStore(index_root)
     manifest = store.read_manifest()
     cfg = cfg or IndexConfig(
-        docs_per_part=manifest["config"]["docs_per_part"],
+        n_buckets=manifest["config"]["n_buckets"],
         block_size=manifest["config"]["block_size"],
         analyzer=AnalyzerConfig(**manifest["config"]["analyzer"]),
     )
@@ -171,7 +172,6 @@ def apply_delta(
             index_root,
             cfg,
             seg_id=manifest["next_seg_id"],
-            doc_id_offset=manifest["next_doc_id"],
         )
         # build_segment committed its own manifest (from disk, without our
         # tombstone bookkeeping) — re-read it and graft the tombstones on

@@ -91,7 +91,7 @@ class IndexStore:
                 "config": {
                     "analyzer": asdict(AnalyzerConfig()),
                     "bm25": asdict(BM25Params()),
-                    "docs_per_part": IndexConfig().docs_per_part,
+                    "n_buckets": IndexConfig().n_buckets,
                     "block_size": IndexConfig().block_size,
                 },
                 "history": [],

@@ -222,6 +222,117 @@ class SearchEngine:
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
+    def search_many(
+        self,
+        queries: dict[str, str] | list[str],
+        k: int = 10,
+        mode: str = "and",
+        filters: dict | None = None,
+    ) -> DataFrame:
+        """Batched search: many queries in ONE pass over the postings —
+        the reference's OSM enrichment join issues a top-1 search per
+        incoming row (J4, osmService.go:161-223); here the whole query batch
+        is a DataFrame-to-DataFrame join with the index. Returns
+        (query, doc_id, score, rank), rank 1..k per query."""
+        from pyspark.sql import Window
+
+        qmap = (
+            {q: q for q in queries}
+            if not isinstance(queries, dict)
+            else dict(queries)
+        )
+        analyzed = {
+            qid: analyze_query(text, self.analyzer)
+            for qid, text in qmap.items()
+        }
+        all_terms = sorted({t for ts in analyzed.values() for t in ts})
+        if not all_terms:
+            return self.spark.createDataFrame(
+                [], "query string, doc_id long, score double, rank int"
+            )
+        dfs = self._term_dfs(all_terms)
+        plans: dict[str, tuple[list[str], dict[str, float]]] = {}
+        for qid, ts in analyzed.items():
+            if mode == "and":
+                if not ts or any(dfs[t] == 0 for t in ts):
+                    continue
+                terms = ts
+            else:
+                terms = [t for t in ts if dfs[t] > 0]
+                if not terms:
+                    continue
+            plans[qid] = (terms, {t: self._idf(dfs[t]) for t in terms})
+        if not plans:
+            return self.spark.createDataFrame(
+                [], "query string, doc_id long, score double, rank int"
+            )
+        union_terms = sorted({t for ts, _ in plans.values() for t in ts})
+        blocks = self.postings.filter(F.col("term").isin(union_terms))
+        right, right_kind = self._right_side(filters)
+        avgdl, k1, b = self.avgdl, self.bm25.k1, self.bm25.b
+        fn = K.score_and if mode == "and" else K.score_or
+
+        def kernel(left: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0:
+                return pd.DataFrame(
+                    {
+                        "query": pd.Series(dtype="object"),
+                        "doc_id": pd.Series(dtype="int64"),
+                        "score": pd.Series(dtype="float64"),
+                    }
+                )
+            allowed = excluded = None
+            ids = (
+                np.sort(right_pdf["doc_id"].to_numpy(dtype=np.int64))
+                if len(right_pdf)
+                else np.empty(0, dtype=np.int64)
+            )
+            if right_kind == "allowed":
+                allowed = ids
+            elif right_kind == "excluded":
+                excluded = ids
+            outs = []
+            for qid, (terms, idf) in plans.items():
+                r = fn(
+                    left[left["term"].isin(terms)],
+                    terms, idf, avgdl, k1, b, k,
+                    allowed=allowed, excluded=excluded,
+                )
+                if len(r):
+                    r = r.copy()
+                    r["query"] = qid
+                    outs.append(r)
+            if not outs:
+                return pd.DataFrame(
+                    {
+                        "query": pd.Series(dtype="object"),
+                        "doc_id": pd.Series(dtype="int64"),
+                        "score": pd.Series(dtype="float64"),
+                    }
+                )
+            return pd.concat(outs)[["query", "doc_id", "score"]]
+
+        if right is not None:
+            scored = (
+                blocks.groupby("doc_part")
+                .cogroup(right.groupby("doc_part"))
+                .applyInPandas(
+                    kernel, schema="query string, doc_id long, score double"
+                )
+            )
+        else:
+            scored = blocks.groupby("doc_part").applyInPandas(
+                lambda pdf: kernel(pdf, pd.DataFrame({"doc_id": []})),
+                schema="query string, doc_id long, score double",
+            )
+        w = Window.partitionBy("query").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
     def _right_side(self, filters: dict | None):
         """Build the cogroup right side: allowed doc_ids (filters, minus
         tombstones) or excluded doc_ids (tombstones only)."""
@@ -234,11 +345,11 @@ class SearchEngine:
                 )
             return allowed, "allowed"
         if self._tombstones is not None:
+            from gofias_spark.config import RANK_BITS
+
             tomb = self._tombstones.select("doc_id").withColumn(
                 "doc_part",
-                (
-                    F.col("doc_id") / F.lit(self.manifest["config"]["docs_per_part"])
-                ).cast("int"),
+                F.shiftright(F.col("doc_id"), RANK_BITS).cast("long"),
             )
             return tomb.select("doc_part", "doc_id"), "excluded"
         return None, "none"

@@ -2,7 +2,7 @@
 
 Local-mode testing uses ``local[N]``; the same configuration scales to a real
 cluster — everything scale-sensitive is expressed via partitioning (see
-IndexConfig.docs_per_part), not via local-mode assumptions.
+IndexConfig.n_buckets), not via local-mode assumptions.
 """
 
 from __future__ import annotations
@@ -36,7 +36,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("GOFIAS_DRIVER_MEM", "8g"))
+        # local mode: executors live in the driver JVM — size it to the box
+        # (spilling the build's one content shuffle to disk is what kills
+        # scaling; see scripts/run_scaling.py)
+        .config("spark.driver.memory", os.environ.get("GOFIAS_DRIVER_MEM", "48g"))
+        # partitionBy writes: concurrent writers instead of a full sort by
+        # the partition column (preserves our term-sorted row order too)
+        .config("spark.sql.maxConcurrentOutputFileWriters", "256")
         # parquet scans: keep row groups prunable on the postings `term` column
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")

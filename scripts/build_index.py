@@ -33,7 +33,7 @@ def main() -> None:
                     choices=["standard", "edge_ngram", "ngram"])
     ap.add_argument("--min-gram", type=int, default=1)
     ap.add_argument("--max-gram", type=int, default=40)
-    ap.add_argument("--docs-per-part", type=int, default=65536)
+    ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--block-size", type=int, default=128)
     args = ap.parse_args()
 
@@ -45,7 +45,7 @@ def main() -> None:
     else:
         ap.error("need --input or --refcorpus")
     cfg = IndexConfig(
-        docs_per_part=args.docs_per_part,
+        n_buckets=args.n_buckets,
         block_size=args.block_size,
         analyzer=AnalyzerConfig(
             mode=args.analyzer, min_gram=args.min_gram, max_gram=args.max_gram
@@ -54,7 +54,7 @@ def main() -> None:
     manifest = build_segment(spark, docs, args.index, cfg)
     print(
         f"built index at {args.index}: segments={manifest['segments']} "
-        f"next_doc_id={manifest['next_doc_id']}"
+        f"config={manifest['config']['n_buckets']} buckets"
     )
     spark.stop()
 

@@ -43,7 +43,7 @@ root = tempfile.mkdtemp(prefix="gofias_scaling_idx_")
 shutil.rmtree(root, ignore_errors=True)
 t0 = time.perf_counter()
 build_segment(spark, docs, root,
-              IndexConfig(docs_per_part={docs_per_part}, block_size=128))
+              IndexConfig(n_buckets={n_buckets}, block_size=128))
 build_s = time.perf_counter() - t0
 eng = SearchEngine(spark, root)
 eng.warm()
@@ -83,9 +83,9 @@ def gen_corpus(n_docs: int) -> str:
     return path
 
 
-def run_level(cpus: int, corpus: str, docs_per_part: int) -> dict:
+def run_level(cpus: int, corpus: str, n_buckets: int) -> dict:
     code = WORKER.format(
-        repo=REPO, cpus=cpus, corpus=corpus, docs_per_part=docs_per_part
+        repo=REPO, cpus=cpus, corpus=corpus, n_buckets=n_buckets
     )
     out = subprocess.run(
         [sys.executable, "-c", code],
@@ -104,14 +104,13 @@ def main() -> None:
     args = ap.parse_args()
 
     corpus = gen_corpus(args.docs)
-    # doc partitions sized so local[32] has ~4 waves of tasks
-    docs_per_part = max(512, args.docs // 128)
-    r8 = run_level(8, corpus, docs_per_part)
-    r32 = run_level(32, corpus, docs_per_part)
+    n_buckets = 128  # ~4 task waves at local[32]
+    r8 = run_level(8, corpus, n_buckets)
+    r32 = run_level(32, corpus, n_buckets)
     eff = (r32["files_per_sec"] / r8["files_per_sec"]) / (32 / 8)
     result = {
         "input": {"n_docs": args.docs, "corpus": corpus,
-                  "docs_per_part": docs_per_part},
+                  "n_buckets": n_buckets},
         "local8": r8,
         "local32": r32,
         "scaling_efficiency": round(eff, 3),

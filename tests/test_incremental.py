@@ -17,7 +17,7 @@ from gofias_spark.query.engine import SearchEngine
 from .oracle import OracleIndex
 
 N_DOCS = 240
-CFG = IndexConfig(docs_per_part=64, block_size=16)
+CFG = IndexConfig(n_buckets=4, block_size=16)
 
 
 @pytest.fixture(scope="module")

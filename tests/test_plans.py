@@ -17,7 +17,7 @@ def engine(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("planidx"))
     build_segment(
         spark, synth_corpus(spark, 200), root,
-        IndexConfig(docs_per_part=64, block_size=32),
+        IndexConfig(n_buckets=4, block_size=32),
     )
     return SearchEngine(spark, root, cache=False)
 

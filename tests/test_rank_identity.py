@@ -27,7 +27,7 @@ def ref_index(spark, tmp_path_factory):
     blocks so multi-block/multi-partition paths are exercised)."""
     root = str(tmp_path_factory.mktemp("refidx"))
     docs = load_refcorpus(spark)
-    cfg = IndexConfig(docs_per_part=16, block_size=8)
+    cfg = IndexConfig(n_buckets=5, block_size=8)
     build_segment(spark, docs, root, cfg)
     return root, cfg
 
@@ -37,7 +37,7 @@ def ref_prefix_index(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("refidx_prefix"))
     docs = load_refcorpus(spark)
     cfg = IndexConfig(
-        docs_per_part=16,
+        n_buckets=5,
         block_size=8,
         analyzer=AnalyzerConfig(mode="edge_ngram", min_gram=1, max_gram=40),
     )

@@ -12,7 +12,7 @@ from gofias_spark.index.build import build_segment
 from gofias_spark.index.store import IndexStore
 from gofias_spark.query.engine import SearchEngine
 
-CFG = IndexConfig(docs_per_part=48, block_size=16)
+CFG = IndexConfig(n_buckets=5, block_size=16)
 N_DOCS = 240  # -> 5 doc_parts
 
 

@@ -15,7 +15,7 @@ from gofias_spark.query.engine import SearchEngine
 
 from .oracle import OracleIndex
 
-CFG = IndexConfig(docs_per_part=128, block_size=32)
+CFG = IndexConfig(n_buckets=4, block_size=32)
 
 
 def test_hot_term_rank_identity(spark, tmp_path):
@@ -48,17 +48,27 @@ def test_hot_term_rank_identity(spark, tmp_path):
 
 
 def test_doc_id_parallelism_invariance(spark):
+    """doc_ids are a pure function of (seg, key-hash bucket, in-bucket key
+    rank) — identical regardless of input partitioning/parallelism."""
     docs = synth_corpus(spark, 300)
     a = {
-        (r["repo"], r["path"], r["commit"]): r["doc_id"]
-        for r in assign_doc_ids(docs.repartition(2), num_parts=2).collect()
+        (r["repo"], r["path"], r["commit"]): (r["doc_id"], r["doc_part"])
+        for r in assign_doc_ids(docs.repartition(2), n_buckets=7).collect()
     }
     b = {
-        (r["repo"], r["path"], r["commit"]): r["doc_id"]
-        for r in assign_doc_ids(docs.repartition(13), num_parts=11).collect()
+        (r["repo"], r["path"], r["commit"]): (r["doc_id"], r["doc_part"])
+        for r in assign_doc_ids(docs.repartition(13), n_buckets=7).collect()
     }
     assert a == b
-    assert sorted(a.values()) == list(range(300))
+    assert len({v[0] for v in a.values()}) == 300  # unique
+    # dense rank within each bucket
+    from collections import defaultdict
+
+    by_part = defaultdict(list)
+    for doc_id, part in a.values():
+        by_part[part].append(doc_id & ((1 << 28) - 1))
+    for part, ranks in by_part.items():
+        assert sorted(ranks) == list(range(len(ranks)))
 
 
 def test_postings_invariant_to_input_partitioning(spark, tmp_path):
