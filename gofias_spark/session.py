@@ -40,6 +40,14 @@ def get_spark(
         # (spilling the build's one content shuffle to disk is what kills
         # scaling; see scripts/run_scaling.py)
         .config("spark.driver.memory", os.environ.get("GOFIAS_DRIVER_MEM", "48g"))
+        # ParallelGC: measured 6-15x faster than default G1 on this engine's
+        # string-churn stages (regex tokenize, sha2, Arrow encode) AND it
+        # scales with threads where G1 anti-scales (local[8] 30s -> local[32]
+        # 63s under G1 vs 5.1s -> 4.3s under ParallelGC on the same job).
+        # Applied to driver (local mode = executor JVM) and executors (real
+        # clusters) alike.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         # partitionBy writes: concurrent writers instead of a full sort by
         # the partition column (preserves our term-sorted row order too)
         .config("spark.sql.maxConcurrentOutputFileWriters", "256")
