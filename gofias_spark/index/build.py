@@ -68,19 +68,46 @@ def _encode_partition_factory(cfg: IndexConfig):
 
     def encode_partition(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         doc_part = int(key[0])
-        tf = term_frequencies(pdf["doc_id"], pdf["content"], analyzer)
-        if len(tf) == 0:
-            return pd.DataFrame(
-                {f.name: pd.Series(dtype="object") for f in BLOCK_SCHEMA}
+        try:
+            # Arrow-native fast path (standard analyzer): contiguous-buffer
+            # tokenize+count, no per-token Python objects — see
+            # analyzer.term_frequencies_coded for why this matters at high
+            # worker concurrency.
+            from gofias_spark.analyzer import term_frequencies_coded
+
+            res = term_frequencies_coded(
+                pdf["doc_id"].to_numpy(), pdf["content"], analyzer
             )
-        tf = tf.sort_values(["term", "doc_id"], kind="mergesort")
-        cols = encode_blocks_batch(
-            tf["term"].to_numpy(),
-            tf["doc_id"].to_numpy(dtype=np.int64),
-            tf["tf"].to_numpy(dtype=np.uint64),
-            tf["dl"].to_numpy(dtype=np.uint64),
-            block_size,
-        )
+            if res["doc_id"].size == 0:
+                return pd.DataFrame(
+                    {f.name: pd.Series(dtype="object") for f in BLOCK_SCHEMA}
+                )
+            cols = encode_blocks_batch(
+                res["term_codes"], res["doc_id"], res["tf"], res["dl"],
+                block_size,
+            )
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            term_strs = pc.take(
+                res["uniq_terms"], pa.array(cols["term"], type=pa.int64())
+            )
+            cols = dict(cols)
+            cols["term"] = term_strs.to_pandas()
+        except ValueError:
+            tf = term_frequencies(pdf["doc_id"], pdf["content"], analyzer)
+            if len(tf) == 0:
+                return pd.DataFrame(
+                    {f.name: pd.Series(dtype="object") for f in BLOCK_SCHEMA}
+                )
+            tf = tf.sort_values(["term", "doc_id"], kind="mergesort")
+            cols = encode_blocks_batch(
+                tf["term"].to_numpy(),
+                tf["doc_id"].to_numpy(dtype=np.int64),
+                tf["tf"].to_numpy(dtype=np.uint64),
+                tf["dl"].to_numpy(dtype=np.uint64),
+                block_size,
+            )
         out = pd.DataFrame(cols)
         out["doc_part"] = doc_part
         return out[[f.name for f in BLOCK_SCHEMA]]
@@ -124,7 +151,11 @@ def build_segment(
     if seg_id is None:
         seg_id = manifest["next_seg_id"]
 
-    prepared = prepare_docs(docs, cfg, seg_id).persist()
+    # Cache only the ranked base columns. sha256/doclen are cheap JVM
+    # expressions but caching them (plus re-reading the wider cache) costs
+    # more than recomputing: they are projected lazily into the doc_meta
+    # write below and never materialized twice.
+    prepared = assign_doc_ids(docs, cfg.n_buckets, seg_id).persist()
     committed = store.committed_parts(seg_id)
     todo = prepared.filter(~F.col("doc_part").isin(list(committed)) if committed else F.lit(True))
 
@@ -132,7 +163,7 @@ def build_segment(
     staging = store.staging_dir()
 
     # --- doc_meta + postings for not-yet-committed partitions -------------
-    todo_meta = todo.select(*DOC_META_COLS)
+    todo_meta = with_doc_meta(todo).select(*DOC_META_COLS)
     todo_meta.write.partitionBy("doc_part").mode("overwrite").parquet(
         str(staging / "doc_meta")
     )

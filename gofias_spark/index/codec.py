@@ -138,6 +138,18 @@ def encode_blocks_batch(
     Returns a dict of column arrays/lists shaped like BLOCK_SCHEMA minus
     doc_part."""
     n = doc_ids.size
+    if n == 0:
+        return {
+            "term": np.empty(0, dtype=terms.dtype if hasattr(terms, "dtype") else object),
+            "block_id": np.empty(0, dtype=np.int64),
+            "n": np.empty(0, dtype=np.int64),
+            "base": np.empty(0, dtype=np.int64),
+            "last": np.empty(0, dtype=np.int64),
+            "docs": [], "tfs": [], "dls": [],
+            "tf_max": np.empty(0, dtype=np.int64),
+            "dl_min": np.empty(0, dtype=np.int64),
+            "tf_sum": np.empty(0, dtype=np.int64),
+        }
     ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tf = np.ascontiguousarray(tfs, dtype=np.uint64)
     dl = np.ascontiguousarray(dls, dtype=np.uint64)

@@ -83,15 +83,35 @@ class SearchEngine:
             "doc_id", "repo", "path", "commit", "lang", "sha256"
         )
         if cache:
-            self.postings = self.postings.persist()
+            # Latency path: a parquet-read union has no partitioning info, so
+            # every query's groupBy(doc_part) would reshuffle the filtered
+            # blocks. Hash-repartition ON doc_part once at load — the cached
+            # frame's HashPartitioning then satisfies the per-query
+            # applyInPandas clustering (no per-query exchange), and the
+            # within-partition (doc_part, term) sort keeps cached batch
+            # min/max stats tight so `term IN (...)` prunes whole batches.
+            n_cache_parts = max(8, spark.sparkContext.defaultParallelism)
+            self.postings = (
+                self.postings.repartition(n_cache_parts, "doc_part")
+                .sortWithinPartitions("doc_part", "term", "block_id")
+                .persist()
+            )
             self._stats = self._stats.persist()
-            self._meta_slim = self._meta_slim.persist()
+            self._meta_slim = self._meta_slim.coalesce(n_cache_parts).persist()
 
     # -- loading ------------------------------------------------------------
     def _union(self, table: str, seg_col: bool = False) -> DataFrame:
         dfs = []
         for s in self._seg_ids:
             df = self.spark.read.parquet(str(self.store.seg_dir(s) / table))
+            if "doc_part" in df.columns:
+                # partition-dir columns are inferred as INT; every computed
+                # doc_part (e.g. shiftright(doc_id)) is LONG. Normalize here:
+                # hash(int x) != hash(long x) in Spark, so a cached
+                # HashPartitioning on the int column would NOT co-partition
+                # with the long side in cogroups (tombstones silently
+                # unpaired — caught by test_incremental).
+                df = df.withColumn("doc_part", F.col("doc_part").cast("long"))
             if seg_col:
                 df = df.withColumn("seg", F.lit(s))
             dfs.append(df)
