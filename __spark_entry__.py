@@ -237,6 +237,18 @@ def _q_ann_lsh(spark, sf):  # approximate -> rows-only
     return SIM.ann_lsh_topk(vecs, _query_vec(spark, sf), k=10, bits=6)
 
 
+def _q_neardup_cosine(spark, sf):
+    vecs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return SIM.embedding_neardup_pairs(vecs, top_pairs=20, round_to=4)
+
+
+def _q_ivf(spark, sf):  # approximate -> rows-only
+    vecs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return SIM.ivf_topk(
+        vecs, _query_vec(spark, sf), k=10, n_centroids=16, n_probe=4
+    )
+
+
 def _q_mm_decode(spark, sf):
     media = MM.with_binary_payload(_documents(spark, sf), text_col="text")
     return MM.decode_features(media).select(
@@ -410,6 +422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity / multimodal
         "sim_cosine_top10": _q_sim_cosine,
         "sim_ann_lsh_top10": _q_ann_lsh,  # approximate, rows-only
+        "sim_ivf_top10": _q_ivf,  # approximate, rows-only
+        "dedup_embedding_cosine": _q_neardup_cosine,
         "mm_decode_features": _q_mm_decode,
         # relational analogues (F1-F7, J1-J3, A1-A4, O1-O7, U1-U2, X5-X9)
         "rel_filter_count": _q_rel_filter_count,
@@ -633,6 +647,16 @@ s AS (SELECT e.vec_id,
       FROM embeddings e CROSS JOIN q)
 SELECT vec_id, round(cosine, 4) AS cosine FROM s
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+        "dedup_embedding_cosine": """
+WITH p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT a, b, round(cosine, 4) AS cosine FROM p
+ORDER BY p.cosine DESC, a ASC, b ASC LIMIT 20
 """,
         "mm_decode_features": """
 SELECT doc_id, 'text/plain' AS media_type,

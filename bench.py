@@ -64,10 +64,23 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="gofias_bench_idx_")
     shutil.rmtree(root, ignore_errors=True)
 
+    # bucket count scales with corpus size: ~2k docs per bucket, capped at
+    # 4 waves of the core count (tiny corpora shouldn't pay 128 near-empty
+    # python worker spin-ups; big ones want full-width fan-out)
+    n_buckets = max(8, min(4 * cpus, n_docs // 2000 or 8))
+    # un-timed warmup build: commissions python workers / JVM heap / JIT
+    # (first-touch page faults through the hypervisor dominate a cold
+    # session's first job — see BASELINE.md methodology)
+    wroot = tempfile.mkdtemp(prefix="gofias_bench_warm_")
+    build_segment(
+        spark, docs.limit(500), wroot,
+        IndexConfig(n_buckets=8, block_size=128),
+    )
+    shutil.rmtree(wroot, ignore_errors=True)
     t0 = time.perf_counter()
     build_segment(
         spark, docs, root,
-        IndexConfig(n_buckets=4 * cpus, block_size=128),
+        IndexConfig(n_buckets=n_buckets, block_size=128),
     )
     timings["index_build"] = time.perf_counter() - t0
 

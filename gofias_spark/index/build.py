@@ -115,6 +115,175 @@ def _encode_partition_factory(cfg: IndexConfig):
     return encode_partition
 
 
+def _fused_encode_factory(cfg: IndexConfig, staging_meta_dir: str):
+    """applyInArrow kernel: one pass over each doc_part group produces BOTH
+    outputs — posting blocks (returned to Spark) and the doc_meta parquet
+    file (side-written by the worker via pyarrow, atomic tmp+rename).
+
+    This is the core of the single-pass build: content crosses the
+    JVM->Python Arrow boundary exactly once, sha256 and the EXACT analyzed
+    doclen are computed where the tokens already are, and no second
+    content-wide stage (or content cache) exists. The side-write commits
+    into the same ``_staging`` tree the promote/lineage protocol already
+    manages; task retries overwrite deterministically (atomic os.replace,
+    identical bytes)."""
+    analyzer, block_size = cfg.analyzer, cfg.block_size
+
+    def encode_group(key, tbl):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from gofias_spark.analyzer import (
+            term_frequencies_coded,
+            tokenize_series,
+        )
+        from gofias_spark.index.codec import encode_blocks_arrow
+
+        doc_part = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
+        ids = tbl["doc_id"].to_numpy()
+        if ids.size > 1 and (np.diff(ids) < 0).any():
+            tbl = tbl.take(pa.array(np.argsort(ids, kind="stable")))
+            ids = tbl["doc_id"].to_numpy()
+        content = tbl["content"].combine_chunks()
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+
+        try:
+            res = term_frequencies_coded(ids, content, analyzer)
+            doc_dl = res["doc_dl"][: len(ids)]
+            coded = True
+        except ValueError:
+            import pandas as pd
+
+            texts = content.to_pandas()
+            toks = tokenize_series(texts, analyzer)
+            doc_dl = toks.map(len).to_numpy(dtype=np.int64)
+            tf = term_frequencies(pd.Series(ids), texts, analyzer)
+            tf = tf.sort_values(["term", "doc_id"], kind="mergesort")
+            coded = False
+
+        # ---- side output: doc_meta for this partition --------------------
+        # sha256 arrives precomputed from the JVM projection (scales with
+        # cores; avoids materializing 15k python strings per group here)
+        meta_tbl = pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "repo": tbl["repo"],
+                "path": tbl["path"],
+                "commit": tbl["commit"],
+                "lang": tbl["lang"],
+                "content": tbl["content"],
+                "sha256": tbl["sha256"],
+                "doclen": pa.array(doc_dl.astype(np.int32), type=pa.int32()),
+            }
+        )
+        part_dir = os.path.join(staging_meta_dir, f"doc_part={doc_part}")
+        os.makedirs(part_dir, exist_ok=True)
+        tmp = os.path.join(part_dir, f".data.parquet.tmp{os.getpid()}")
+        pq.write_table(meta_tbl, tmp, compression="snappy")
+        os.replace(tmp, os.path.join(part_dir, "data.parquet"))
+
+        # ---- main output: posting blocks ----------------------------------
+        if coded:
+            if res["doc_id"].size == 0:
+                _write_part_stats(part_dir, doc_part, 0, ids, doc_dl)
+                return _empty_block_table()
+            cols = encode_blocks_arrow(
+                res["term_codes"], res["doc_id"], res["tf"], res["dl"],
+                block_size,
+            )
+            term_col = pc.take(
+                res["uniq_terms"], pa.array(cols["term"], type=pa.int64())
+            )
+        else:
+            if len(tf) == 0:
+                _write_part_stats(part_dir, doc_part, 0, ids, doc_dl)
+                return _empty_block_table()
+            cols = encode_blocks_arrow(
+                tf["term"].to_numpy(),
+                tf["doc_id"].to_numpy(dtype=np.int64),
+                tf["tf"].to_numpy(dtype=np.uint64),
+                tf["dl"].to_numpy(dtype=np.uint64),
+                block_size,
+            )
+            term_col = pa.array(cols["term"], type=pa.string())
+        nb = len(term_col)
+        _write_part_stats(part_dir, doc_part, nb, ids, doc_dl)
+        return pa.table(
+            {
+                "term": term_col,
+                "doc_part": pa.array(
+                    np.full(nb, doc_part, dtype=np.int64), type=pa.int64()
+                ),
+                "block_id": pa.array(
+                    np.asarray(cols["block_id"], dtype=np.int32),
+                    type=pa.int32(),
+                ),
+                "n": pa.array(
+                    np.asarray(cols["n"], dtype=np.int32), type=pa.int32()
+                ),
+                "base": pa.array(cols["base"], type=pa.int64()),
+                "last": pa.array(cols["last"], type=pa.int64()),
+                "docs": cols["docs"],
+                "tfs": cols["tfs"],
+                "dls": cols["dls"],
+                "tf_max": pa.array(cols["tf_max"], type=pa.int64()),
+                "dl_min": pa.array(cols["dl_min"], type=pa.int64()),
+                "tf_sum": pa.array(cols["tf_sum"], type=pa.int64()),
+            }
+        )
+
+    return encode_group
+
+
+def _write_part_stats(part_dir: str, doc_part: int, nb: int, ids, doc_dl):
+    """Side stats next to the partition's doc_meta: everything the lineage /
+    manifest needs is known inside the kernel — the driver reads these tiny
+    JSONs instead of running 3 extra Spark jobs per build (staged postings
+    stats, staged doc_meta stats, id-bounds scan). The `_` prefix keeps
+    parquet directory readers from touching it."""
+    import json as _json
+    import os
+
+    n = int(len(ids))
+    stats = {
+        "part": int(doc_part),
+        "rows": int(nb),
+        "n_docs": n,
+        "sum_dl": int(np.asarray(doc_dl).sum()) if n else 0,
+        "min_doc_id": int(ids[0]) if n else 0,
+        "max_doc_id": int(ids[-1]) if n else -1,
+    }
+    tmp = os.path.join(part_dir, f"._stats.json.tmp{os.getpid()}")
+    with open(tmp, "w") as f:
+        _json.dump(stats, f)
+    os.replace(tmp, os.path.join(part_dir, "_stats.json"))
+
+
+def _empty_block_table():
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "term": pa.array([], type=pa.string()),
+            "doc_part": pa.array([], type=pa.int64()),
+            "block_id": pa.array([], type=pa.int32()),
+            "n": pa.array([], type=pa.int32()),
+            "base": pa.array([], type=pa.int64()),
+            "last": pa.array([], type=pa.int64()),
+            "docs": pa.array([], type=pa.binary()),
+            "tfs": pa.array([], type=pa.binary()),
+            "dls": pa.array([], type=pa.binary()),
+            "tf_max": pa.array([], type=pa.int64()),
+            "dl_min": pa.array([], type=pa.int64()),
+            "tf_sum": pa.array([], type=pa.int64()),
+        }
+    )
+
+
 def prepare_docs(
     docs: DataFrame, cfg: IndexConfig, seg_id: int = 0
 ) -> DataFrame:
@@ -151,49 +320,47 @@ def build_segment(
     if seg_id is None:
         seg_id = manifest["next_seg_id"]
 
-    # Cache only the ranked base columns. sha256/doclen are cheap JVM
-    # expressions but caching them (plus re-reading the wider cache) costs
-    # more than recomputing: they are projected lazily into the doc_meta
-    # write below and never materialized twice.
-    prepared = assign_doc_ids(docs, cfg.n_buckets, seg_id).persist()
+    ranked = assign_doc_ids(docs, cfg.n_buckets, seg_id)
     committed = store.committed_parts(seg_id)
-    todo = prepared.filter(~F.col("doc_part").isin(list(committed)) if committed else F.lit(True))
+    todo = ranked.filter(~F.col("doc_part").isin(list(committed)) if committed else F.lit(True))
 
     t0 = time.time()
     staging = store.staging_dir()
 
-    # --- doc_meta + postings for not-yet-committed partitions -------------
-    todo_meta = with_doc_meta(todo).select(*DOC_META_COLS)
-    todo_meta.write.partitionBy("doc_part").mode("overwrite").parquet(
-        str(staging / "doc_meta")
-    )
+    # --- fused single pass: postings + doc_meta for todo partitions --------
+    # One scan, one shuffle (the doc_part bucket repartition inside
+    # assign_doc_ids), one Arrow crossing: the group kernel encodes posting
+    # blocks AND side-writes the partition's doc_meta parquet (with
+    # python-side sha256 + the exact analyzed doclen). No content cache, no
+    # second content-wide stage. Rows leave the kernel sorted by
+    # (term, block_id); each doc_part is exactly one group, so the
+    # partitionBy write preserves that order per file (parquet row-group
+    # pruning on `term` depends on it).
+    (staging / "doc_meta").mkdir(parents=True, exist_ok=True)
     blocks = (
-        todo.select("doc_part", "doc_id", "content")
+        todo.select(
+            "doc_part", "doc_id", "repo", "path", "commit", "lang", "content",
+            F.sha2(F.col("content"), 256).alias("sha256"),
+        )
         .groupBy("doc_part")
-        .applyInPandas(_encode_partition_factory(cfg), schema=BLOCK_SCHEMA)
+        .applyInArrow(
+            _fused_encode_factory(cfg, str(staging / "doc_meta")),
+            schema=BLOCK_SCHEMA,
+        )
     )
     (
-        blocks.sortWithinPartitions("term", "block_id")
-        .write.partitionBy("doc_part")
+        blocks.write.partitionBy("doc_part")
         .mode("overwrite")
         .parquet(str(staging / "postings"))
     )
 
-    # --- per-partition lineage metrics (from the staged outputs) ----------
-    part_stats = {
-        int(r["doc_part"]): (int(r["rows"]), int(r["sum_dl"] or 0))
-        for r in spark.read.parquet(str(staging / "postings"))
-        .groupBy("doc_part")
-        .agg(F.count("*").alias("rows"), F.sum("tf_sum").alias("sum_dl"))
-        .collect()
-    }
-    doc_stats = {
-        int(r["doc_part"]): int(r["n_docs"])
-        for r in spark.read.parquet(str(staging / "doc_meta"))
-        .groupBy("doc_part")
-        .agg(F.count("*").alias("n_docs"))
-        .collect()
-    }
+    # --- per-partition lineage metrics (kernel-side stats JSONs) -----------
+    import json as _json
+
+    part_stats: dict[int, dict] = {}
+    for sp in (staging / "doc_meta").glob("doc_part=*/_stats.json"):
+        s = _json.loads(sp.read_text())
+        part_stats[int(s["part"])] = s
 
     # --- promote partition dirs + lineage rows, atomically per partition --
     seg_meta_existing = (
@@ -221,13 +388,15 @@ def build_segment(
             dest = dest_root / f"doc_part={part}"
             if not dest.exists():
                 src.rename(dest)
-        rows, sum_dl = part_stats.get(part, (0, 0))
+        s = part_stats.get(part, {})
         lineage = PartitionLineage(
             part=part,
-            rows=rows,
-            n_docs=doc_stats.get(part, 0),
-            sum_dl=sum_dl,
+            rows=int(s.get("rows", 0)),
+            n_docs=int(s.get("n_docs", 0)),
+            sum_dl=int(s.get("sum_dl", 0)),
             build_secs=round(elapsed, 3),
+            min_doc_id=int(s.get("min_doc_id", 0)),
+            max_doc_id=int(s.get("max_doc_id", -1)),
         )
         seg_meta_existing.partitions.append(asdict(lineage))
         n_done += 1
@@ -242,19 +411,22 @@ def build_segment(
     parts = seg_meta.partitions
     seg_meta.n_docs = sum(p["n_docs"] for p in parts)
     seg_meta.sum_dl = sum(p["sum_dl"] for p in parts)
-    id_bounds = prepared.agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-    ).collect()[0]
-    seg_meta.min_doc_id = int(id_bounds["lo"] if id_bounds["lo"] is not None else 0)
-    seg_meta.max_doc_id = int(id_bounds["hi"] if id_bounds["hi"] is not None else -1)
+    # min/max doc_id over the whole segment (committed + just-promoted) from
+    # the doc_meta parquet footer stats — no recompute of the ranked lineage
+    live = [p for p in parts if p.get("n_docs", 0) > 0]
+    seg_meta.min_doc_id = min(
+        (p.get("min_doc_id", 0) for p in live), default=0
+    )
+    seg_meta.max_doc_id = max(
+        (p.get("max_doc_id", -1) for p in live), default=-1
+    )
     store.write_seg_meta(seg_meta)
 
     postings = spark.read.parquet(str(store.seg_dir(seg_id) / "postings"))
     (
-        postings.groupBy("term")
+        postings.select("term", "n")
+        .groupBy("term")
         .agg(F.sum("n").alias("df"))
-        .repartition(1)
-        .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(str(store.seg_dir(seg_id) / "term_stats"))
     )
@@ -273,7 +445,6 @@ def build_segment(
     manifest["config"]["block_size"] = cfg.block_size
     store.write_manifest(manifest)
     store.cleanup_staging()
-    prepared.unpersist()
     return manifest
 
 

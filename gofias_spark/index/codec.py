@@ -126,6 +126,7 @@ def encode_blocks_batch(
     tfs: np.ndarray,
     dls: np.ndarray,
     block_size: int,
+    _arrow: bool = False,
 ):
     """Encode ALL terms of a partition in one vectorized pass.
 
@@ -197,15 +198,23 @@ def encode_blocks_batch(
         "n": (block_ends - block_starts).astype(np.int64),
         "base": base.astype(np.int64),
         "last": ids[block_ends - 1],
-        "docs": [
+        # block byte ranges cover the streams contiguously (blocks are
+        # consecutive postings), so boundary offsets describe them exactly
+        "docs": (enc_docs, off_docs[np.append(block_starts, n)])
+        if _arrow
+        else [
             enc_docs[off_docs[s] : off_docs[e]]
             for s, e in zip(block_starts, block_ends)
         ],
-        "tfs": [
+        "tfs": (enc_tfs, off_tfs[np.append(block_starts, n)])
+        if _arrow
+        else [
             enc_tfs[off_tfs[s] : off_tfs[e]]
             for s, e in zip(block_starts, block_ends)
         ],
-        "dls": [
+        "dls": (enc_dls, off_dls[np.append(block_starts, n)])
+        if _arrow
+        else [
             enc_dls[off_dls[s] : off_dls[e]]
             for s, e in zip(block_starts, block_ends)
         ],
@@ -219,6 +228,47 @@ def encode_blocks_batch(
         if m
         else np.empty(0, dtype=np.int64),
     }
+
+
+def encode_blocks_arrow(
+    terms: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_size: int,
+):
+    """``encode_blocks_batch`` with zero-copy Arrow binary columns.
+
+    The docs/tfs/dls byte streams are returned as ``pa.BinaryArray`` built
+    directly over the contiguous varbyte streams with per-block offsets —
+    no per-block Python ``bytes`` objects (~3 x n_blocks allocations saved
+    in the build's hottest UDF). Returns (dict of numpy/pa columns).
+    """
+    import pyarrow as pa
+
+    cols = encode_blocks_batch(terms, doc_ids, tfs, dls, block_size, _arrow=True)
+    out = {}
+    for k, v in cols.items():
+        if isinstance(v, tuple):  # (stream bytes, boundary offsets int64[nb+1])
+            stream, bounds = v
+            if bounds[-1] > np.iinfo(np.int32).max:
+                raise ValueError(
+                    "posting stream > 2 GiB in one partition; raise n_buckets"
+                )
+            out[k] = pa.Array.from_buffers(
+                pa.binary(),
+                len(bounds) - 1,
+                [
+                    None,
+                    pa.py_buffer(bounds.astype(np.int32).tobytes()),
+                    pa.py_buffer(stream),
+                ],
+            )
+        elif isinstance(v, list):  # n == 0 early-return path
+            out[k] = pa.array(v, type=pa.binary())
+        else:
+            out[k] = v
+    return out
 
 
 def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -52,6 +52,8 @@ class PartitionLineage:
     sum_dl: int
     build_secs: float
     status: str = "committed"
+    min_doc_id: int = 0
+    max_doc_id: int = -1
 
 
 @dataclass

@@ -2,14 +2,23 @@
 
 The sandbox has no multi-node cluster, so per driver instruction the
 criterion is evidenced by running the IDENTICAL build+query job at two
-parallelism levels — local[8] and local[32] — on the same input, reporting
-throughput at both plus eff = (thr_32 / thr_8) / (32 / 8).
+parallelism levels — local[8] and local[32] (and optionally local[2]) — on
+the same input, reporting throughput at both plus
+eff = (thr_4N / thr_N) / 4.
 
-The build job here uses the FIXTURES.md sf-bench synthetic corpus
-(default 200k docs) rather than the tiny sf0.1 documents table, so the
-measured section is dominated by real work, not job-setup overhead.
+Methodology notes (documented in BASELINE.md):
+  * The host VM shows heavy run-to-run noise (identical jobs vary ~2x) and
+    a large first-touch page-fault cost (85-90% kernel time while the JVM +
+    32 python workers commission memory through the hypervisor). Each level
+    therefore runs one un-timed warmup build, then `--reps` timed builds,
+    and reports the MEDIAN.
+  * Input corpus + index roots live on tmpfs (/dev/shm) when available: in
+    local mode every "executor" shares one disk, an artifact a real N-node
+    cluster does not have (disks scale with executors). Absolute-throughput
+    numbers on the real disk come from bench.py.
 
-Usage: python scripts/run_scaling.py [--docs 200000] [--out BENCH_SCALING.json]
+Usage: python scripts/run_scaling.py [--docs 2000000] [--reps 3]
+       [--levels 8,32] [--out BENCH_SCALING.json]
 """
 
 from __future__ import annotations
@@ -18,6 +27,7 @@ import argparse
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -29,45 +39,63 @@ import json, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from gofias_spark.config import IndexConfig
-from gofias_spark.corpus import DOCS_SCHEMA
 from gofias_spark.index.build import build_segment
 from gofias_spark.query.engine import SearchEngine
 from gofias_spark.session import get_spark
 
 cpus = {cpus}
+reps = {reps}
+workdir = {workdir!r}
 spark = get_spark("scaling", master=f"local[{{cpus}}]",
                   shuffle_partitions=max(8, cpus))
 docs = spark.read.parquet({corpus!r})
 n = docs.count()
-root = tempfile.mkdtemp(prefix="gofias_scaling_idx_")
-shutil.rmtree(root, ignore_errors=True)
-t0 = time.perf_counter()
-build_segment(spark, docs, root,
-              IndexConfig(n_buckets={n_buckets}, block_size=128))
-build_s = time.perf_counter() - t0
-eng = SearchEngine(spark, root)
+cfg = IndexConfig(n_buckets={n_buckets}, block_size=128)
+
+# un-timed warmup: commissions JVM heap / python workers / JIT through the
+# hypervisor's first-touch page faults, which otherwise dominate run 1
+wroot = tempfile.mkdtemp(dir=workdir, prefix="warm_")
+build_segment(spark, docs, wroot, cfg)
+shutil.rmtree(wroot, ignore_errors=True)
+
+builds = []
+last_root = None
+for rep in range(reps):
+    root = tempfile.mkdtemp(dir=workdir, prefix=f"idx{{rep}}_")
+    t0 = time.perf_counter()
+    build_segment(spark, docs, root, cfg)
+    builds.append(time.perf_counter() - t0)
+    if last_root:
+        shutil.rmtree(last_root, ignore_errors=True)
+    last_root = root
+
+eng = SearchEngine(spark, last_root)
 eng.warm()
 eng.search("warmup", k=1).collect()
 qs = ["index_1 search_2", "common_util", "elastic batch", "func worker"]
-t0 = time.perf_counter()
+lat = []
 for _ in range(3):
     for q in qs:
+        t0 = time.perf_counter()
         eng.search(q, k=10).collect()
-q_s = (time.perf_counter() - t0) / (3 * len(qs))
-shutil.rmtree(root, ignore_errors=True)
+        lat.append(time.perf_counter() - t0)
+lat.sort()
+shutil.rmtree(last_root, ignore_errors=True)
+builds_sorted = sorted(builds)
+med = builds_sorted[len(builds_sorted) // 2]
 print("RESULT " + json.dumps({{
-    "cpus": cpus, "n_docs": n, "build_secs": round(build_s, 2),
-    "files_per_sec": round(n / build_s, 1),
-    "query_p_avg_secs": round(q_s, 4)}}))
+    "cpus": cpus, "n_docs": n,
+    "build_secs_all": [round(b, 1) for b in builds],
+    "build_secs_median": round(med, 2),
+    "files_per_sec": round(n / med, 1),
+    "query_p50_secs": round(lat[len(lat) // 2], 4)}}))
 spark.stop()
 """
 
 
-def gen_corpus(n_docs: int) -> str:
+def gen_corpus(n_docs: int, base: str) -> str:
     """Materialize the deterministic synthetic corpus once (shared input)."""
-    path = os.path.join(
-        tempfile.gettempdir(), f"gofias_scaling_corpus_{n_docs}"
-    )
+    path = os.path.join(base, f"gofias_scaling_corpus_{n_docs}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     shutil.rmtree(path, ignore_errors=True)
@@ -83,9 +111,10 @@ def gen_corpus(n_docs: int) -> str:
     return path
 
 
-def run_level(cpus: int, corpus: str, n_buckets: int) -> dict:
+def run_level(cpus: int, corpus: str, n_buckets: int, reps: int, workdir: str) -> dict:
     code = WORKER.format(
-        repo=REPO, cpus=cpus, corpus=corpus, n_buckets=n_buckets
+        repo=REPO, cpus=cpus, corpus=corpus, n_buckets=n_buckets, reps=reps,
+        workdir=workdir,
     )
     out = subprocess.run(
         [sys.executable, "-c", code],
@@ -99,26 +128,42 @@ def run_level(cpus: int, corpus: str, n_buckets: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--docs", type=int, default=2_000_000)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--levels", default="8,32")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
     args = ap.parse_args()
 
-    corpus = gen_corpus(args.docs)
-    n_buckets = 128  # ~4 task waves at local[32]
-    r8 = run_level(8, corpus, n_buckets)
-    r32 = run_level(32, corpus, n_buckets)
-    eff = (r32["files_per_sec"] / r8["files_per_sec"]) / (32 / 8)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    workdir = os.path.join(base, "gofias_scaling_work")
+    os.makedirs(workdir, exist_ok=True)
+    corpus = gen_corpus(args.docs, base)
+    levels = [int(x) for x in args.levels.split(",")]
+    n_buckets = 128
+    results = {}
+    for cpus in levels:
+        results[f"local{cpus}"] = run_level(
+            cpus, corpus, n_buckets, args.reps, workdir
+        )
+    lo, hi = min(levels), max(levels)
+    thr_lo = results[f"local{lo}"]["files_per_sec"]
+    thr_hi = results[f"local{hi}"]["files_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
     result = {
         "input": {"n_docs": args.docs, "corpus": corpus,
-                  "n_buckets": n_buckets},
-        "local8": r8,
-        "local32": r32,
+                  "n_buckets": n_buckets, "reps": args.reps,
+                  "storage": "tmpfs" if base == "/dev/shm" else "disk"},
+        **results,
+        "scaling": {"from": lo, "to": hi,
+                    "thr_from": thr_lo, "thr_to": thr_hi,
+                    "efficiency": round(eff, 3), "pass": eff >= 0.8},
         "scaling_efficiency": round(eff, 3),
         "pass": eff >= 0.8,
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))
+    shutil.rmtree(workdir, ignore_errors=True)
 
 
 if __name__ == "__main__":
