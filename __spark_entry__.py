@@ -237,6 +237,48 @@ def _q_ann_lsh(spark, sf):  # approximate -> rows-only
     return SIM.ann_lsh_topk(vecs, _query_vec(spark, sf), k=10, bits=6)
 
 
+def _q_src_xml_scan(spark, sf):
+    """S3 analogue: round-trip the nation table through attribute-only XML
+    and scan it back with the distributed XML source (sources/xml.py)."""
+    import os
+    import tempfile
+    import xml.sax.saxutils as sx
+
+    from gofias_spark.sources.xml import read_attribute_xml
+
+    rows = (
+        spark.read.parquet(f"{sf}/nation.parquet")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    xml_dir = os.path.join(
+        tempfile.gettempdir(), f"gofias_xml_{abs(hash(sf)) % 10**8}"
+    )
+    os.makedirs(xml_dir, exist_ok=True)
+    path = os.path.join(xml_dir, "nation.xml")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write('<?xml version="1.0" encoding="utf-8"?>\n<Objects>\n')
+            for r in rows:
+                f.write(
+                    f'  <Object KEY={sx.quoteattr(str(r["n_nationkey"]))} '
+                    f'NAME={sx.quoteattr(r["n_name"])} '
+                    f'REGION={sx.quoteattr(str(r["n_regionkey"]))} />\n'
+                )
+            f.write("</Objects>\n")
+        os.replace(tmp, path)
+    df = read_attribute_xml(
+        spark, [path], "Object",
+        {"KEY": "n_nationkey", "NAME": "n_name", "REGION": "n_regionkey"},
+    )
+    return df.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    ).orderBy("n_nationkey")
+
+
 def _q_neardup_cosine(spark, sf):
     vecs = spark.read.parquet(f"{sf}/embeddings.parquet")
     return SIM.embedding_neardup_pairs(vecs, top_pairs=20, round_to=4)
@@ -436,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_concat_display": _q_rel_concat_display,
         "rel_geo_nearest": _q_rel_geo_nearest,
         "rel_merge_coalesce": _q_rel_merge_coalesce,
+        # sources
+        "src_xml_scan": _q_src_xml_scan,
     }
 
 
@@ -647,6 +691,9 @@ s AS (SELECT e.vec_id,
       FROM embeddings e CROSS JOIN q)
 SELECT vec_id, round(cosine, 4) AS cosine FROM s
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+        "src_xml_scan": """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
 """,
         "dedup_embedding_cosine": """
 WITH p AS (

@@ -115,7 +115,9 @@ def _encode_partition_factory(cfg: IndexConfig):
     return encode_partition
 
 
-def _fused_encode_factory(cfg: IndexConfig, staging_meta_dir: str):
+def _fused_encode_factory(
+    cfg: IndexConfig, staging_meta_dir: str, staging_stats_dir: str | None = None
+):
     """applyInArrow kernel: one pass over each doc_part group produces BOTH
     outputs — posting blocks (returned to Spark) and the doc_meta parquet
     file (side-written by the worker via pyarrow, atomic tmp+rename).
@@ -212,6 +214,36 @@ def _fused_encode_factory(cfg: IndexConfig, staging_meta_dir: str):
             term_col = pa.array(cols["term"], type=pa.string())
         nb = len(term_col)
         _write_part_stats(part_dir, doc_part, nb, ids, doc_dl)
+        if staging_stats_dir is not None:
+            # per-partition (term, df): the whole term_stats table falls out
+            # of the data already in hand — no separate Spark aggregation job
+            if coded:
+                codes = res["term_codes"]
+                run_starts = np.flatnonzero(
+                    np.r_[True, codes[1:] != codes[:-1]]
+                )
+                dfs = np.diff(np.append(run_starts, codes.size))
+                uterms = pc.take(
+                    res["uniq_terms"],
+                    pa.array(codes[run_starts], type=pa.int64()),
+                )
+            else:
+                g = tf.groupby("term", sort=True).size()
+                uterms = pa.array(g.index.to_numpy(), type=pa.string())
+                dfs = g.to_numpy()
+            ts_dir = os.path.join(
+                staging_stats_dir, f"doc_part={doc_part}"
+            )
+            os.makedirs(ts_dir, exist_ok=True)
+            ttmp = os.path.join(ts_dir, f".data.parquet.tmp{os.getpid()}")
+            pq.write_table(
+                pa.table(
+                    {"term": uterms,
+                     "df": pa.array(dfs.astype(np.int64), type=pa.int64())}
+                ),
+                ttmp, compression="snappy",
+            )
+            os.replace(ttmp, os.path.join(ts_dir, "data.parquet"))
         return pa.table(
             {
                 "term": term_col,
@@ -337,6 +369,7 @@ def build_segment(
     # partitionBy write preserves that order per file (parquet row-group
     # pruning on `term` depends on it).
     (staging / "doc_meta").mkdir(parents=True, exist_ok=True)
+    (staging / "term_stats").mkdir(parents=True, exist_ok=True)
     blocks = (
         todo.select(
             "doc_part", "doc_id", "repo", "path", "commit", "lang", "content",
@@ -344,7 +377,9 @@ def build_segment(
         )
         .groupBy("doc_part")
         .applyInArrow(
-            _fused_encode_factory(cfg, str(staging / "doc_meta")),
+            _fused_encode_factory(
+                cfg, str(staging / "doc_meta"), str(staging / "term_stats")
+            ),
             schema=BLOCK_SCHEMA,
         )
     )
@@ -377,6 +412,7 @@ def build_segment(
         )
     )
     elapsed = time.time() - t0
+    store.promote_partition_dirs(staging, seg_id, "term_stats")
     moved_meta = store.promote_partition_dirs(staging, seg_id, "doc_meta")
     n_done = 0
     # promote postings per-partition so fault injection leaves a clean prefix
@@ -422,14 +458,8 @@ def build_segment(
     )
     store.write_seg_meta(seg_meta)
 
-    postings = spark.read.parquet(str(store.seg_dir(seg_id) / "postings"))
-    (
-        postings.select("term", "n")
-        .groupBy("term")
-        .agg(F.sum("n").alias("df"))
-        .write.mode("overwrite")
-        .parquet(str(store.seg_dir(seg_id) / "term_stats"))
-    )
+    # term_stats: written per-partition by the kernel and promoted above;
+    # the engine aggregates (groupBy term) across partitions/segments at load
 
     # --- manifest commit ---------------------------------------------------
     segs = [s for s in manifest["segments"] if s != seg_id]

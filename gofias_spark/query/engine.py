@@ -149,8 +149,12 @@ class SearchEngine:
         return stats.filter(F.col("df") > 0)
 
     def warm(self, max_terms: int = 2_000_000) -> None:
-        """Collect term stats to a driver dict (latency path for repeated
-        queries; skipped automatically for huge vocabularies)."""
+        """Materialize the caches and collect term stats to a driver dict
+        (latency path for repeated queries; the stats dict is skipped
+        automatically for huge vocabularies). Without this, the first real
+        query pays the postings repartition+sort materialization."""
+        self.postings.count()
+        self._meta_slim.count()
         if self._stats.count() <= max_terms:
             pdf = self._stats.toPandas()
             self._stats_cache = dict(zip(pdf["term"], pdf["df"].astype(int)))

@@ -1,0 +1,49 @@
+"""XML attribute scan (SURVEY.md §2.1 S3): parse-parity vs the source rows,
+mirroring the reference's streaming XML import (util/xml.go:15-43)."""
+
+import xml.sax.saxutils as sx
+
+from gofias_spark.sources.xml import read_attribute_xml
+
+
+def _write_xml(path, rows):
+    with open(path, "w", encoding="utf-8") as f:
+        f.write('<?xml version="1.0" encoding="utf-8"?>\n<Objects>\n')
+        for r in rows:
+            attrs = " ".join(f'{k}={sx.quoteattr(v)}' for k, v in r.items())
+            f.write(f"  <Object {attrs} />\n")
+        f.write("</Objects>\n")
+
+
+def test_xml_scan_roundtrip(spark, tmp_path):
+    rows1 = [
+        {"AOGUID": "g1", "FORMALNAME": "Москва", "AOLEVEL": "1"},
+        {"AOGUID": "g2", "FORMALNAME": 'quo"te <&>', "AOLEVEL": "7"},
+    ]
+    rows2 = [{"AOGUID": "g3", "FORMALNAME": "Тверская", "AOLEVEL": "7"}]
+    p1, p2 = str(tmp_path / "a.xml"), str(tmp_path / "b.xml")
+    _write_xml(p1, rows1)
+    _write_xml(p2, rows2)
+
+    df = read_attribute_xml(
+        spark, [p1, p2], "Object",
+        {"AOGUID": "guid", "FORMALNAME": "name", "AOLEVEL": "level"},
+    )
+    got = {tuple(r) for r in df.select("guid", "name", "level").collect()}
+    exp = {
+        ("g1", "Москва", "1"),
+        ("g2", 'quo"te <&>', "7"),
+        ("g3", "Тверская", "7"),
+    }
+    assert got == exp
+
+
+def test_xml_scan_missing_and_unknown_attrs(spark, tmp_path):
+    p = str(tmp_path / "c.xml")
+    _write_xml(p, [{"AOGUID": "g9", "EXTRA": "dropped"}])
+    df = read_attribute_xml(
+        spark, [p], "Object", {"AOGUID": "guid", "FORMALNAME": "name"}
+    )
+    [r] = df.collect()
+    assert r["guid"] == "g9" and r["name"] is None
+    assert df.columns == ["guid", "name"]
