@@ -65,6 +65,9 @@ class SearchEngine:
         self._seg_metas = {
             s: self.store.read_seg_meta(s) for s in self._seg_ids
         }
+        self._local_blocks: pd.DataFrame | None = None
+        self._local_meta: pd.DataFrame | None = None
+        self._local_tombs: np.ndarray | None = None
         tomb = self.manifest.get("tombstones", {"n_docs": 0, "sum_dl": 0})
         self.n_docs = sum(m.n_docs for m in self._seg_metas.values()) - tomb[
             "n_docs"
@@ -148,16 +151,44 @@ class SearchEngine:
             )
         return stats.filter(F.col("df") > 0)
 
-    def warm(self, max_terms: int = 2_000_000) -> None:
+    def warm(
+        self,
+        max_terms: int = 2_000_000,
+        local_max_blocks: int = 200_000,
+    ) -> None:
         """Materialize the caches and collect term stats to a driver dict
         (latency path for repeated queries; the stats dict is skipped
         automatically for huge vocabularies). Without this, the first real
-        query pays the postings repartition+sort materialization."""
-        self.postings.count()
+        query pays the postings repartition+sort materialization.
+
+        Small-segment searcher: when the whole index holds at most
+        ``local_max_blocks`` posting blocks, collect it once and serve
+        queries driver-side with the SAME numpy kernels — a Spark job per
+        query costs ~200ms of scheduling regardless of data size, which is
+        the wrong architecture for a small (or heavily-pruned) index; this
+        is the Lucene-searcher analogue of the reference's single-node ES.
+        The distributed cogroup path stays in place for everything bigger
+        and for filtered queries at scale. Pass ``local_max_blocks=0`` to
+        force the distributed path."""
+        n_blocks = self.postings.count()
         self._meta_slim.count()
         if self._stats.count() <= max_terms:
             pdf = self._stats.toPandas()
             self._stats_cache = dict(zip(pdf["term"], pdf["df"].astype(int)))
+        if 0 < n_blocks <= local_max_blocks:
+            self._local_blocks = self.postings.toPandas()
+            self._local_meta = self.doc_meta.select(
+                "doc_id", "repo", "path", "commit", "lang", "sha256"
+            ).toPandas().set_index("doc_id", drop=False)
+            self._local_tombs = (
+                np.sort(
+                    self._tombstones.select("doc_id")
+                    .toPandas()["doc_id"]
+                    .to_numpy(dtype=np.int64)
+                )
+                if self._tombstones is not None
+                else None
+            )
 
     # -- BM25 ---------------------------------------------------------------
     def _idf(self, df: int) -> float:
@@ -197,6 +228,10 @@ class SearchEngine:
                 return self._empty_result(with_meta)
         idf = {t: self._idf(dfs[t]) for t in qterms}
         topn = offset + k
+        if self._local_blocks is not None:
+            return self._local_search(
+                qterms, idf, topn, offset, k, mode, filters, with_meta
+            )
         params = dict(
             qterms=qterms,
             idf=idf,
@@ -244,6 +279,52 @@ class SearchEngine:
             F.broadcast(topk).alias("r").join(meta.alias("m"), "doc_id")
             .select("doc_id", "score", "repo", "path", "commit", "lang", "sha256")
             .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    def _local_masks(self, filters: dict | None):
+        """allowed/excluded doc_id arrays for the driver-side searcher,
+        mirroring _right_side semantics."""
+        meta = self._local_meta
+        if filters:
+            m = pd.Series(True, index=meta.index)
+            for field, val in filters.items():
+                if field == "path_prefix":
+                    m &= meta["path"].str.startswith(val)
+                elif isinstance(val, (list, tuple, set)):
+                    m &= meta[field].isin(list(val))
+                else:
+                    m &= meta[field] == val
+            allowed = np.sort(meta.loc[m, "doc_id"].to_numpy(dtype=np.int64))
+            if self._local_tombs is not None and allowed.size:
+                allowed = allowed[
+                    ~np.isin(allowed, self._local_tombs, assume_unique=True)
+                ]
+            return allowed, None
+        return None, self._local_tombs
+
+    def _local_search(
+        self, qterms, idf, topn, offset, k, mode, filters, with_meta
+    ) -> DataFrame:
+        blocks = self._local_blocks[self._local_blocks["term"].isin(qterms)]
+        allowed, excluded = self._local_masks(filters)
+        fn = K.score_and if mode == "and" else K.score_or
+        r = fn(
+            blocks, qterms, idf, self.avgdl, self.bm25.k1, self.bm25.b, topn,
+            allowed=allowed, excluded=excluded,
+        ).iloc[offset : offset + k]
+        if len(r) == 0:
+            return self._empty_result(with_meta)
+        if not with_meta:
+            return self.spark.createDataFrame(r, schema=RESULT_SCHEMA)
+        out = r.merge(
+            self._local_meta.reset_index(drop=True), on="doc_id", how="left"
+        )[["doc_id", "score", "repo", "path", "commit", "lang", "sha256"]]
+        return self.spark.createDataFrame(
+            out,
+            schema=(
+                "doc_id long, score double, repo string, path string, "
+                "commit string, lang string, sha256 string"
+            ),
         )
 
     def search_many(
@@ -403,6 +484,10 @@ class SearchEngine:
         dfs = self._term_dfs(qterms)
         if not qterms or any(dfs[t] == 0 for t in qterms):
             return 0
+        if self._local_blocks is not None:
+            lb = self._local_blocks[self._local_blocks["term"].isin(qterms)]
+            allowed, excluded = self._local_masks(filters)
+            return K.count_and(lb, qterms, allowed=allowed, excluded=excluded)
         blocks = self.postings.filter(F.col("term").isin(qterms))
         right, right_kind = self._right_side(filters)
 

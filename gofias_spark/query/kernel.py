@@ -290,6 +290,8 @@ def _kth_of(scores: np.ndarray, k: int) -> float:
 
 
 def _topn(doc: np.ndarray, score: np.ndarray, topn: int) -> pd.DataFrame:
+    if topn <= 0 or doc.size == 0:
+        return _empty()
     if doc.size > topn:
         # select everything >= the topn-th largest score (keeps all ties for
         # exact doc_id-asc tie-break), then sort only that slice
