@@ -128,10 +128,19 @@ def term_frequencies_coded(
     )
     arr = pc.fill_null(arr, "")
     ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    # Unsorted doc_ids are handled with integer permutations only — the
+    # content strings are NEVER physically reordered (a pc.take on the
+    # content column would copy the whole string buffer: a large transient
+    # allocation per group, and concurrent large allocations are the #1
+    # scaling killer on shared-memory hosts — see session._ALLOC_ENV).
+    perm = None
     if ids.size > 1 and (np.diff(ids) < 0).any():
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        arr = pc.take(arr, pa.array(order))
+        perm = np.argsort(ids, kind="stable")
+        pos_rank = np.empty(ids.size, dtype=np.int64)
+        pos_rank[perm] = np.arange(ids.size, dtype=np.int64)
+        ids_sorted = ids[perm]
+    else:
+        ids_sorted = ids
     toks = pc.split_pattern_regex(pc.utf8_lower(arr), _RE2_NONWORD)
     flat = pc.list_flatten(toks)
     parent = pc.list_parent_indices(toks)
@@ -156,17 +165,21 @@ def term_frequencies_coded(
     rank[sort_idx.to_numpy(zero_copy_only=False).astype(np.int64)] = np.arange(
         len(dictionary), dtype=np.int64
     )
-    key = rank[codes] * np.int64(n_docs) + parent.astype(np.int64)
+    # position -> doc-id-rank space, so np.unique yields (term asc, doc_id
+    # asc) even when the input rows arrive in arbitrary order
+    rank_parent = pos_rank[parent] if perm is not None else parent
+    key = rank[codes] * np.int64(n_docs) + rank_parent.astype(np.int64)
     ukey, counts = np.unique(key, return_counts=True)
     term_codes = ukey // n_docs
     d = ukey % n_docs
+    dl_by_rank = doc_dl[perm] if perm is not None else doc_dl
     return {
         "term_codes": term_codes,
         "uniq_terms": uniq_terms,
-        "doc_id": ids[d],
+        "doc_id": ids_sorted[d],
         "tf": counts.astype(np.uint64),
-        "dl": doc_dl[d].astype(np.uint64),
-        "doc_dl": doc_dl,
+        "dl": dl_by_rank[d].astype(np.uint64),
+        "doc_dl": doc_dl,  # aligned with the INPUT row order (positions)
     }
 
 

@@ -46,6 +46,23 @@ _EXT_LANG = {
 }
 
 
+def with_doc_part(
+    docs: DataFrame, n_buckets: int = 64, seg_id: int = 0
+) -> DataFrame:
+    """Tag rows with their deterministic ``doc_part`` (hash bucket) WITHOUT
+    assigning doc_ids — the build's fused kernel ranks rows in-kernel, so no
+    JVM window/sort pass over the content is needed. doc_part here matches
+    assign_doc_ids exactly (same hash, same layout)."""
+    from gofias_spark.config import BUCKET_BITS
+
+    if n_buckets > (1 << BUCKET_BITS):
+        raise ValueError(f"n_buckets > {1 << BUCKET_BITS}")
+    bucket = F.pmod(F.xxhash64(*KEY), F.lit(n_buckets)).cast("long")
+    return docs.withColumn(
+        "doc_part", F.lit(seg_id << BUCKET_BITS).cast("long") + bucket
+    )
+
+
 def assign_doc_ids(
     docs: DataFrame, n_buckets: int = 64, seg_id: int = 0
 ) -> DataFrame:

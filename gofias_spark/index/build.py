@@ -36,8 +36,7 @@ from pyspark.sql import types as T
 
 from gofias_spark.analyzer import term_frequencies
 from gofias_spark.config import IndexConfig
-from gofias_spark.corpus import assign_doc_ids, with_doc_meta
-from gofias_spark.index.codec import encode_blocks_batch
+from gofias_spark.corpus import assign_doc_ids, with_doc_meta, with_doc_part
 from gofias_spark.index.store import IndexStore, PartitionLineage, SegmentMeta
 
 BLOCK_SCHEMA = T.StructType(
@@ -61,58 +60,6 @@ DOC_META_COLS = [
     "doc_id", "repo", "path", "commit", "lang", "content", "sha256",
     "doclen", "doc_part",
 ]
-
-
-def _encode_partition_factory(cfg: IndexConfig):
-    analyzer, block_size = cfg.analyzer, cfg.block_size
-
-    def encode_partition(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        doc_part = int(key[0])
-        try:
-            # Arrow-native fast path (standard analyzer): contiguous-buffer
-            # tokenize+count, no per-token Python objects — see
-            # analyzer.term_frequencies_coded for why this matters at high
-            # worker concurrency.
-            from gofias_spark.analyzer import term_frequencies_coded
-
-            res = term_frequencies_coded(
-                pdf["doc_id"].to_numpy(), pdf["content"], analyzer
-            )
-            if res["doc_id"].size == 0:
-                return pd.DataFrame(
-                    {f.name: pd.Series(dtype="object") for f in BLOCK_SCHEMA}
-                )
-            cols = encode_blocks_batch(
-                res["term_codes"], res["doc_id"], res["tf"], res["dl"],
-                block_size,
-            )
-            import pyarrow as pa
-            import pyarrow.compute as pc
-
-            term_strs = pc.take(
-                res["uniq_terms"], pa.array(cols["term"], type=pa.int64())
-            )
-            cols = dict(cols)
-            cols["term"] = term_strs.to_pandas()
-        except ValueError:
-            tf = term_frequencies(pdf["doc_id"], pdf["content"], analyzer)
-            if len(tf) == 0:
-                return pd.DataFrame(
-                    {f.name: pd.Series(dtype="object") for f in BLOCK_SCHEMA}
-                )
-            tf = tf.sort_values(["term", "doc_id"], kind="mergesort")
-            cols = encode_blocks_batch(
-                tf["term"].to_numpy(),
-                tf["doc_id"].to_numpy(dtype=np.int64),
-                tf["tf"].to_numpy(dtype=np.uint64),
-                tf["dl"].to_numpy(dtype=np.uint64),
-                block_size,
-            )
-        out = pd.DataFrame(cols)
-        out["doc_part"] = doc_part
-        return out[[f.name for f in BLOCK_SCHEMA]]
-
-    return encode_partition
 
 
 def _fused_encode_factory(
@@ -142,13 +89,28 @@ def _fused_encode_factory(
             term_frequencies_coded,
             tokenize_series,
         )
+        from gofias_spark.config import RANK_BITS
         from gofias_spark.index.codec import encode_blocks_arrow
 
         doc_part = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
-        ids = tbl["doc_id"].to_numpy()
-        if ids.size > 1 and (np.diff(ids) < 0).any():
-            tbl = tbl.take(pa.array(np.argsort(ids, kind="stable")))
-            ids = tbl["doc_id"].to_numpy()
+        # doc_id assignment happens HERE, not in a JVM window: rank the
+        # bucket's rows by identity key (vectorized Arrow sort over the THREE
+        # KEY COLUMNS ONLY — the content strings are never reordered or
+        # copied). Deterministic and parallelism-invariant (the bucket's key
+        # set does not depend on partitioning), and it removes an entire JVM
+        # sort-by-3-string-columns pass over the content from the build.
+        order = pc.sort_indices(
+            tbl.select(["repo", "path", "commit"]),
+            sort_keys=[
+                ("repo", "ascending"),
+                ("path", "ascending"),
+                ("commit", "ascending"),
+            ],
+        ).to_numpy(zero_copy_only=False)
+        n_rows = tbl.num_rows
+        rank_of_pos = np.empty(n_rows, dtype=np.int64)
+        rank_of_pos[order] = np.arange(n_rows, dtype=np.int64)
+        ids = (doc_part << RANK_BITS) + rank_of_pos
         content = tbl["content"].combine_chunks()
         if isinstance(content, pa.ChunkedArray):
             content = content.combine_chunks()
@@ -281,13 +243,14 @@ def _write_part_stats(part_dir: str, doc_part: int, nb: int, ids, doc_dl):
     import os
 
     n = int(len(ids))
+    ids_np = np.asarray(ids)
     stats = {
         "part": int(doc_part),
         "rows": int(nb),
         "n_docs": n,
         "sum_dl": int(np.asarray(doc_dl).sum()) if n else 0,
-        "min_doc_id": int(ids[0]) if n else 0,
-        "max_doc_id": int(ids[-1]) if n else -1,
+        "min_doc_id": int(ids_np.min()) if n else 0,
+        "max_doc_id": int(ids_np.max()) if n else -1,
     }
     tmp = os.path.join(part_dir, f"._stats.json.tmp{os.getpid()}")
     with open(tmp, "w") as f:
@@ -352,19 +315,20 @@ def build_segment(
     if seg_id is None:
         seg_id = manifest["next_seg_id"]
 
-    ranked = assign_doc_ids(docs, cfg.n_buckets, seg_id)
+    tagged = with_doc_part(docs, cfg.n_buckets, seg_id)
     committed = store.committed_parts(seg_id)
-    todo = ranked.filter(~F.col("doc_part").isin(list(committed)) if committed else F.lit(True))
+    todo = tagged.filter(~F.col("doc_part").isin(list(committed)) if committed else F.lit(True))
 
     t0 = time.time()
     staging = store.staging_dir()
 
     # --- fused single pass: postings + doc_meta for todo partitions --------
-    # One scan, one shuffle (the doc_part bucket repartition inside
-    # assign_doc_ids), one Arrow crossing: the group kernel encodes posting
-    # blocks AND side-writes the partition's doc_meta parquet (with
-    # python-side sha256 + the exact analyzed doclen). No content cache, no
-    # second content-wide stage. Rows leave the kernel sorted by
+    # One scan, one shuffle (the groupBy(doc_part) exchange — the ONLY
+    # content-wide data movement of the build), one Arrow crossing: the group
+    # kernel sorts the bucket by identity key, assigns deterministic doc_ids,
+    # encodes posting blocks AND side-writes the partition's doc_meta parquet
+    # (with the exact analyzed doclen). No JVM window/string-sort, no content
+    # cache, no second content-wide stage. Rows leave the kernel sorted by
     # (term, block_id); each doc_part is exactly one group, so the
     # partitionBy write preserves that order per file (parquet row-group
     # pruning on `term` depends on it).
@@ -372,9 +336,16 @@ def build_segment(
     (staging / "term_stats").mkdir(parents=True, exist_ok=True)
     blocks = (
         todo.select(
-            "doc_part", "doc_id", "repo", "path", "commit", "lang", "content",
+            "doc_part", "repo", "path", "commit", "lang", "content",
             F.sha2(F.col("content"), 256).alias("sha256"),
         )
+        # one task per bucket: the explicit n_buckets-way hash repartition on
+        # doc_part satisfies the groupBy clustering (no second exchange) and
+        # keeps each task's Arrow working set at one bucket (~cache-sized) —
+        # letting the groupBy default to spark.sql.shuffle.partitions packs
+        # many buckets per task and the large transient buffers collapse
+        # into kernel page-fault churn at high core counts
+        .repartition(cfg.n_buckets, "doc_part")
         .groupBy("doc_part")
         .applyInArrow(
             _fused_encode_factory(
@@ -397,11 +368,23 @@ def build_segment(
         s = _json.loads(sp.read_text())
         part_stats[int(s["part"])] = s
 
+    # The side-write protocol requires executors to share the staging
+    # filesystem with the driver (true in local mode, NFS, or any
+    # fuse-mounted object store). If the kernels ran but the driver sees no
+    # stats, the deployment violates that assumption — fail loudly rather
+    # than silently committing an empty segment (ADVICE r01).
+    if not part_stats and todo.limit(1).count() > 0:
+        raise RuntimeError(
+            "fused build kernels produced no partition stats in "
+            f"{staging}/doc_meta — executors do not share the driver's "
+            "staging filesystem; mount a shared staging root (NFS/fuse) or "
+            "use a shared POSIX path for index_root"
+        )
+
     # --- promote partition dirs + lineage rows, atomically per partition --
-    seg_meta_existing = (
-        store.read_seg_meta(seg_id)
-        if (store.seg_dir(seg_id) / "meta.json").exists()
-        else SegmentMeta(
+    seg_meta_existing = store.read_seg_meta_merged(
+        seg_id,
+        SegmentMeta(
             seg_id=seg_id,
             n_docs=0,
             sum_dl=0,
@@ -409,13 +392,16 @@ def build_segment(
             max_doc_id=-1,
             analyzer=asdict(cfg.analyzer),
             partitions=[],
-        )
+        ),
     )
     elapsed = time.time() - t0
     store.promote_partition_dirs(staging, seg_id, "term_stats")
     moved_meta = store.promote_partition_dirs(staging, seg_id, "doc_meta")
     n_done = 0
-    # promote postings per-partition so fault injection leaves a clean prefix
+    # promote postings per-partition so fault injection leaves a clean prefix;
+    # each partition's lineage row is an O(1) append to lineage.jsonl (folded
+    # into meta.json once below) — per-partition durability without the
+    # quadratic rewrite-meta-per-partition cost
     dest_root = store.seg_dir(seg_id) / "postings"
     dest_root.mkdir(parents=True, exist_ok=True)
     for part in sorted(set(moved_meta) | set(part_stats)):
@@ -436,7 +422,7 @@ def build_segment(
         )
         seg_meta_existing.partitions.append(asdict(lineage))
         n_done += 1
-        store.write_seg_meta(_normalize_meta(seg_meta_existing))
+        store.append_lineage(seg_id, asdict(lineage))
         if _fail_after_parts is not None and n_done >= _fail_after_parts:
             raise RuntimeError(
                 f"fault injection: aborted after {n_done} partitions"
@@ -456,7 +442,7 @@ def build_segment(
     seg_meta.max_doc_id = max(
         (p.get("max_doc_id", -1) for p in live), default=-1
     )
-    store.write_seg_meta(seg_meta)
+    store.compact_lineage(seg_meta)
 
     # term_stats: written per-partition by the kernel and promoted above;
     # the engine aggregates (groupBy term) across partitions/segments at load

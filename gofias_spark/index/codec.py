@@ -32,12 +32,24 @@ _THRESHOLDS = (np.uint64(128) ** np.arange(1, 10, dtype=np.uint64)).astype(
 )
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized variable-byte encode of a uint64 array."""
+def _varbyte_sizes(v: np.ndarray) -> np.ndarray:
+    """Encoded byte count per value — one binary search over the 9 thresholds
+    instead of a v.size x 9 broadcast compare (no 2D temporary)."""
+    return (np.searchsorted(_THRESHOLDS, v, side="right") + 1).astype(np.int64)
+
+
+def varbyte_encode(values: np.ndarray, _sizes: np.ndarray | None = None) -> bytes:
+    """Vectorized variable-byte encode of a uint64 array. ``_sizes`` lets a
+    caller that already computed per-value byte counts (for offset slicing)
+    avoid recomputing them here."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    nbytes = 1 + (v[:, None] >= _THRESHOLDS[None, :]).sum(axis=1)
+    nbytes = _varbyte_sizes(v) if _sizes is None else _sizes
+    if nbytes[-1] == 1 and nbytes.max() == 1:
+        # all values < 128: the encoding IS the byte values (common for tf
+        # and gap streams) — skip the scatter loop entirely
+        return v.astype(np.uint8).tobytes()
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
@@ -117,7 +129,7 @@ def encode_blocks(
 
 
 def _varbyte_nbytes(v: np.ndarray) -> np.ndarray:
-    return 1 + (v[:, None] >= _THRESHOLDS[None, :]).sum(axis=1)
+    return _varbyte_sizes(v)
 
 
 def encode_blocks_batch(
@@ -154,7 +166,13 @@ def encode_blocks_batch(
     ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tf = np.ascontiguousarray(tfs, dtype=np.uint64)
     dl = np.ascontiguousarray(dls, dtype=np.uint64)
-    uniq, term_starts = np.unique(terms, return_index=True)
+    # inputs are sorted by (term, doc_id) — documented precondition — so
+    # term runs are contiguous: run-detection replaces np.unique's re-sort
+    terms_arr = np.asarray(terms)
+    term_starts = np.flatnonzero(
+        np.r_[True, terms_arr[1:] != terms_arr[:-1]]
+    )
+    uniq = terms_arr[term_starts]
     # within-term position of each posting
     term_of = np.zeros(n, dtype=np.int64)
     term_of[term_starts[1:]] = 1
@@ -176,15 +194,18 @@ def encode_blocks_batch(
     block_term = term_of[block_starts]
     m = block_starts.size
 
-    enc_docs = varbyte_encode(gaps_u)
-    enc_tfs = varbyte_encode(tf)
-    enc_dls = varbyte_encode(dl)
+    sz_docs = _varbyte_sizes(gaps_u)
+    sz_tfs = _varbyte_sizes(tf)
+    sz_dls = _varbyte_sizes(dl)
+    enc_docs = varbyte_encode(gaps_u, _sizes=sz_docs)
+    enc_tfs = varbyte_encode(tf, _sizes=sz_tfs)
+    enc_dls = varbyte_encode(dl, _sizes=sz_dls)
     off_docs = np.zeros(n + 1, dtype=np.int64)
     off_tfs = np.zeros(n + 1, dtype=np.int64)
     off_dls = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(_varbyte_nbytes(gaps_u), out=off_docs[1:])
-    np.cumsum(_varbyte_nbytes(tf), out=off_tfs[1:])
-    np.cumsum(_varbyte_nbytes(dl), out=off_dls[1:])
+    np.cumsum(sz_docs, out=off_docs[1:])
+    np.cumsum(sz_tfs, out=off_tfs[1:])
+    np.cumsum(sz_dls, out=off_dls[1:])
 
     first_of_term = p[block_starts] == 0
     base = np.where(
@@ -276,4 +297,39 @@ def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     ids = delta_decode(varbyte_decode(row["docs"]), int(row["base"]))
     tf = varbyte_decode(row["tfs"]).astype(np.float64)
     dl = varbyte_decode(row["dls"]).astype(np.float64)
+    return ids, tf, dl
+
+
+def decode_blocks_concat(
+    docs_bytes: list[bytes],
+    tfs_bytes: list[bytes],
+    dls_bytes: list[bytes],
+    ns: np.ndarray,
+    bases: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY blocks in three vectorized passes (query hot path).
+
+    Per-block ``decode_block`` costs ~35us of fixed numpy overhead; a hot
+    term at scale spans thousands of blocks per partition, so the per-block
+    loop dominates query latency (measured ~280ms for an 8k-block term).
+    Here the three byte streams are concatenated once and varbyte-decoded in
+    ONE pass each; absolute doc_ids come from a segmented cumsum: within the
+    concatenated gap stream, each block's ids are cumsum(gaps) shifted so its
+    first id lands at base_j + gap_j0.
+    """
+    ns = np.asarray(ns, dtype=np.int64)
+    m = ns.size
+    if m == 0:
+        e = np.empty(0, dtype=np.float64)
+        return np.empty(0, dtype=np.int64), e, e
+    gaps = varbyte_decode(b"".join(docs_bytes)).astype(np.int64)
+    tf = varbyte_decode(b"".join(tfs_bytes)).astype(np.float64)
+    dl = varbyte_decode(b"".join(dls_bytes)).astype(np.float64)
+    starts = np.zeros(m, dtype=np.int64)
+    np.cumsum(ns[:-1], out=starts[1:])
+    total = np.cumsum(gaps)
+    # correction per block: base_j - (running total before block j)
+    before = np.where(starts > 0, total[starts - 1], 0)
+    corr = np.asarray(bases, dtype=np.int64) - before
+    ids = total + np.repeat(corr, ns)
     return ids, tf, dl

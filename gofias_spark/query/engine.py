@@ -90,17 +90,53 @@ class SearchEngine:
             # every query's groupBy(doc_part) would reshuffle the filtered
             # blocks. Hash-repartition ON doc_part once at load — the cached
             # frame's HashPartitioning then satisfies the per-query
-            # applyInPandas clustering (no per-query exchange), and the
-            # within-partition (doc_part, term) sort keeps cached batch
-            # min/max stats tight so `term IN (...)` prunes whole batches.
-            n_cache_parts = max(8, spark.sparkContext.defaultParallelism)
+            # applyInPandas clustering (no per-query exchange). Sort
+            # TERM-major within partitions: the in-memory scan prunes cached
+            # batches on min/max stats, so `term IN (...)` touches only the
+            # few batches whose term range covers a query term (sorting
+            # doc_part-major instead makes every batch span ~the whole
+            # vocabulary — zero pruning, measured 4x slower queries on a 4M
+            # block cache). The per-query groupBy re-sorts its own few
+            # thousand filtered rows, so within-partition order is free.
+            # Cache partition count is a function of INDEX SIZE, not core
+            # count: per-query latency has a floor proportional to tasks
+            # scheduled, so tying it to defaultParallelism makes the same
+            # query SLOWER on a bigger cluster (measured p50 0.20s at
+            # local[8] -> 0.72s at local[32] in round 1). ~150k block rows
+            # per partition keeps each task's scan+kernel a few ms.
+            total_blocks = sum(
+                int(p.get("rows", 0))
+                for m in self._seg_metas.values()
+                for p in m.partitions
+            )
+            n_cache_parts = int(min(512, max(8, total_blocks // 150_000)))
             self.postings = (
                 self.postings.repartition(n_cache_parts, "doc_part")
-                .sortWithinPartitions("doc_part", "term", "block_id")
+                .sortWithinPartitions("term", "doc_part", "block_id")
                 .persist()
             )
             self._stats = self._stats.persist()
-            self._meta_slim = self._meta_slim.coalesce(n_cache_parts).persist()
+            # doc_id-sorted: the top-k meta lookup filters doc_id IN (k ids),
+            # which prunes cached batches on min/max doc_id stats
+            self._meta_slim = (
+                self._meta_slim.repartition(n_cache_parts, "doc_id")
+                .sortWithinPartitions("doc_id")
+                .persist()
+            )
+        # small tombstone sets ride a broadcast so the unfiltered query path
+        # can use mapInPandas (one python call per cache partition) instead
+        # of a 1-call-per-doc_part cogroup; big tombstone sets (or attribute
+        # filters) keep the shuffle-free cogroup-by-doc_part path.
+        self._tomb_bc = None
+        if self._tombstones is not None:
+            n_tomb = self._tombstones.count()
+            if n_tomb <= 5_000_000:
+                arr = np.sort(
+                    self._tombstones.select("doc_id")
+                    .toPandas()["doc_id"]
+                    .to_numpy(dtype=np.int64)
+                )
+                self._tomb_bc = spark.sparkContext.broadcast(arr)
 
     # -- loading ------------------------------------------------------------
     def _union(self, table: str, seg_col: bool = False) -> DataFrame:
@@ -241,8 +277,63 @@ class SearchEngine:
             topn=topn,
         )
         blocks = self.postings.filter(F.col("term").isin(qterms))
-        right, right_kind = self._right_side(filters)
         fn = K.score_and if mode == "and" else K.score_or
+        scored = self._scored_frame(blocks, fn, params, filters)
+        # orderBy + limit(topn) plans as TakeOrderedAndProject (per-partition
+        # heap + driver merge, NO global sort exchange); the offset slice then
+        # runs on the tiny collapsed result. orderBy().offset().limit()
+        # instead forces a global sort — a full shuffle per query.
+        topk_pdf = (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(topn)
+            .toPandas()
+            .iloc[offset : offset + k]
+        )
+        if not with_meta:
+            return self.spark.createDataFrame(topk_pdf, schema=RESULT_SCHEMA)
+        if len(topk_pdf) == 0:
+            return self._empty_result(True)
+        # display-column lookup: k ids against the doc_id-sorted meta cache
+        # (batch min/max pruned isin scan), merged driver-side — cheaper and
+        # lower-latency than a broadcast join stage for k ~ 10..100 rows
+        ids = [int(x) for x in topk_pdf["doc_id"]]
+        meta_pdf = self._meta_slim.filter(F.col("doc_id").isin(ids)).toPandas()
+        out = topk_pdf.merge(meta_pdf, on="doc_id", how="left")[
+            ["doc_id", "score", "repo", "path", "commit", "lang", "sha256"]
+        ]
+        return self.spark.createDataFrame(
+            out,
+            schema=(
+                "doc_id long, score double, repo string, path string, "
+                "commit string, lang string, sha256 string"
+            ),
+        )
+
+    def _scored_frame(self, blocks, fn, params: dict, filters: dict | None):
+        """Distributed scoring plan for one query.
+
+        Fast path (no attribute filters; tombstones absent or broadcast):
+        ``mapInPandas`` — ONE python call per cache partition. The kernels
+        score any set of blocks whose doc_ids are globally unique, so no
+        per-doc_part grouping is needed; grouping by doc_part costs a
+        per-partition sort plus one Arrow roundtrip per doc_part (512 calls =
+        ~300ms/query measured at 2M docs), the map path costs 32.
+
+        Filter path: cogroup blocks with the allowed/excluded doc_id side by
+        doc_part — co-partitioned with the cache, so still no shuffle."""
+        right, right_kind = self._right_side(filters)
+        if right is None or (right_kind == "excluded" and self._tomb_bc is not None):
+            tomb_bc = self._tomb_bc if right is not None else None
+
+            def map_kernel(batches):
+                pdfs = list(batches)
+                if not pdfs:
+                    return
+                pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
+                excluded = tomb_bc.value if tomb_bc is not None else None
+                yield fn(pdf, excluded=excluded, **params)
+
+            return blocks.mapInPandas(map_kernel, schema=RESULT_SCHEMA)
 
         def cokernel(left: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
             if len(left) == 0:
@@ -257,28 +348,10 @@ class SearchEngine:
                 excluded = ids
             return fn(left, allowed=allowed, excluded=excluded, **params)
 
-        if right is not None:
-            scored = (
-                blocks.groupby("doc_part")
-                .cogroup(right.groupby("doc_part"))
-                .applyInPandas(cokernel, schema=RESULT_SCHEMA)
-            )
-        else:
-            scored = blocks.groupby("doc_part").applyInPandas(
-                lambda pdf: fn(pdf, **params), schema=RESULT_SCHEMA
-            )
-        topk = (
-            scored.orderBy(F.desc("score"), F.asc("doc_id"))
-            .offset(offset)
-            .limit(k)
-        )
-        if not with_meta:
-            return topk
-        meta = self._meta_slim
         return (
-            F.broadcast(topk).alias("r").join(meta.alias("m"), "doc_id")
-            .select("doc_id", "score", "repo", "path", "commit", "lang", "sha256")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+            blocks.groupby("doc_part")
+            .cogroup(right.groupby("doc_part"))
+            .applyInPandas(cokernel, schema=RESULT_SCHEMA)
         )
 
     def _local_masks(self, filters: dict | None):
@@ -490,32 +563,41 @@ class SearchEngine:
             return K.count_and(lb, qterms, allowed=allowed, excluded=excluded)
         blocks = self.postings.filter(F.col("term").isin(qterms))
         right, right_kind = self._right_side(filters)
+        if right is None or (right_kind == "excluded" and self._tomb_bc is not None):
+            tomb_bc = self._tomb_bc if right is not None else None
 
-        def cokernel(left: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
-            if len(left) == 0:
-                return pd.DataFrame({"c": pd.Series(dtype="int64")})
-            allowed = excluded = None
-            ids = np.sort(right_pdf["doc_id"].to_numpy(dtype=np.int64)) if len(
-                right_pdf
-            ) else np.empty(0, dtype=np.int64)
-            if right_kind == "allowed":
-                allowed = ids
-            elif right_kind == "excluded":
-                excluded = ids
-            return pd.DataFrame(
-                {"c": [K.count_and(left, qterms, allowed=allowed, excluded=excluded)]}
-            )
+            def map_count(batches):
+                pdfs = list(batches)
+                if not pdfs:
+                    return
+                pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
+                excluded = tomb_bc.value if tomb_bc is not None else None
+                yield pd.DataFrame(
+                    {"c": [K.count_and(pdf, qterms, excluded=excluded)]}
+                )
 
-        if right is not None:
+            counts = blocks.mapInPandas(map_count, schema="c long")
+        else:
+
+            def cokernel(left: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+                if len(left) == 0:
+                    return pd.DataFrame({"c": pd.Series(dtype="int64")})
+                allowed = excluded = None
+                ids = np.sort(right_pdf["doc_id"].to_numpy(dtype=np.int64)) if len(
+                    right_pdf
+                ) else np.empty(0, dtype=np.int64)
+                if right_kind == "allowed":
+                    allowed = ids
+                elif right_kind == "excluded":
+                    excluded = ids
+                return pd.DataFrame(
+                    {"c": [K.count_and(left, qterms, allowed=allowed, excluded=excluded)]}
+                )
+
             counts = (
                 blocks.groupby("doc_part")
                 .cogroup(right.groupby("doc_part"))
                 .applyInPandas(cokernel, schema="c long")
-            )
-        else:
-            counts = blocks.groupby("doc_part").applyInPandas(
-                lambda pdf: pd.DataFrame({"c": [K.count_and(pdf, qterms)]}),
-                schema="c long",
             )
         row = counts.agg(F.sum("c").alias("total")).collect()[0]
         return int(row["total"] or 0)

