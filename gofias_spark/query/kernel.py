@@ -193,7 +193,7 @@ def score_or(
             contrib_terms.append(np.full(ids.size, qterms.index(t), dtype=np.int32))
 
     _process(processed)
-    if contrib_docs:
+    if contrib_docs and topn is not None:
         theta = _kth_score(contrib_docs, contrib_vals, contrib_terms, topn)
     pruned, survivors = [], []
     for entry in flat[n_seed:]:
@@ -297,7 +297,11 @@ def _kth_of(scores: np.ndarray, k: int) -> float:
     return float(np.partition(scores, -k)[-k])
 
 
-def _topn(doc: np.ndarray, score: np.ndarray, topn: int) -> pd.DataFrame:
+def _topn(doc: np.ndarray, score: np.ndarray, topn: int | None) -> pd.DataFrame:
+    if topn is None:
+        # all-matches mode (attribute-first composite sorts, O1-O3: score
+        # cannot prune when it is not the primary sort key)
+        return pd.DataFrame({"doc_id": doc, "score": score})
     if topn <= 0 or doc.size == 0:
         return _empty()
     if doc.size > topn:

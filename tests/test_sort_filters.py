@@ -1,0 +1,111 @@
+"""Range predicates (F4) + multi-key attribute sort (O1-O3): local and
+distributed paths must agree with each other and with a pandas-computed
+expectation (reference semantics: elasticAddressRepository.go:521-530 range
+compilation; :489-493 ao_level asc -> _score desc -> tie sort)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gofias_spark.config import IndexConfig
+from gofias_spark.corpus import synth_corpus
+from gofias_spark.index.build import build_segment
+from gofias_spark.query.engine import SearchEngine
+
+CFG = IndexConfig(n_buckets=5, block_size=16)
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def engines(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("sortidx"))
+    build_segment(spark, synth_corpus(spark, N_DOCS), root, CFG)
+    dist = SearchEngine(spark, root)       # distributed plans
+    local = SearchEngine(spark, root)
+    local.warm()                           # driver-side searcher
+    assert local._local_blocks is not None
+    meta = dist.doc_meta.select(
+        "doc_id", "lang", "doclen", "path"
+    ).toPandas()
+    return dist, local, meta
+
+
+def _ids(df):
+    return [r["doc_id"] for r in df.collect()]
+
+
+def test_range_filter_paths_agree(engines):
+    dist, local, meta = engines
+    f = {"doclen": {"gte": 100, "lt": 400}}
+    a = _ids(dist.search("common_util", k=10, filters=f))
+    b = _ids(local.search("common_util", k=10, filters=f))
+    assert a == b and len(a) > 0
+    ok = set(
+        meta[(meta["doclen"] >= 100) & (meta["doclen"] < 400)]["doc_id"]
+    )
+    assert all(i in ok for i in a)
+
+
+def test_range_filter_count(engines):
+    dist, local, meta = engines
+    f = {"doclen": {"gte": 100, "lt": 400}}
+    expected = int(
+        ((meta["doclen"] >= 100) & (meta["doclen"] < 400)).sum()
+    )
+    assert dist.count(filters=f) == expected
+    assert local.count(filters=f) == expected
+
+
+def test_neq_and_in_compose(engines):
+    dist, _, meta = engines
+    f = {"lang": {"neq": "py"}}
+    rows = dist.search("common_util", k=10, filters=f).collect()
+    assert len(rows) > 0 and all(r["lang"] != "py" for r in rows)
+
+
+def test_sort_by_attribute_first(engines):
+    dist, local, _ = engines
+    sort = [("lang", "asc"), ("_score", "desc")]
+    a = dist.search("common_util", k=8, sort_by=sort).collect()
+    b = local.search("common_util", k=8, sort_by=sort).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    keys = [(r["lang"], -r["score"], r["doc_id"]) for r in a]
+    assert keys == sorted(keys), "result not in composite order"
+
+
+def test_sort_by_is_global_topk_not_page_resort(engines):
+    """The composite heap must consider ALL matches, not re-sort the
+    score-ranked top page: with lang asc primary, the k results must be the
+    globally smallest langs among matching docs."""
+    dist, _, meta = engines
+    sort = [("lang", "asc"), ("_score", "desc")]
+    rows = dist.search("common_util", k=5, sort_by=sort).collect()
+    n_match = dist.count("common_util")
+    assert n_match > 5
+    match_ids = {
+        r["doc_id"] for r in dist.search("common_util", k=n_match).collect()
+    }
+    langs = meta[meta["doc_id"].isin(match_ids)]["lang"]
+    smallest = sorted(langs)[:5]
+    assert sorted(r["lang"] for r in rows) == smallest
+
+
+def test_sort_by_with_filter_and_offset(engines):
+    dist, local, _ = engines
+    sort = [("lang", "desc"), ("_score", "desc")]
+    f = {"lang": ["py", "go", "md"]}
+    full = dist.search("common_util", k=6, sort_by=sort, filters=f).collect()
+    page = dist.search(
+        "common_util", k=3, offset=3, sort_by=sort, filters=f
+    ).collect()
+    assert [r["doc_id"] for r in page] == [r["doc_id"] for r in full[3:]]
+    lb = local.search(
+        "common_util", k=3, offset=3, sort_by=sort, filters=f
+    ).collect()
+    assert [r["doc_id"] for r in lb] == [r["doc_id"] for r in page]
+
+
+def test_unknown_sort_field_raises(engines):
+    dist, _, _ = engines
+    with pytest.raises(ValueError, match="unknown sort field"):
+        dist.search("common_util", k=3, sort_by=[("nope", "asc")])
