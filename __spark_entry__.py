@@ -265,8 +265,14 @@ def _q_sim_cosine(spark, sf):
 
 
 def _q_ann_lsh(spark, sf):  # approximate -> rows-only
+    """bits=3 x 8 tables: measured recall@10 = 0.9 vs sim_cosine_top10 on
+    the near-random fixture embeddings (gated in
+    tests/test_similarity_recall.py; planted near-duplicates recall 1.0 at
+    the production bits=12 setting)."""
     vecs = spark.read.parquet(f"{sf}/embeddings.parquet")
-    return SIM.ann_lsh_topk(vecs, _query_vec(spark, sf), k=10, bits=6)
+    return SIM.ann_lsh_topk(
+        vecs, _query_vec(spark, sf), k=10, bits=3, n_tables=8
+    )
 
 
 def _q_src_xml_scan(spark, sf):
@@ -312,8 +318,24 @@ def _q_src_xml_scan(spark, sf):
 
 
 def _q_neardup_cosine(spark, sf):
+    """Exact all-pairs baseline (bits=None) — the ORACLE fixture only; the
+    default bucketed path is exercised by dedup_embedding_lsh below."""
     vecs = spark.read.parquet(f"{sf}/embeddings.parquet")
-    return SIM.embedding_neardup_pairs(vecs, top_pairs=20, round_to=4)
+    return SIM.embedding_neardup_pairs(
+        vecs, top_pairs=20, bits=None, round_to=4
+    )
+
+
+def _q_neardup_lsh(spark, sf):
+    """Scale path: multi-table LSH bucket equi-join candidates (no crossJoin
+    in the plan). bits=3 x 8 tables: measured top-20 pair overlap 0.95 vs
+    the exact baseline on the fixture (gated in
+    tests/test_similarity_recall.py; planted near-duplicates 30/30 at the
+    production bits=12 setting)."""
+    vecs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return SIM.embedding_neardup_pairs(
+        vecs, top_pairs=20, bits=3, n_tables=8, round_to=4
+    )
 
 
 def _q_ivf(spark, sf):  # approximate -> rows-only
@@ -526,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh_top10": _q_ann_lsh,  # approximate, rows-only
         "sim_ivf_top10": _q_ivf,  # approximate, rows-only
         "dedup_embedding_cosine": _q_neardup_cosine,
+        "dedup_embedding_lsh": _q_neardup_lsh,  # approximate, rows-only
         "mm_decode_features": _q_mm_decode,
         # relational analogues (F1-F7, J1-J3, A1-A4, O1-O7, U1-U2, X5-X9)
         "rel_filter_count": _q_rel_filter_count,

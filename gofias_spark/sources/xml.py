@@ -49,17 +49,30 @@ def read_attribute_xml(
         for pdf in batches:
             rows: list[list] = []
             for path in pdf["path"]:
-                # iterparse streams; clear() bounds memory per element
-                for _, el in ET.iterparse(path, events=("end",)):
+                # iterparse streams, but parsed elements stay ATTACHED to
+                # the root: clearing only matched elements still grows the
+                # tree O(total elements) on a FIAS-scale file. Grab the root
+                # at the start event and periodically drop its accumulated
+                # children — true constant memory, the 64 KiB read-buffer
+                # analogue of the reference's SAX loop (xml.go:15-43).
+                root = None
+                since_trim = 0
+                for ev, el in ET.iterparse(path, events=("start", "end")):
+                    if ev == "start":
+                        if root is None:
+                            root = el
+                        continue
                     tag = el.tag.rsplit("}", 1)[-1]
                     if tag == element:
-                        rows.append(
-                            [el.get(a) for a in attr_of]
-                        )
-                        el.clear()
+                        rows.append([el.get(a) for a in attr_of])
                         if len(rows) >= _BATCH:
                             yield pd.DataFrame(rows, columns=out_cols)
                             rows = []
+                    el.clear()
+                    since_trim += 1
+                    if root is not None and since_trim >= _BATCH:
+                        del root[:]
+                        since_trim = 0
             if rows:
                 yield pd.DataFrame(rows, columns=out_cols)
 

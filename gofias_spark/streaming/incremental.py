@@ -63,6 +63,44 @@ def check_updates(
     return manifest
 
 
+def propagate_dependents(
+    spark: SparkSession,
+    index_root: str,
+    changed_parents: DataFrame,
+    dependents: DataFrame,
+    fk: str | list[str],
+    derive,
+    cfg: IndexConfig | None = None,
+) -> dict:
+    """ST5 change propagation (importService.go:222-293): when parent
+    entities change (the reference's street-level IndexObjects flowing
+    through indexChan, elasticAddressRepository.go:1026-1031), every
+    dependent document whose foreign key references a changed parent is
+    re-derived and MERGEd back into the index (the reference's house
+    re-index, elasticHouseRepository.go:537-581).
+
+    ``changed_parents`` — the changed parent rows (any schema containing the
+    fk columns plus whatever ``derive`` needs).
+    ``dependents`` — the dependent source table.
+    ``fk`` — join column(s) present in both.
+    ``derive(affected_dependents, changed_parents) -> docs-schema DataFrame``
+    — re-derivation (e.g. re-concatenate the parent's display name into the
+    dependent's content, X6 analogue).
+
+    Scale shape: one equi-join keyed on the changed foreign keys — the
+    changed-parent side is delta-sized, so Catalyst broadcasts it; the
+    dependent scan prunes to matching keys. Work is proportional to the
+    delta's blast radius, never the full corpus.
+    """
+    keys = [fk] if isinstance(fk, str) else list(fk)
+    from pyspark.sql import functions as F
+
+    changed_keys = changed_parents.select(*keys).distinct()
+    affected = dependents.join(F.broadcast(changed_keys), keys, "inner")
+    docs = derive(affected, changed_parents)
+    return apply_delta(spark, index_root, upserts=docs, cfg=cfg)
+
+
 def stream_deltas(
     spark: SparkSession,
     index_root: str,

@@ -1,0 +1,160 @@
+"""Quantitative recall gates for the approximate operators (VERDICT r01 #6).
+
+Two regimes, because the fixture embeddings are near-random (top-10
+neighbors sit at cosine 0.26-0.49, ~70 degrees — the WORST case for any
+pruning index):
+
+  * fixture gates — wide-net parameters (bits=3 x 8 tables / n_probe=8)
+    measured against the exact baselines on sf0.01; deterministic (seeded
+    planes, hash-sampled k-means seeds), so the thresholds are tight.
+  * planted-near-duplicate gates — the operators' actual workload: jittered
+    twins at cosine ~0.98 must be recovered at the production settings
+    (bits=12, n_probe=4).
+
+minhash-LSH is gated on candidate recall over the exact ngram-jaccard pairs.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gofias_spark.operators import dedup as D
+from gofias_spark.operators import similarity as SIM
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def planted(spark, vecs):
+    """Fixture vectors + 30 jittered twins (cosine ~0.98): twin id =
+    10000 + original id."""
+    rows = vecs.collect()
+    rng = np.random.default_rng(5)
+    aug, twins = [], {}
+    for r in rows:
+        aug.append((int(r["vec_id"]), [float(x) for x in r["embedding"]]))
+    for r in rows[:30]:
+        v = np.array(r["embedding"], dtype=np.float64)
+        t = v + 0.12 * np.linalg.norm(v) / 8 * rng.standard_normal(v.size)
+        tid = 10000 + int(r["vec_id"])
+        aug.append((tid, [float(x) for x in t]))
+        twins[int(r["vec_id"])] = tid
+    df = spark.createDataFrame(aug, "vec_id long, embedding array<double>")
+    return df.cache(), twins
+
+
+def _qvec(vecs, vec_id=0):
+    row = vecs.filter(F.col("vec_id") == vec_id).collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+def _recall_at_k(approx_rows, exact_rows):
+    a = {r["vec_id"] for r in approx_rows}
+    e = {r["vec_id"] for r in exact_rows}
+    return len(a & e) / max(len(e), 1)
+
+
+def test_ann_lsh_recall_fixture(vecs):
+    recalls = []
+    for qid in (0, 7, 23):
+        q = _qvec(vecs, qid)
+        exact = SIM.cosine_topk(vecs, q, k=10).collect()
+        approx = SIM.ann_lsh_topk(vecs, q, k=10, bits=3, n_tables=8).collect()
+        recalls.append(_recall_at_k(approx, exact))
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.85, f"ann_lsh mean recall@10 {mean:.2f} ({recalls})"
+
+
+def test_ann_lsh_recall_planted(planted):
+    """Production setting (bits=12): the jittered twin must surface in the
+    top-3 for (nearly) every planted query."""
+    df, twins = planted
+    hits = 0
+    checked = list(twins.items())[:10]
+    for orig, tid in checked:
+        q = _qvec(df, orig)
+        top = SIM.ann_lsh_topk(df, q, k=3, bits=12, n_tables=4).collect()
+        hits += any(r["vec_id"] == tid for r in top)
+    assert hits >= 9, f"planted twin found in only {hits}/10 ANN queries"
+
+
+def test_ivf_recall_fixture(vecs):
+    recalls = []
+    for qid in (0, 7, 23):
+        q = _qvec(vecs, qid)
+        exact = SIM.cosine_topk(vecs, q, k=10).collect()
+        approx = SIM.ivf_topk(
+            vecs, q, k=10, n_centroids=16, n_probe=8, iters=2
+        ).collect()
+        recalls.append(_recall_at_k(approx, exact))
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.7, f"ivf mean recall@10 {mean:.2f} ({recalls})"
+
+
+def test_ivf_recall_planted(planted):
+    df, twins = planted
+    hits = 0
+    checked = list(twins.items())[:10]
+    for orig, tid in checked:
+        q = _qvec(df, orig)
+        top = SIM.ivf_topk(
+            df, q, k=3, n_centroids=16, n_probe=4, iters=2
+        ).collect()
+        hits += any(r["vec_id"] == tid for r in top)
+    assert hits >= 9, f"planted twin found in only {hits}/10 IVF queries"
+
+
+def test_embedding_neardup_lsh_fixture_overlap(vecs):
+    exact = SIM.embedding_neardup_pairs(
+        vecs, top_pairs=20, bits=None, round_to=None
+    ).collect()
+    approx = SIM.embedding_neardup_pairs(
+        vecs, top_pairs=20, bits=3, n_tables=8, round_to=None
+    ).collect()
+    e = {(r["a"], r["b"]) for r in exact}
+    a = {(r["a"], r["b"]) for r in approx}
+    recall = len(a & e) / max(len(e), 1)
+    assert recall >= 0.9, f"near-dup LSH top-20 overlap {recall:.2f} < 0.9"
+
+
+def test_embedding_neardup_lsh_planted(planted):
+    """Production setting (default bits=12, threshold 0.9): every planted
+    twin pair must be recovered by the bucketed path."""
+    df, twins = planted
+    pairs = SIM.embedding_neardup_pairs(
+        df, top_pairs=100, threshold=0.9, round_to=None
+    ).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    hit = sum(
+        1
+        for orig, tid in twins.items()
+        if (orig, tid) in found or (tid, orig) in found
+    )
+    assert hit >= int(0.9 * len(twins)), f"{hit}/{len(twins)} twins found"
+
+
+def test_minhash_candidate_recall(docs):
+    exact = D.ngram_jaccard_pairs(
+        docs, threshold=0.5, n=3, text_col="text"
+    ).collect()
+    true_pairs = {(r["id_a"], r["id_b"]) for r in exact}
+    assert true_pairs, "fixture has no jaccard>=0.5 pairs; test is vacuous"
+    cand = D.minhash_lsh_candidates(
+        docs, num_hashes=32, bands=8, text_col="text"
+    ).collect()
+    cand_pairs = {(r["id_a"], r["id_b"]) for r in cand}
+    recall = len(cand_pairs & true_pairs) / len(true_pairs)
+    assert recall >= 0.95, (
+        f"minhash-LSH candidate recall {recall:.2f} < 0.95 "
+        f"({len(true_pairs)} true pairs)"
+    )
