@@ -157,6 +157,52 @@ def _q_ft_infix(spark, sf):
     return _ft(_engine(spark, sf, mode="ngram").search("indo", k=10))
 
 
+def _q_ft_search_many(spark, sf):
+    """J4 batched search-as-join: many queries answered in ONE pass over the
+    postings (the reference's OSM enrichment issues a search per incoming
+    row, osmService.go:161-223; here the batch is a DataFrame)."""
+    eng = _engine(spark, sf)
+    res = eng.search_many(
+        {"q1": "spark join", "q2": "merge batch", "q3": "window group"}, k=3
+    )
+    meta = eng.doc_meta.select(
+        "doc_id", F.col("path").cast("long").alias("orig_id")
+    )
+    return res.join(meta, "doc_id").select(
+        "query",
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _q_rel_hierarchy_paths(spark, sf):
+    """J1 iterative level-ordered hierarchy enrichment (parents before
+    children, elasticAddressRepository.go:825-1014) over a 3-level
+    region->nation->customer tree."""
+    from gofias_spark.operators.hierarchy import enrich_hierarchy
+
+    r = _t(spark, sf, "region").select(
+        F.col("r_regionkey").cast("long").alias("id"),
+        F.lit(None).cast("long").alias("parent_id"),
+        F.trim("r_name").alias("name"),
+        F.lit(1).alias("level"),
+    )
+    n = _t(spark, sf, "nation").select(
+        (F.col("n_nationkey") + 100).cast("long").alias("id"),
+        F.col("n_regionkey").cast("long").alias("parent_id"),
+        F.trim("n_name").alias("name"),
+        F.lit(2).alias("level"),
+    )
+    c = _t(spark, sf, "customer").select(
+        (F.col("c_custkey") + 1000).cast("long").alias("id"),
+        (F.col("c_nationkey") + 100).cast("long").alias("parent_id"),
+        F.trim("c_name").alias("name"),
+        F.lit(3).alias("level"),
+    )
+    nodes = r.unionByName(n).unionByName(c)
+    return enrich_hierarchy(nodes).select("id", "full_path")
+
+
 def _q_ft_naive(spark, sf):
     docs = _documents(spark, sf)
     return naive_bm25(
@@ -531,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_count": _q_ft_count,
         "ft_prefix_top10": _q_ft_prefix,
         "ft_infix_top10": _q_ft_infix,
+        "ft_search_many": _q_ft_search_many,
         "ft_naive_bm25": _q_ft_naive,
         "ft_term_stats": _q_ft_term_stats,
         "ft_global_stats": _q_ft_global_stats,
@@ -555,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_in_range_sort_limit": _q_rel_in_range,
         "rel_join_agg": _q_rel_join_agg,
         "rel_hierarchy_join": _q_rel_hierarchy,
+        "rel_hierarchy_paths": _q_rel_hierarchy_paths,
         "rel_lastwins_dedup": _q_rel_lastwins,
         "rel_maxby_top1": _q_rel_maxby,
         "rel_union_distinct": _q_rel_union_distinct,
@@ -736,6 +784,15 @@ SELECT count(*)::BIGINT AS cnt FROM m WHERE nt = 2
 """,
         "ft_prefix_top10": _prefix_bm25_sql("wind", 10),
         "ft_infix_top10": _infix_bm25_sql("indo", 10),
+        "ft_search_many": " UNION ALL ".join(
+            f"SELECT '{label}' AS query, doc_id, score "
+            f"FROM ({_bm25_sql(terms, 3)})"
+            for label, terms in [
+                ("q1", ["spark", "join"]),
+                ("q2", ["merge", "batch"]),
+                ("q3", ["window", "group"]),
+            ]
+        ),
         "ft_naive_bm25": _bm25_sql(["spark", "join"], 10),
         "ft_term_stats": f"""
 WITH tok AS ({TOK})
@@ -869,6 +926,19 @@ GROUP BY c_mktsegment
         "rel_hierarchy_join": """
 SELECT n_name, r_name, r_name || ', ' || n_name AS full_name
 FROM nation JOIN region ON n_regionkey = r_regionkey
+""",
+        "rel_hierarchy_paths": """
+SELECT r_regionkey::BIGINT AS id, trim(r_name) AS full_path FROM region
+UNION ALL
+SELECT (n_nationkey + 100)::BIGINT,
+       trim(r_name) || ', ' || trim(n_name)
+FROM nation JOIN region ON n_regionkey = r_regionkey
+UNION ALL
+SELECT (c_custkey + 1000)::BIGINT,
+       trim(r_name) || ', ' || trim(n_name) || ', ' || trim(c_name)
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
 """,
         "rel_lastwins_dedup": """
 SELECT user_id, event_id, event_type FROM (

@@ -85,7 +85,10 @@ class IndexStore:
         p = self.root / MANIFEST
         if not p.exists():
             return {
-                "format_version": 1,
+                # v2: per-doc_part term_stats dirs (kernel side-writes) and
+                # lineage.jsonl append log; v1 aggregated term_stats still
+                # opens via the engine's allowMissingColumns union
+                "format_version": 2,
                 "segments": [],
                 "next_doc_id": 0,
                 "next_seg_id": 0,

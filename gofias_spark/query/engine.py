@@ -158,6 +158,10 @@ class SearchEngine:
 
     # -- loading ------------------------------------------------------------
     def _union(self, table: str, seg_col: bool = False) -> DataFrame:
+        """Union a table across segments. Schemas may drift between format
+        versions (e.g. term_stats gained a doc_part partition column in v2);
+        align by name with missing columns as nulls so an index holding
+        pre- and post-change segments still opens."""
         dfs = []
         for s in self._seg_ids:
             df = self.spark.read.parquet(str(self.store.seg_dir(s) / table))
@@ -174,7 +178,7 @@ class SearchEngine:
             dfs.append(df)
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            out = out.unionByName(d, allowMissingColumns=True)
         return out
 
     def _read_tombstones(self) -> DataFrame | None:
