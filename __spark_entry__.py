@@ -398,6 +398,13 @@ def _q_mm_decode(spark, sf):
     )
 
 
+def _q_mm_frames(spark, sf):
+    """Frame-sampling plumbing: payload chunked into 64-byte frames, every
+    4th emitted (1 row -> N rows, the video-keyframe extraction shape)."""
+    media = MM.with_binary_payload(_documents(spark, sf), text_col="text")
+    return MM.sample_frames(media, frame_bytes=64, stride=4)
+
+
 # ---------------------------------------------------------------------------
 # relational analogues over TPC-H-ish tables
 
@@ -597,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_neardup_cosine,
         "dedup_embedding_lsh": _q_neardup_lsh,  # approximate, rows-only
         "mm_decode_features": _q_mm_decode,
+        "mm_frame_sample": _q_mm_frames,
         # relational analogues (F1-F7, J1-J3, A1-A4, O1-O7, U1-U2, X5-X9)
         "rel_filter_count": _q_rel_filter_count,
         "rel_in_range_sort_limit": _q_rel_in_range,
@@ -907,6 +915,16 @@ SELECT doc_id, 'text/plain' AS media_type,
        octet_length(encode(text))::BIGINT AS n_bytes,
        ascii(substr(text, 1, 1))::INT AS first_byte
 FROM documents
+""",
+        "mm_frame_sample": """
+WITH d AS (SELECT doc_id, encode(text) AS b,
+                  octet_length(encode(text)) AS n FROM documents),
+f AS (SELECT d.doc_id, g.i AS frame_idx,
+             least(64, d.n - g.i * 64)::BIGINT AS n_bytes,
+             ('0x' || substr(hex(d.b), g.i * 128 + 1, 2))::INT AS first_byte
+      FROM d, LATERAL (
+        SELECT unnest(range(0, ((d.n + 63) // 64)::BIGINT, 4)) AS i) g)
+SELECT doc_id, frame_idx::INT AS frame_idx, n_bytes, first_byte FROM f
 """,
         "rel_filter_count": (
             "SELECT o_orderstatus, count(*) AS cnt FROM orders "

@@ -99,3 +99,114 @@ def decode_features(
             )
 
     return media.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("media_type", T.StringType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched resize plumbing: payload -> fixed (width x height)
+    byte grid, meta updated with the new dimensions. The resample itself is
+    the STUB (np.interp over byte positions — a real deployment swaps in
+    PIL `Image.resize`); the Spark-side contract (binary in/out, struct
+    meta evolution, batch shape) is real and tested."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_payloads = []
+            for p in pdf["payload"]:
+                src = np.frombuffer(
+                    bytes(p) if p is not None else b"", dtype=np.uint8
+                )
+                if src.size == 0:
+                    out_payloads.append(bytes(n))
+                    continue
+                pos = np.linspace(0, src.size - 1, n)
+                out_payloads.append(
+                    np.interp(pos, np.arange(src.size), src)
+                    .astype(np.uint8)
+                    .tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": out_payloads,
+                    "meta": [
+                        {
+                            "media_type": m["media_type"],
+                            "n_bytes": n,
+                            "width": width,
+                            "height": height,
+                        }
+                        for m in pdf["meta"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(fn, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("first_byte", T.IntegerType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 64, stride: int = 4
+) -> DataFrame:
+    """Frame-sampling plumbing (1 row in -> N frame rows out): the payload
+    is chunked into ``frame_bytes`` frames and every ``stride``-th frame is
+    emitted with its metadata. The chunking stands in for a real video
+    decoder's keyframe extraction; the row-explosion shape (mapInPandas
+    yielding more rows than it receives, bounded per batch) is the real
+    contract a frame pipeline needs."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, idxs, sizes, firsts = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p) if p is not None else b""
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    chunk = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    sizes.append(len(chunk))
+                    firsts.append(chunk[0] if chunk else None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "first_byte": pd.Series(firsts, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(fn, schema=FRAME_SCHEMA)

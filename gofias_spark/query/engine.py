@@ -46,6 +46,19 @@ _RANGE_OPS = {
 }
 
 
+def filters_impossible(filters: dict | None) -> bool:
+    """True when the filter can never match — an empty IN-list (the F7
+    analogue of the reference's house-filter short-circuit: a KladrId
+    filter disqualifies the houses index outright and the repo returns
+    empty without querying, elasticHouseRepository.go:371-402)."""
+    if not filters:
+        return False
+    return any(
+        isinstance(v, (list, tuple, set)) and len(v) == 0
+        for v in filters.values()
+    )
+
+
 def compile_filters(filters: dict | None):
     """Filter dict -> pyspark Column over doc_meta, mirroring the reference's
     filter-object compilation (F7, elasticAddressRepository.go:516-540):
@@ -284,6 +297,8 @@ class SearchEngine:
         re-sort of the score-ranked page. doc_id asc is the implicit final
         tie-break."""
         spark = self.spark
+        if filters_impossible(filters):
+            return self._empty_result(with_meta, sort_by=sort_by)
         qterms = analyze_query(query, self.analyzer)
         dfs = self._term_dfs(qterms)
         if mode == "and":
@@ -719,6 +734,8 @@ class SearchEngine:
 
     def count(self, query: str | None = None, filters: dict | None = None) -> int:
         """Filtered count (A1 analogue, client.go:151-162)."""
+        if filters_impossible(filters):
+            return 0
         if query is None:
             cond = compile_filters(filters)
             df = self.doc_meta

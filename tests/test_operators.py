@@ -145,3 +145,35 @@ def test_geo_functions(spark):
     rows = parsed.select(lat.alias("lat"), lon.alias("lon")).collect()
     assert abs(rows[0]["lat"] - 55.75) < 1e-9
     assert rows[1]["lat"] is None
+
+
+def test_multimodal_resize_and_frames(spark):
+    from gofias_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 200), (2, "xyz"), (3, "")],
+        "doc_id long, content string",
+    )
+    media = MM.with_binary_payload(docs)
+    resized = MM.resize_media(media, width=4, height=4).collect()
+    assert {r["doc_id"] for r in resized} == {1, 2, 3}
+    for r in resized:
+        assert len(bytes(r["payload"])) == 16
+        assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4
+    # doc 1: all 'a' bytes -> resized grid stays all ord('a')
+    r1 = next(r for r in resized if r["doc_id"] == 1)
+    assert set(bytes(r1["payload"])) == {ord("a")}
+
+    frames = MM.sample_frames(media, frame_bytes=64, stride=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 200 bytes -> 4 frames (64,64,64,8), stride 2 -> idx 0 and 2
+    f1 = sorted(by_doc[1], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in f1] == [0, 2]
+    assert [r["n_bytes"] for r in f1] == [64, 64]
+    assert f1[0]["first_byte"] == ord("a")
+    # doc 2: 3 bytes -> 1 frame
+    assert [r["n_bytes"] for r in by_doc[2]] == [3]
+    # doc 3: empty payload -> no frames
+    assert 3 not in by_doc

@@ -105,6 +105,19 @@ def test_sort_by_with_filter_and_offset(engines):
     assert [r["doc_id"] for r in lb] == [r["doc_id"] for r in page]
 
 
+def test_impossible_filter_short_circuits(engines):
+    """F7 short-circuit analogue: an empty IN-list can never match — the
+    engine returns empty/0 without running a Spark job (the reference's
+    house repo returns early for disqualifying filters,
+    elasticHouseRepository.go:371-402)."""
+    dist, local, _ = engines
+    f = {"lang": []}
+    assert dist.search("common_util", k=5, filters=f).count() == 0
+    assert local.search("common_util", k=5, filters=f).count() == 0
+    assert dist.count("common_util", filters=f) == 0
+    assert dist.count(filters=f) == 0
+
+
 def test_unknown_sort_field_raises(engines):
     dist, _, _ = engines
     with pytest.raises(ValueError, match="unknown sort field"):
