@@ -31,7 +31,8 @@ from gofias_spark.operators import textstats as TS
 from gofias_spark.query.engine import SearchEngine
 from gofias_spark.query.naive import naive_bm25, tokens_col
 
-FORMAT_VERSION = "f2"
+FORMAT_VERSION = "f3"  # bump to invalidate cached /tmp entry indexes when
+                       # the on-disk index format changes (store v2 in r2)
 K1, B = 1.2, 0.75
 _ENGINES: dict = {}
 

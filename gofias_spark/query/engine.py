@@ -10,15 +10,24 @@ elasticAddressRepository.go:335-640) as a Python API over DataFrames:
     engine.get_doc(repo=..., path=..., commit=...) / get_doc(doc_id=...)
     engine.stats()
 
-Execution shape (one Spark job per query):
-    analyze query (driver)  →  term-stats lookup (tiny filtered scan)
-    →  postings scan filtered to query terms (row-group pruned: files are
-       sorted by term, parquet min/max prune)
-    →  cogroup by doc_part with the filter/tombstone side
-       (filters push down to the doc_meta parquet scan)
-    →  per-partition kernel top-k (Arrow applyInPandas)
-    →  global TakeOrderedAndProject (orderBy score desc, doc_id asc; limit)
-    →  broadcast join back to doc_meta for display columns.
+Execution shape:
+    analyze query (driver)  →  term-stats lookup (warm driver dict / tiny
+       filtered scan)
+    →  postings scan filtered to query terms (parquet row-group pruned:
+       files sorted by term; cached batches term-major sorted for in-memory
+       min/max pruning)
+    →  scoring kernel — fast path: mapInPandas, ONE python call per cache
+       partition (no attribute filters; tombstones via broadcast); filter
+       path: cogroup by doc_part with the allowed/excluded doc_id side
+       (co-partitioned with the cache — no shuffle; filters push down to
+       the doc_meta scan)
+    →  global top-k via TakeOrderedAndProject (score desc, doc_id asc)
+    →  k-row display lookup: doc_id IN (ids) pruned scan of the
+       doc_id-sorted meta cache, merged driver-side.
+
+Attribute-first composite sorts (``sort_by``) run the kernel in
+all-matches mode with sort attributes riding the cogroup side, take the
+per-partition composite top-n, and merge globally on the composite key.
 """
 
 from __future__ import annotations

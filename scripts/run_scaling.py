@@ -126,6 +126,53 @@ def run_level(cpus: int, corpus: str, n_buckets: int, reps: int, workdir: str) -
     raise RuntimeError(f"no RESULT line; stderr tail: {out.stderr[-2000:]}")
 
 
+CONTROL = r"""
+import json, sys, time
+import multiprocessing as mp
+
+def work(_):
+    import numpy as np
+    t0 = time.perf_counter()
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 1 << 40, 6_000_000)
+    for _ in range(3):
+        b = a.copy(); b.sort(); d = np.diff(b); s = d.cumsum()
+    return time.perf_counter() - t0
+
+if __name__ == "__main__":
+    out = {}
+    for n in (8, 32):
+        with mp.Pool(n) as p:
+            t0 = time.perf_counter()
+            p.map(work, range(n))
+            out[n] = time.perf_counter() - t0
+    eff = (32 / out[32]) / (8 / out[8]) / 4
+    print("CONTROL " + json.dumps(
+        {"wall8": round(out[8], 2), "wall32": round(out[32], 2),
+         "eff": round(eff, 3)}))
+"""
+
+
+def run_control() -> dict:
+    """Host-ceiling control: an identical fixed numpy workload (no Spark,
+    no I/O) run at 8-way and 32-way process parallelism. On an idle host it
+    scales near-perfectly; under hypervisor contention (lock-holder
+    preemption amplifies with vCPU count) NO 32-way workload scales — the
+    control documents which regime the measurement ran in, so a low engine
+    efficiency can be attributed to the host when the control is also low."""
+    out = subprocess.run(
+        [sys.executable, "-c", CONTROL], capture_output=True, text=True,
+        check=True, env={**os.environ,
+                         "MALLOC_MMAP_THRESHOLD_": "1073741824",
+                         "MALLOC_TRIM_THRESHOLD_": "1073741824",
+                         "MALLOC_MMAP_MAX_": "0"},
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CONTROL "):
+            return json.loads(line[len("CONTROL "):])
+    raise RuntimeError("no CONTROL line")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=2_000_000)
@@ -145,11 +192,13 @@ def main() -> None:
     # (measured: 128 buckets -> 15.6k docs/task -> DRAM-bound, eff 0.48;
     # 512 buckets -> 3.9k docs/task -> eff ~0.7+ on the same input)
     n_buckets = 512
+    control_before = run_control()
     results = {}
     for cpus in levels:
         results[f"local{cpus}"] = run_level(
             cpus, corpus, n_buckets, args.reps, workdir
         )
+    control_after = run_control()
     lo, hi = min(levels), max(levels)
     thr_lo = results[f"local{lo}"]["files_per_sec"]
     thr_hi = results[f"local{hi}"]["files_per_sec"]
@@ -158,6 +207,12 @@ def main() -> None:
         "input": {"n_docs": args.docs, "corpus": corpus,
                   "n_buckets": n_buckets, "reps": args.reps,
                   "storage": "tmpfs" if base == "/dev/shm" else "disk"},
+        # host-ceiling controls bracketing the measurement: pure-numpy 8-way
+        # vs 32-way scaling with NO Spark involved. When these are low, the
+        # shared hypervisor cannot scale ANY 32-way workload in this window
+        # (lock-holder preemption), and the engine number below is
+        # host-bound, not engine-bound.
+        "host_control": {"before": control_before, "after": control_after},
         **results,
         "scaling": {"from": lo, "to": hi,
                     "thr_from": thr_lo, "thr_to": thr_hi,
