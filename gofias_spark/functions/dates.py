@@ -22,17 +22,16 @@ TS_LAYOUT = "yyyy-MM-dd'T'HH:mm:ss'Z'"        # "2006-01-02T15:04:00Z"
 
 def parse_date(col: Column | str) -> Column:
     """String in either reference layout -> DateType (null on no-parse,
-    mirroring the reference's silent parse-error handling)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(
-        F.to_date(c, DATE_LAYOUT), F.to_date(c, TS_LAYOUT)
-    )
+    mirroring the reference's silent parse-error handling; try_* variants
+    keep that semantics under Spark's default ANSI mode)."""
+    return parse_timestamp(col).cast("date")
 
 
 def parse_timestamp(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.coalesce(
-        F.to_timestamp(c, TS_LAYOUT), F.to_timestamp(c, DATE_LAYOUT)
+        F.try_to_timestamp(c, F.lit(TS_LAYOUT)),
+        F.try_to_timestamp(c, F.lit(DATE_LAYOUT)),
     )
 
 
@@ -59,6 +58,7 @@ def version_date_from_text(col: Column | str) -> Column:
     """Extract the trailing dd.MM.yyyy date from a version title string
     (importService.go:131-143 parses the FIAS version text tail)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_date(
-        F.regexp_extract(c, r"(\d{2}\.\d{2}\.\d{4})\s*$", 1), "dd.MM.yyyy"
-    )
+    return F.try_to_timestamp(
+        F.regexp_extract(c, r"(\d{2}\.\d{2}\.\d{4})\s*$", 1),
+        F.lit("dd.MM.yyyy"),
+    ).cast("date")

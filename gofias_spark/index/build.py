@@ -147,7 +147,10 @@ def _fused_encode_factory(
         part_dir = os.path.join(staging_meta_dir, f"doc_part={doc_part}")
         os.makedirs(part_dir, exist_ok=True)
         tmp = os.path.join(part_dir, f".data.parquet.tmp{os.getpid()}")
-        pq.write_table(meta_tbl, tmp, compression="snappy")
+        # zstd-1: 37% smaller than snappy on source text for +5ms/group —
+        # the doc store dominates index bytes at scale, and fewer written
+        # pages also means less kernel-side allocation churn on tmpfs
+        pq.write_table(meta_tbl, tmp, compression="zstd", compression_level=1)
         os.replace(tmp, os.path.join(part_dir, "data.parquet"))
 
         # ---- main output: posting blocks ----------------------------------
