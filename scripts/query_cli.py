@@ -23,9 +23,38 @@ from gofias_spark.session import get_spark  # noqa: E402
 
 
 def _filters(pairs: list[str] | None) -> dict | None:
+    """``field=v`` equality; ``field>=v`` ``field<=v`` ``field>v`` ``field<v``
+    ``field!=v`` range ops (F4); ``field=a,b,c`` IN-list. Numeric-looking
+    range values are cast."""
     if not pairs:
         return None
-    return dict(p.split("=", 1) for p in pairs)
+    ops = [(">=", "gte"), ("<=", "lte"), ("!=", "neq"), (">", "gt"), ("<", "lt")]
+    out: dict = {}
+    for p in pairs:
+        for sym, op in ops:
+            if sym in p:
+                field, val = p.split(sym, 1)
+                try:
+                    v: object = int(val)
+                except ValueError:
+                    v = val
+                out.setdefault(field, {})[op] = v
+                break
+        else:
+            field, val = p.split("=", 1)
+            out[field] = val.split(",") if "," in val else val
+    return out
+
+
+def _sort_by(spec: str | None) -> list[tuple[str, str]] | None:
+    """``lang:asc,_score:desc`` -> sort_by list (O1 composite orders)."""
+    if not spec:
+        return None
+    out = []
+    for part in spec.split(","):
+        field, _, direction = part.partition(":")
+        out.append((field, direction or "asc"))
+    return out
 
 
 def main() -> None:
@@ -39,6 +68,10 @@ def main() -> None:
     s.add_argument("--offset", type=int, default=0)
     s.add_argument("--mode", default="and", choices=["and", "or"])
     s.add_argument("--filter", action="append")
+    s.add_argument(
+        "--sort", default=None,
+        help="composite order, e.g. lang:asc,_score:desc (O1)",
+    )
 
     c = sub.add_parser("count")
     c.add_argument("query", nargs="?")
@@ -63,6 +96,7 @@ def main() -> None:
             offset=args.offset,
             mode=args.mode,
             filters=_filters(args.filter),
+            sort_by=_sort_by(args.sort),
         ).collect()
         for r in rows:
             print(
