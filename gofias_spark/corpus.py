@@ -103,17 +103,55 @@ def assign_doc_ids(
     return parted.withColumn("doc_id", doc_id.cast("long"))
 
 
-def with_doc_meta(docs_with_ids: DataFrame) -> DataFrame:
-    """Append sha256 / doclen columns (doclen via built-in exprs —
-    standard analyzer token count, JVM-side, no Python)."""
+def _tokens_col():
     # same word class as Python re \w (see query/naive.py SPLIT_PATTERN)
-    tokens = F.filter(
+    return F.filter(
         F.split(F.lower(F.col("content")), r"[^\p{L}\p{Nd}\p{Nl}\p{No}_]+"),
         lambda t: t != F.lit(""),
     )
+
+
+def analyzed_doclen_col(analyzer=None):
+    """JVM expression for the EXACT analyzed document length under the
+    given analyzer config — the dl BM25 uses:
+
+      standard    — token count
+      edge_ngram  — sum over tokens of (min(L, hi) - lo + 1 when L >= lo)
+      ngram       — sum over tokens of G*(L - lo + 2) - ... the closed form
+                    sum_{s=lo..G}(L - s + 1) with G = min(L, hi)
+
+    Whole-stage-codegen arithmetic, no Python. Lets the two-pass
+    (non-shared-FS) build persist a doclen identical to the Arrow kernel's
+    analyzed dl for every analyzer mode."""
+    toks = _tokens_col()
+    if analyzer is None or analyzer.mode == "standard":
+        return F.size(toks)
+    lo, hi = analyzer.min_gram, analyzer.max_gram
+    length = F.length
+    if analyzer.mode == "edge_ngram":
+        per_tok = lambda t: F.when(  # noqa: E731
+            length(t) >= lo, F.least(length(t), F.lit(hi)) - F.lit(lo) + 1
+        ).otherwise(F.lit(0))
+    else:  # ngram: sum_{s=lo..G}(L-s+1) = G*(L+1) - G(G+1)/2 - [(lo-1)(L+1) - (lo-1)lo/2]
+        def per_tok(t):
+            big_g = F.least(length(t), F.lit(hi))
+            full = big_g * (length(t) + 1) - (big_g * (big_g + 1)) / 2
+            skip = F.lit(lo - 1) * (length(t) + 1) - F.lit((lo - 1) * lo / 2)
+            return F.when(length(t) >= lo, (full - skip).cast("int")).otherwise(
+                F.lit(0)
+            )
+
+    return F.aggregate(
+        F.transform(toks, per_tok), F.lit(0), lambda acc, x: acc + x
+    )
+
+
+def with_doc_meta(docs_with_ids: DataFrame, analyzer=None) -> DataFrame:
+    """Append sha256 / doclen columns (doclen via built-in exprs — the
+    analyzed token/gram count, JVM-side, no Python)."""
     return docs_with_ids.withColumn(
         "sha256", F.sha2(F.col("content"), 256)
-    ).withColumn("doclen", F.size(tokens))
+    ).withColumn("doclen", analyzed_doclen_col(analyzer))
 
 
 def load_refcorpus(spark: SparkSession, root: str = "/root/reference") -> DataFrame:

@@ -290,13 +290,168 @@ def prepare_docs(
     One shuffle total (the bucket repartition inside assign_doc_ids); the
     window rank, sha256/doclen projections, doc_meta write and the encode
     groupBy all run on that partitioning without further exchanges.
+    ``doclen`` is the exact analyzed length under the config's analyzer
+    (JVM expression, whole-stage codegen)."""
+    return with_doc_meta(
+        assign_doc_ids(docs, cfg.n_buckets, seg_id), cfg.analyzer
+    )
 
-    ``doclen`` here is the JVM-computed standard token count (informational
-    display column; whole-stage codegen, no extra Python pass). The exact
-    *analyzed* dl used for BM25 lives inside the postings (codec ``dls``) and
-    in segment ``sum_dl``; tombstone accounting re-derives exact dl from the
-    removed docs' content at merge time (delta-sized work)."""
-    return with_doc_meta(assign_doc_ids(docs, cfg.n_buckets, seg_id))
+
+def _encode_only_factory(cfg: IndexConfig):
+    """applyInArrow kernel for the two-pass (non-shared-FS) build: input
+    groups carry precomputed doc_ids; output is the posting-block table
+    only — no executor side-writes of any kind."""
+    analyzer, block_size = cfg.analyzer, cfg.block_size
+
+    def encode_group(key, tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from gofias_spark.analyzer import term_frequencies_coded
+        from gofias_spark.index.codec import encode_blocks_arrow
+
+        doc_part = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
+        ids = tbl["doc_id"].to_numpy()
+        content = tbl["content"].combine_chunks()
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        try:
+            res = term_frequencies_coded(ids, content, analyzer)
+            if res["doc_id"].size == 0:
+                return _empty_block_table()
+            cols = encode_blocks_arrow(
+                res["term_codes"], res["doc_id"], res["tf"], res["dl"],
+                block_size,
+            )
+            term_col = pc.take(
+                res["uniq_terms"], pa.array(cols["term"], type=pa.int64())
+            )
+        except ValueError:  # custom token_pattern: pandas fallback
+            import pandas as pd
+
+            texts = content.to_pandas()
+            tf = term_frequencies(pd.Series(ids), texts, analyzer)
+            if len(tf) == 0:
+                return _empty_block_table()
+            tf = tf.sort_values(["term", "doc_id"], kind="mergesort")
+            cols = encode_blocks_arrow(
+                tf["term"].to_numpy(),
+                tf["doc_id"].to_numpy(dtype=np.int64),
+                tf["tf"].to_numpy(dtype=np.uint64),
+                tf["dl"].to_numpy(dtype=np.uint64),
+                block_size,
+            )
+            term_col = pa.array(cols["term"], type=pa.string())
+        nb = len(term_col)
+        return pa.table(
+            {
+                "term": term_col,
+                "doc_part": pa.array(
+                    np.full(nb, doc_part, dtype=np.int64), type=pa.int64()
+                ),
+                "block_id": pa.array(
+                    np.asarray(cols["block_id"], dtype=np.int32),
+                    type=pa.int32(),
+                ),
+                "n": pa.array(
+                    np.asarray(cols["n"], dtype=np.int32), type=pa.int32()
+                ),
+                "base": pa.array(cols["base"], type=pa.int64()),
+                "last": pa.array(cols["last"], type=pa.int64()),
+                "docs": cols["docs"],
+                "tfs": cols["tfs"],
+                "dls": cols["dls"],
+                "tf_max": pa.array(cols["tf_max"], type=pa.int64()),
+                "dl_min": pa.array(cols["dl_min"], type=pa.int64()),
+                "tf_sum": pa.array(cols["tf_sum"], type=pa.int64()),
+            }
+        )
+
+    return encode_group
+
+
+def _two_pass_build(
+    spark: SparkSession, todo: DataFrame, staging, cfg: IndexConfig,
+    seg_id: int,
+) -> dict[int, dict]:
+    """Cluster-portable build: NO executor side-writes — every output goes
+    through Spark's committers, so it works when executors and driver do not
+    share a filesystem (object stores, real clusters).
+
+    Pass 1: rank doc_ids (JVM window) + write doc_meta partitioned by
+    doc_part. Pass 2: re-read the staged doc_meta (columnar; only doc_id +
+    content cross to Python) and encode postings. term_stats and the
+    per-partition lineage metrics come from column-pruned aggregations over
+    the staged outputs (term/n and doclen/doc_id columns only — the content
+    bytes are never read back). Costs one extra content pass vs the fused
+    shared-FS path; identical output format and determinism (same hash
+    bucketing, same in-bucket key ranking)."""
+    ranked = with_doc_meta(
+        assign_doc_ids(todo.drop("doc_part"), cfg.n_buckets, seg_id),
+        cfg.analyzer,
+    )
+    (
+        ranked.select(
+            "doc_part", "doc_id", "repo", "path", "commit", "lang",
+            "content", "sha256", "doclen",
+        )
+        .write.partitionBy("doc_part")
+        .mode("overwrite")
+        .parquet(str(staging / "doc_meta"))
+    )
+    meta_back = spark.read.parquet(str(staging / "doc_meta")).withColumn(
+        "doc_part", F.col("doc_part").cast("long")
+    )
+    blocks = (
+        meta_back.select("doc_part", "doc_id", "content")
+        .repartition(cfg.n_buckets, "doc_part")
+        .groupBy("doc_part")
+        .applyInArrow(_encode_only_factory(cfg), schema=BLOCK_SCHEMA)
+    )
+    (
+        blocks.write.partitionBy("doc_part")
+        .mode("overwrite")
+        .parquet(str(staging / "postings"))
+    )
+    staged_postings = spark.read.parquet(str(staging / "postings")).withColumn(
+        "doc_part", F.col("doc_part").cast("long")
+    )
+    (
+        staged_postings.select("doc_part", "term", "n")
+        .groupBy("doc_part", "term")
+        .agg(F.sum("n").alias("df"))
+        .write.partitionBy("doc_part")
+        .mode("overwrite")
+        .parquet(str(staging / "term_stats"))
+    )
+    meta_agg = {
+        int(r["doc_part"]): r
+        for r in meta_back.groupBy("doc_part")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doclen").alias("sum_dl"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .collect()
+    }
+    block_rows = {
+        int(r["doc_part"]): int(r["rows"])
+        for r in staged_postings.groupBy("doc_part")
+        .agg(F.count("*").alias("rows"))
+        .collect()
+    }
+    return {
+        part: {
+            "part": part,
+            "rows": block_rows.get(part, 0),
+            "n_docs": int(r["n_docs"]),
+            "sum_dl": int(r["sum_dl"] or 0),
+            "min_doc_id": int(r["min_doc_id"]),
+            "max_doc_id": int(r["max_doc_id"]),
+        }
+        for part, r in meta_agg.items()
+    }
 
 
 def build_segment(
@@ -305,9 +460,17 @@ def build_segment(
     index_root: str,
     cfg: IndexConfig | None = None,
     seg_id: int | None = None,
+    shared_staging_fs: bool = True,
     _fail_after_parts: int | None = None,
 ) -> dict:
     """Build (or resume) one segment from a docs DataFrame.
+
+    ``shared_staging_fs=True`` (default): the fused single-pass build —
+    fastest, but its kernel side-writes doc_meta/term_stats into the staging
+    tree, which requires executors to share the driver's filesystem (local
+    mode, NFS, fuse-mounted object store). Set ``False`` on deployments
+    where they don't: the two-pass build routes every output through
+    Spark's committers (one extra content pass; identical index bytes).
 
     Returns the updated manifest. ``_fail_after_parts`` is a fault-injection
     hook for resume tests: abort after committing that many partitions.
@@ -335,54 +498,58 @@ def build_segment(
     # (term, block_id); each doc_part is exactly one group, so the
     # partitionBy write preserves that order per file (parquet row-group
     # pruning on `term` depends on it).
-    (staging / "doc_meta").mkdir(parents=True, exist_ok=True)
-    (staging / "term_stats").mkdir(parents=True, exist_ok=True)
-    blocks = (
-        todo.select(
-            "doc_part", "repo", "path", "commit", "lang", "content",
-            F.sha2(F.col("content"), 256).alias("sha256"),
+    if shared_staging_fs:
+        (staging / "doc_meta").mkdir(parents=True, exist_ok=True)
+        (staging / "term_stats").mkdir(parents=True, exist_ok=True)
+        blocks = (
+            todo.select(
+                "doc_part", "repo", "path", "commit", "lang", "content",
+                F.sha2(F.col("content"), 256).alias("sha256"),
+            )
+            # one task per bucket: the explicit n_buckets-way hash
+            # repartition on doc_part satisfies the groupBy clustering (no
+            # second exchange) and keeps each task's Arrow working set at
+            # one bucket (~cache-sized) — letting the groupBy default to
+            # spark.sql.shuffle.partitions packs many buckets per task and
+            # the large transient buffers collapse into kernel page-fault
+            # churn at high core counts
+            .repartition(cfg.n_buckets, "doc_part")
+            .groupBy("doc_part")
+            .applyInArrow(
+                _fused_encode_factory(
+                    cfg, str(staging / "doc_meta"), str(staging / "term_stats")
+                ),
+                schema=BLOCK_SCHEMA,
+            )
         )
-        # one task per bucket: the explicit n_buckets-way hash repartition on
-        # doc_part satisfies the groupBy clustering (no second exchange) and
-        # keeps each task's Arrow working set at one bucket (~cache-sized) —
-        # letting the groupBy default to spark.sql.shuffle.partitions packs
-        # many buckets per task and the large transient buffers collapse
-        # into kernel page-fault churn at high core counts
-        .repartition(cfg.n_buckets, "doc_part")
-        .groupBy("doc_part")
-        .applyInArrow(
-            _fused_encode_factory(
-                cfg, str(staging / "doc_meta"), str(staging / "term_stats")
-            ),
-            schema=BLOCK_SCHEMA,
+        (
+            blocks.write.partitionBy("doc_part")
+            .mode("overwrite")
+            .parquet(str(staging / "postings"))
         )
-    )
-    (
-        blocks.write.partitionBy("doc_part")
-        .mode("overwrite")
-        .parquet(str(staging / "postings"))
-    )
 
-    # --- per-partition lineage metrics (kernel-side stats JSONs) -----------
-    import json as _json
+        # --- per-partition lineage metrics (kernel-side stats JSONs) -------
+        import json as _json
 
-    part_stats: dict[int, dict] = {}
-    for sp in (staging / "doc_meta").glob("doc_part=*/_stats.json"):
-        s = _json.loads(sp.read_text())
-        part_stats[int(s["part"])] = s
+        part_stats: dict[int, dict] = {}
+        for sp in (staging / "doc_meta").glob("doc_part=*/_stats.json"):
+            s = _json.loads(sp.read_text())
+            part_stats[int(s["part"])] = s
 
-    # The side-write protocol requires executors to share the staging
-    # filesystem with the driver (true in local mode, NFS, or any
-    # fuse-mounted object store). If the kernels ran but the driver sees no
-    # stats, the deployment violates that assumption — fail loudly rather
-    # than silently committing an empty segment (ADVICE r01).
-    if not part_stats and todo.limit(1).count() > 0:
-        raise RuntimeError(
-            "fused build kernels produced no partition stats in "
-            f"{staging}/doc_meta — executors do not share the driver's "
-            "staging filesystem; mount a shared staging root (NFS/fuse) or "
-            "use a shared POSIX path for index_root"
-        )
+        # The side-write protocol requires executors to share the staging
+        # filesystem with the driver (true in local mode, NFS, or any
+        # fuse-mounted object store). If the kernels ran but the driver sees
+        # no stats, the deployment violates that assumption — fail loudly
+        # rather than silently committing an empty segment (ADVICE r01).
+        if not part_stats and todo.limit(1).count() > 0:
+            raise RuntimeError(
+                "fused build kernels produced no partition stats in "
+                f"{staging}/doc_meta — executors do not share the driver's "
+                "staging filesystem; pass shared_staging_fs=False to use "
+                "the two-pass build (all outputs via Spark committers)"
+            )
+    else:
+        part_stats = _two_pass_build(spark, todo, staging, cfg, seg_id)
 
     # --- promote partition dirs + lineage rows, atomically per partition --
     seg_meta_existing = store.read_seg_meta_merged(
