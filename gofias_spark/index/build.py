@@ -605,13 +605,19 @@ def build_segment(
     seg_meta.sum_dl = sum(p["sum_dl"] for p in parts)
     # min/max doc_id over the whole segment (committed + just-promoted) from
     # the doc_meta parquet footer stats — no recompute of the ranked lineage
-    live = [p for p in parts if p.get("n_docs", 0) > 0]
-    seg_meta.min_doc_id = min(
-        (p.get("min_doc_id", 0) for p in live), default=0
-    )
-    seg_meta.max_doc_id = max(
-        (p.get("max_doc_id", -1) for p in live), default=-1
-    )
+    # only lineage rows that actually carry id bounds participate (v1-era
+    # rows lack them; defaulting those to 0/-1 would corrupt the segment
+    # bounds on resume — ADVICE r01)
+    live = [
+        p
+        for p in parts
+        if p.get("n_docs", 0) > 0
+        and "min_doc_id" in p
+        and "max_doc_id" in p
+    ]
+    if live:
+        seg_meta.min_doc_id = min(p["min_doc_id"] for p in live)
+        seg_meta.max_doc_id = max(p["max_doc_id"] for p in live)
     store.compact_lineage(seg_meta)
 
     # term_stats: written per-partition by the kernel and promoted above;
