@@ -98,10 +98,12 @@ def score_and(
     # rarest term first: fewest postings in this partition
     order = sorted(qterms, key=lambda t: int(per_term[t]["n"].sum()))
     first = order[0]
-    cand, _, _ = _decode_term(per_term[first])
-    keep = _apply_mask(cand, allowed, excluded)
-    cand = cand[keep]
-    decoded: dict[str, tuple] = {}
+    first_ids, first_tf, first_dl = _decode_term(per_term[first])
+    keep = _apply_mask(first_ids, allowed, excluded)
+    cand = first_ids[keep]
+    # keep the rarest term's full decode for the scoring pass (otherwise a
+    # single-term query — the common hot case — decodes its postings twice)
+    decoded: dict[str, tuple] = {first: (first_ids, first_tf, first_dl)}
     for t in order[1:]:
         if cand.size == 0:
             return _empty()
