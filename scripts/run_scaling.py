@@ -130,7 +130,8 @@ CONTROL = r"""
 import json, sys, time
 import multiprocessing as mp
 
-def work(_):
+def mem_work(_):
+    # memory-heavy: large sort/copy churn — the regime index builds live in
     import numpy as np
     t0 = time.perf_counter()
     rng = np.random.default_rng(7)
@@ -139,17 +140,35 @@ def work(_):
         b = a.copy(); b.sort(); d = np.diff(b); s = d.cumsum()
     return time.perf_counter() - t0
 
+def cpu_work(_):
+    # cache-resident ALU: measures raw vCPU scaling with no memory churn
+    import numpy as np
+    t0 = time.perf_counter()
+    a = np.arange(200_000, dtype=np.uint64)
+    mul = np.uint64(0x9E3779B97F4A7C15)
+    inc = np.uint64(1)
+    sh = np.uint64(33)
+    for _ in range(1500):
+        a = a * mul + inc
+        a ^= a >> sh
+    float(a.sum())
+    return time.perf_counter() - t0
+
 if __name__ == "__main__":
-    out = {}
-    for n in (8, 32):
-        with mp.Pool(n) as p:
-            t0 = time.perf_counter()
-            p.map(work, range(n))
-            out[n] = time.perf_counter() - t0
-    eff = (32 / out[32]) / (8 / out[8]) / 4
+    res = {}
+    for name, fn in (("mem", mem_work), ("cpu", cpu_work)):
+        out = {}
+        for n in (8, 32):
+            with mp.Pool(n) as p:
+                t0 = time.perf_counter()
+                p.map(fn, range(n))
+                out[n] = time.perf_counter() - t0
+        res[name] = {"wall8": round(out[8], 2), "wall32": round(out[32], 2),
+                     "eff": round((32 / out[32]) / (8 / out[8]) / 4, 3)}
+    # legacy top-level fields mirror the memory control
     print("CONTROL " + json.dumps(
-        {"wall8": round(out[8], 2), "wall32": round(out[32], 2),
-         "eff": round(eff, 3)}))
+        {"wall8": res["mem"]["wall8"], "wall32": res["mem"]["wall32"],
+         "eff": res["mem"]["eff"], "cpu": res["cpu"], "mem": res["mem"]}))
 """
 
 
