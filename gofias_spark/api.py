@@ -50,11 +50,15 @@ class FulltextAPI:
         size: int = 100,
         from_: int = 0,
         filters: dict | None = None,
+        sort_by: list[tuple[str, str]] | None = None,
     ) -> DataFrame:
         """GetAddressByTerm analogue: AND match + filters + paging
-        (default size 100, fias.proto:126-128)."""
+        (default size 100, fias.proto:126-128). ``sort_by`` mirrors the
+        reference's attribute-first result orders (O1,
+        elasticAddressRepository.go:489-493)."""
         return self.engine.search(
-            term, k=size, offset=from_, mode="and", filters=filters
+            term, k=size, offset=from_, mode="and", filters=filters,
+            sort_by=sort_by,
         )
 
     def suggest(

@@ -106,6 +106,10 @@ def _fused_encode_factory(
                 ("path", "ascending"),
                 ("commit", "ascending"),
             ],
+            # match Spark's asc-nulls-FIRST (the two-pass path ranks via a
+            # JVM window orderBy asc): a null identity key must produce the
+            # same doc_id under either build mode (ADVICE r02)
+            null_placement="at_start",
         ).to_numpy(zero_copy_only=False)
         n_rows = tbl.num_rows
         rank_of_pos = np.empty(n_rows, dtype=np.int64)
@@ -608,16 +612,21 @@ def build_segment(
     # only lineage rows that actually carry id bounds participate (v1-era
     # rows lack them; defaulting those to 0/-1 would corrupt the segment
     # bounds on resume — ADVICE r01)
-    live = [
-        p
-        for p in parts
-        if p.get("n_docs", 0) > 0
-        and "min_doc_id" in p
-        and "max_doc_id" in p
+    live = [p for p in parts if p.get("n_docs", 0) > 0]
+    with_bounds = [
+        p for p in live if "min_doc_id" in p and "max_doc_id" in p
     ]
-    if live:
-        seg_meta.min_doc_id = min(p["min_doc_id"] for p in live)
-        seg_meta.max_doc_id = max(p["max_doc_id"] for p in live)
+    mins = [p["min_doc_id"] for p in with_bounds]
+    maxs = [p["max_doc_id"] for p in with_bounds]
+    if len(with_bounds) < len(live) and seg_meta.max_doc_id >= seg_meta.min_doc_id:
+        # some live partitions are v1-era rows without id bounds: the prior
+        # meta.json bounds cover them — seed the fold so the segment bound
+        # can only widen, never narrow (ADVICE r02)
+        mins.append(seg_meta.min_doc_id)
+        maxs.append(seg_meta.max_doc_id)
+    if mins:
+        seg_meta.min_doc_id = min(mins)
+        seg_meta.max_doc_id = max(maxs)
     store.compact_lineage(seg_meta)
 
     # term_stats: written per-partition by the kernel and promoted above;

@@ -142,6 +142,13 @@ def embedding_neardup_pairs(
     ``bits=None`` — exact all-pairs baseline: O(N^2) crossJoin; ONLY for
     oracle fixtures and recall measurement, never the default path.
     ``threshold`` additionally filters pairs to cosine >= threshold.
+
+    .. versionchanged:: round 2
+        BEHAVIOR CHANGE — the default moved from exact all-pairs
+        (``bits=None``) to approximate LSH (``bits=12``): results are now
+        approximate by default (pair-overlap vs exact gated at 0.95 in
+        tests/test_similarity_recall.py). Callers that need the exact
+        quadratic baseline must pass ``bits=None`` explicitly.
     """
     left = vectors.select(
         F.col(id_col).alias("a"), _as_double(F.col(vec_col)).alias("_va")

@@ -370,7 +370,13 @@ class SearchEngine:
 
     def _sort_spec(self, sort_by):
         """Normalize sort_by -> (attr list, pandas cols, asc flags, spark cols)
-        with doc_id asc appended as the deterministic final tie-break."""
+        with doc_id asc appended as the deterministic final tie-break.
+
+        Nulls sort LAST in every stage: the per-partition pandas kernels and
+        the driver re-sort use na_position='last', so the global Spark merge
+        must use asc_nulls_last/desc_nulls_last — F.asc alone places nulls
+        FIRST and would select page membership under a different order than
+        it presents (ADVICE r02, medium)."""
         keys = list(sort_by) + [("doc_id", "asc")]
         attrs, pd_cols, asc, spark_cols = [], [], [], []
         meta_fields = {f.name: f.dataType for f in self.doc_meta.schema.fields}
@@ -384,7 +390,9 @@ class SearchEngine:
                     attrs.append(col)
             pd_cols.append(col)
             asc.append(up)
-            spark_cols.append(F.asc(col) if up else F.desc(col))
+            spark_cols.append(
+                F.asc_nulls_last(col) if up else F.desc_nulls_last(col)
+            )
         return attrs, pd_cols, asc, spark_cols
 
     def _search_sorted(
@@ -409,9 +417,9 @@ class SearchEngine:
             if len(r):
                 meta = self._local_meta.reset_index(drop=True)
                 r = r.merge(meta[["doc_id"] + attrs], on="doc_id", how="left")
-                r = r.sort_values(by=pd_cols, ascending=asc).iloc[
-                    offset : offset + k
-                ]
+                r = r.sort_values(
+                    by=pd_cols, ascending=asc, na_position="last"
+                ).iloc[offset : offset + k]
             return self._finish_sorted(r, attrs, with_meta, pd_cols, asc)
 
         cond = compile_filters(filters)
@@ -447,7 +455,9 @@ class SearchEngine:
             pos = np.searchsorted(allowed, r["doc_id"].to_numpy())
             for a in attrs:
                 r[a] = rp[a].to_numpy()[pos]
-            r = r.sort_values(by=pd_cols, ascending=asc).head(topn)
+            r = r.sort_values(
+                by=pd_cols, ascending=asc, na_position="last"
+            ).head(topn)
             return r[["doc_id", "score"] + attrs]
 
         scored = (
@@ -489,7 +499,7 @@ class SearchEngine:
                 F.col("doc_id").isin(ids)
             ).toPandas()[["doc_id"] + need]
         out = pdf.merge(meta_pdf, on="doc_id", how="left")
-        out = out.sort_values(by=pd_cols, ascending=asc)
+        out = out.sort_values(by=pd_cols, ascending=asc, na_position="last")
         return self.spark.createDataFrame(
             out[[f.name for f in schema.fields]], schema
         )

@@ -16,6 +16,18 @@ Routes (reference analogues):
     GET /api/v1/count?term=..[&lang=..]                          _count
     GET /api/v1/version                                          GetVersion
     GET /health                                                  CheckHealth
+
+Filter params (F7 route compilation — the reference compiles Level.Min/Max
+into ES `range` queries per filtered route, addressHandler.go:140-165):
+    lang=..&repo=..&path_prefix=..      equality / prefix filters
+    <field>.gte= .gt= .lte= .lt= .neq=  range predicates (F4), e.g.
+                                        doclen.gte=100&doclen.lt=500
+    sort=field[:asc|desc],...           attribute-first composite sort (O1);
+                                        `_score` names the BM25 score
+
+``size``/``from`` are clamped (size <= 1000, from <= 10000, mirroring ES's
+index.max_result_window): beyond them the gateway returns 400 instead of
+scheduling an unbounded top-k on a long-lived serving driver (ADVICE r02).
 """
 
 from __future__ import annotations
@@ -28,11 +40,68 @@ from urllib.parse import parse_qs, urlparse
 from gofias_spark.api import FulltextAPI
 
 _FILTER_FIELDS = ("lang", "repo", "path_prefix")
+_RANGE_OPS = ("gte", "gt", "lte", "lt", "neq")
+MAX_SIZE = 1000
+MAX_FROM = 10000
+
+
+class BadRequest(ValueError):
+    pass
+
+
+def _coerce(v: str):
+    """Range operand: int -> float -> string, first parse wins (doclen is
+    numeric; lang/commit-style fields compare as strings)."""
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    return v
 
 
 def _filters_from_query(q: dict) -> dict | None:
-    f = {k: q[k][0] for k in _FILTER_FIELDS if k in q}
+    f: dict = {k: q[k][0] for k in _FILTER_FIELDS if k in q}
+    for key, vals in q.items():
+        if "." not in key:
+            continue
+        field, op = key.rsplit(".", 1)
+        if op not in _RANGE_OPS:
+            continue
+        if not isinstance(f.get(field, {}), dict):
+            raise BadRequest(f"field {field!r} has both equality and range")
+        f.setdefault(field, {})[op] = _coerce(vals[0])
     return f or None
+
+
+def _sort_from_query(q: dict) -> list[tuple[str, str]] | None:
+    """``sort=ao_level:asc,_score:desc`` -> [(field, dir), ...]."""
+    if "sort" not in q:
+        return None
+    keys = []
+    for part in q["sort"][0].split(","):
+        part = part.strip()
+        if not part:
+            continue
+        field, _, direction = part.partition(":")
+        direction = direction or "asc"
+        if direction not in ("asc", "desc"):
+            raise BadRequest(f"bad sort direction {direction!r}")
+        keys.append((field, direction))
+    return keys or None
+
+
+def _page(q: dict, default_size: int) -> tuple[int, int]:
+    try:
+        size = int(q.get("size", [str(default_size)])[0])
+        from_ = int(q.get("from", ["0"])[0])
+    except ValueError as exc:
+        raise BadRequest(f"bad paging param: {exc}") from None
+    if not 0 <= size <= MAX_SIZE:
+        raise BadRequest(f"size must be in [0, {MAX_SIZE}]")
+    if not 0 <= from_ <= MAX_FROM:
+        raise BadRequest(f"from must be in [0, {MAX_FROM}]")
+    return size, from_
 
 
 def _rows(df) -> list[dict]:
@@ -61,17 +130,20 @@ def make_handler(api: FulltextAPI):
                 elif url.path == "/api/v1/version":
                     self._json(api.version())
                 elif url.path == "/api/v1/address/term":
+                    size, from_ = _page(q, default_size=100)
                     df = api.search_by_term(
                         q.get("term", [""])[0],
-                        size=int(q.get("size", ["100"])[0]),
-                        from_=int(q.get("from", ["0"])[0]),
+                        size=size,
+                        from_=from_,
                         filters=_filters_from_query(q),
+                        sort_by=_sort_from_query(q),
                     )
                     self._json({"items": _rows(df)})
                 elif url.path == "/api/v1/suggests":
+                    size, _ = _page(q, default_size=10)
                     df = api.suggest(
                         q.get("term", [""])[0],
-                        size=int(q.get("size", ["10"])[0]),
+                        size=size,
                         filters=_filters_from_query(q),
                     )
                     self._json({"items": _rows(df)})
@@ -91,6 +163,8 @@ def make_handler(api: FulltextAPI):
                     self._json({"count": n})
                 else:
                     self._json({"error": "not found"}, code=404)
+            except BadRequest as exc:
+                self._json({"error": str(exc)}, code=400)
             except Exception as exc:  # fail-fast surface, like bulk errors
                 self._json({"error": str(exc)}, code=500)
 

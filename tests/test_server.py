@@ -80,3 +80,73 @@ def test_routes(gateway):
         assert res.get("error")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_range_and_sort_params(gateway):
+    """F4/O1 over the wire: <field>.gte/.lt range params and sort= reach the
+    engine's filters/sort_by (reference route compilation,
+    addressHandler.go:140-165)."""
+    api, base = gateway
+
+    status, res = _get(
+        base,
+        "/api/v1/address/term?term=common_util&size=5"
+        "&doclen.gte=100&doclen.lt=800",
+    )
+    assert status == 200 and len(res["items"]) > 0
+    direct = api.search_by_term(
+        "common_util", size=5, filters={"doclen": {"gte": 100, "lt": 800}}
+    ).collect()
+    assert [i["doc_id"] for i in res["items"]] == [
+        r["doc_id"] for r in direct
+    ]
+
+    status, res = _get(
+        base,
+        "/api/v1/address/term?term=common_util&size=5"
+        "&sort=lang:asc,_score:desc",
+    )
+    assert status == 200 and len(res["items"]) == 5
+    direct = api.search_by_term(
+        "common_util", size=5, sort_by=[("lang", "asc"), ("_score", "desc")]
+    ).collect()
+    assert [i["doc_id"] for i in res["items"]] == [
+        r["doc_id"] for r in direct
+    ]
+    langs = [i["lang"] for i in res["items"]]
+    assert langs == sorted(langs)
+
+    # range + sort compose on one route
+    status, res = _get(
+        base,
+        "/api/v1/address/term?term=common_util&size=3"
+        "&doclen.gte=100&sort=doclen:desc",
+    )
+    assert status == 200
+    lens = [i["doclen"] for i in res["items"]] if res["items"] and "doclen" in res["items"][0] else None
+    # doclen rides the result only when it is a sort attribute
+    assert lens is not None and lens == sorted(lens, reverse=True)
+    assert all(x >= 100 for x in lens)
+
+
+def _get_status(base, path):
+    try:
+        with urllib.request.urlopen(base + path, timeout=60) as r:
+            return r.status
+    except urllib.error.HTTPError as e:
+        return e.code
+
+
+def test_paging_clamps(gateway):
+    """size/from beyond the result-window cap return 400 instead of
+    scheduling an unbounded top-k (ADVICE r02: accidental DoS guard,
+    mirroring ES index.max_result_window)."""
+    _, base = gateway
+    assert _get_status(base, "/api/v1/address/term?term=x&size=100000000") == 400
+    assert _get_status(base, "/api/v1/address/term?term=x&from=99999999") == 400
+    assert _get_status(base, "/api/v1/address/term?term=x&size=-1") == 400
+    assert _get_status(base, "/api/v1/address/term?term=x&size=abc") == 400
+    assert _get_status(base, "/api/v1/address/term?term=x&sort=lang:sideways") == 400
+    # equality + range on the same field is contradictory input
+    assert _get_status(base, "/api/v1/address/term?term=x&lang=py&lang.gte=a") == 400
+    assert _get_status(base, "/api/v1/suggests?term=x&size=5000") == 400

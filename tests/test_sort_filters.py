@@ -122,3 +122,42 @@ def test_unknown_sort_field_raises(engines):
     dist, _, _ = engines
     with pytest.raises(ValueError, match="unknown sort field"):
         dist.search("common_util", k=3, sort_by=[("nope", "asc")])
+
+
+def test_sort_null_attrs_consistent_across_paths(spark, tmp_path):
+    """Nullable sort attributes: page membership AND presentation order must
+    agree between the distributed composite-top-k path and the driver-side
+    searcher, with nulls LAST in all stages (ADVICE r02 medium: F.asc put
+    nulls first in the global merge while the kernels used na_position=last,
+    so the two paths returned different pages)."""
+    from pyspark.sql import functions as F
+
+    docs = synth_corpus(spark, 120).withColumn(
+        "lang",
+        F.when(F.crc32(F.col("path")) % 3 == 0, F.col("lang")),
+    )
+    n_null = docs.filter(F.col("lang").isNull()).count()
+    assert 0 < n_null < 120, "fixture must mix null and non-null langs"
+    root = str(tmp_path / "nullidx")
+    build_segment(spark, docs, root, CFG)
+    dist = SearchEngine(spark, root)
+    assert dist._local_blocks is None
+    local = SearchEngine(spark, root)
+    local.warm()
+    assert local._local_blocks is not None
+    for sort in (
+        [("lang", "asc"), ("_score", "desc")],
+        [("lang", "desc"), ("_score", "desc")],
+    ):
+        # k spans past the non-null langs so nulls are in-page
+        a = dist.search("common_util", k=50, sort_by=sort).collect()
+        b = local.search("common_util", k=50, sort_by=sort).collect()
+        assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b], sort
+        langs = [r["lang"] for r in a]
+        assert len(a) > 0 and None in langs
+        seen_null = False
+        for lang in langs:
+            if lang is None:
+                seen_null = True
+            else:
+                assert not seen_null, f"null sorted before non-null ({sort})"
