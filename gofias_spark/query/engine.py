@@ -42,6 +42,7 @@ from gofias_spark.analyzer import analyze_query
 from gofias_spark.config import AnalyzerConfig, BM25Params
 from gofias_spark.index.store import IndexStore
 from gofias_spark.query import kernel as K
+from gofias_spark.query.serve import ServeCache, state_token
 
 RESULT_SCHEMA = "doc_id long, score double"
 
@@ -94,9 +95,26 @@ def compile_filters(filters: dict | None):
 
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, index_root: str, cache: bool = True):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_root: str,
+        cache: bool = True,
+        serve: bool = True,
+        serve_max_postings: int = 4_000_000,
+    ):
+        """``serve``/``serve_max_postings``: the term-bucketed serve cache
+        (query/serve.py) handles unfiltered queries whose total posting
+        volume Σ df(term) fits the driver budget — a partition-pruned scan
+        of 1-3 tasks + driver-side kernel, so p50 is independent of index
+        partition count AND core count. Larger queries, attribute filters
+        and composite sorts stay on the distributed doc_part paths."""
         self.spark = spark
         self.store = IndexStore(index_root)
+        self._serve: ServeCache | None = None
+        self._serve_enabled = serve
+        self._serve_max = serve_max_postings
+        self._tomb_arr: np.ndarray | None = None
         self.manifest = self.store.read_manifest()
         cfg = self.manifest["config"]
         self.analyzer = AnalyzerConfig(**cfg["analyzer"])
@@ -176,6 +194,7 @@ class SearchEngine:
                     .toPandas()["doc_id"]
                     .to_numpy(dtype=np.int64)
                 )
+                self._tomb_arr = arr
                 self._tomb_bc = spark.sparkContext.broadcast(arr)
 
     # -- loading ------------------------------------------------------------
@@ -255,6 +274,8 @@ class SearchEngine:
         if self._stats.count() <= max_terms:
             pdf = self._stats.toPandas()
             self._stats_cache = dict(zip(pdf["term"], pdf["df"].astype(int)))
+        if self._serve_enabled and n_blocks > local_max_blocks:
+            self._build_serve(n_blocks)
         if 0 < n_blocks <= local_max_blocks:
             self._local_blocks = self.postings.toPandas()
             self._local_meta = self.doc_meta.select(
@@ -269,6 +290,30 @@ class SearchEngine:
                 if self._tombstones is not None
                 else None
             )
+
+    def _build_serve(self, n_blocks: int) -> None:
+        """Materialize the term-bucketed serve cache (idempotent per index
+        state: the token fingerprints committed segments/partitions, so a
+        re-opened engine reuses the existing parquet)."""
+        n_buckets = int(min(512, max(8, n_blocks // 1_500_000)))
+        self._serve = ServeCache.build(
+            self.spark,
+            self._union("postings"),
+            ServeCache.resolve_dir(self.store.root),
+            n_buckets,
+            state_token(self.manifest, self._seg_metas),
+        )
+
+    def _serve_route(self, dfs: dict[str, int], filters: dict | None) -> bool:
+        """True when the term-pruned driver path should serve this query:
+        no attribute filters (those ride the co-partitioned cogroup), the
+        tombstone set is driver-resident, and the total posting volume fits
+        the driver budget."""
+        if self._serve is None or filters:
+            return False
+        if self._tombstones is not None and self._tomb_arr is None:
+            return False
+        return sum(dfs.values()) <= self._serve_max
 
     # -- BM25 ---------------------------------------------------------------
     def _idf(self, df: int) -> float:
@@ -327,6 +372,10 @@ class SearchEngine:
             return self._local_search(
                 qterms, idf, topn, offset, k, mode, filters, with_meta
             )
+        if self._serve_route(dfs, filters):
+            return self._serve_search(
+                qterms, idf, topn, offset, k, mode, with_meta
+            )
         params = dict(
             qterms=qterms,
             idf=idf,
@@ -348,13 +397,16 @@ class SearchEngine:
             .toPandas()
             .iloc[offset : offset + k]
         )
+        return self._attach_meta(topk_pdf, with_meta)
+
+    def _attach_meta(self, topk_pdf: pd.DataFrame, with_meta: bool) -> DataFrame:
+        """k-row display lookup: doc_id IN (ids) pruned scan of the
+        doc_id-sorted meta cache, merged driver-side — cheaper and
+        lower-latency than a broadcast join stage for k ~ 10..100 rows."""
         if not with_meta:
             return self.spark.createDataFrame(topk_pdf, schema=RESULT_SCHEMA)
         if len(topk_pdf) == 0:
             return self._empty_result(True)
-        # display-column lookup: k ids against the doc_id-sorted meta cache
-        # (batch min/max pruned isin scan), merged driver-side — cheaper and
-        # lower-latency than a broadcast join stage for k ~ 10..100 rows
         ids = [int(x) for x in topk_pdf["doc_id"]]
         meta_pdf = self._meta_slim.filter(F.col("doc_id").isin(ids)).toPandas()
         out = topk_pdf.merge(meta_pdf, on="doc_id", how="left")[
@@ -367,6 +419,20 @@ class SearchEngine:
                 "commit string, lang string, sha256 string"
             ),
         )
+
+    def _serve_search(
+        self, qterms, idf, topn, offset, k, mode, with_meta
+    ) -> DataFrame:
+        """Term-pruned path: partition-pruned scan of the serve cache (tasks
+        ∝ query terms), kernels run driver-side on the collected blocks —
+        results identical to the distributed path by construction."""
+        blocks = self._serve.fetch(qterms)
+        fn = K.score_and if mode == "and" else K.score_or
+        r = fn(
+            blocks, qterms, idf, self.avgdl, self.bm25.k1, self.bm25.b, topn,
+            excluded=self._tomb_arr,
+        ).iloc[offset : offset + k]
+        return self._attach_meta(r, with_meta)
 
     def _sort_spec(self, sort_by):
         """Normalize sort_by -> (attr list, pandas cols, asc flags, spark cols)
@@ -650,34 +716,15 @@ class SearchEngine:
                 [], "query string, doc_id long, score double, rank int"
             )
         union_terms = sorted({t for ts, _ in plans.values() for t in ts})
-        blocks = self.postings.filter(F.col("term").isin(union_terms))
-        right, right_kind = self._right_side(filters)
         avgdl, k1, b = self.avgdl, self.bm25.k1, self.bm25.b
         fn = K.score_and if mode == "and" else K.score_or
+        batch_schema = "query string, doc_id long, score double"
 
-        def kernel(left: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
-            if len(left) == 0:
-                return pd.DataFrame(
-                    {
-                        "query": pd.Series(dtype="object"),
-                        "doc_id": pd.Series(dtype="int64"),
-                        "score": pd.Series(dtype="float64"),
-                    }
-                )
-            allowed = excluded = None
-            ids = (
-                np.sort(right_pdf["doc_id"].to_numpy(dtype=np.int64))
-                if len(right_pdf)
-                else np.empty(0, dtype=np.int64)
-            )
-            if right_kind == "allowed":
-                allowed = ids
-            elif right_kind == "excluded":
-                excluded = ids
+        def score_plans(blocks_pdf, allowed, excluded) -> pd.DataFrame:
             outs = []
             for qid, (terms, idf) in plans.items():
                 r = fn(
-                    left[left["term"].isin(terms)],
+                    blocks_pdf[blocks_pdf["term"].isin(terms)],
                     terms, idf, avgdl, k1, b, k,
                     allowed=allowed, excluded=excluded,
                 )
@@ -695,18 +742,77 @@ class SearchEngine:
                 )
             return pd.concat(outs)[["query", "doc_id", "score"]]
 
-        if right is not None:
+        # driver-side paths: whole-index local searcher, or the term-pruned
+        # serve fetch (one partition-pruned scan for the WHOLE batch)
+        sub_dfs = {t: dfs[t] for t in union_terms}
+        r = None
+        if self._local_blocks is not None:
+            allowed, excluded = self._local_masks(filters)
+            r = score_plans(self._local_blocks, allowed, excluded)
+        elif self._serve_route(sub_dfs, filters):
+            r = score_plans(
+                self._serve.fetch(union_terms), None, self._tomb_arr
+            )
+        if r is not None:
+            if len(r) == 0:
+                return self.spark.createDataFrame(
+                    [], "query string, doc_id long, score double, rank int"
+                )
+            # each query's rows leave the kernel already sorted by
+            # (score desc, doc_id asc) — the Window ordering of the
+            # distributed path — so rank is positional per query
+            r = r.reset_index(drop=True)
+            r["rank"] = (r.groupby("query").cumcount() + 1).astype("int32")
+            return self.spark.createDataFrame(
+                r, schema="query string, doc_id long, score double, rank int"
+            )
+
+        blocks = self.postings.filter(F.col("term").isin(union_terms))
+        right, right_kind = self._right_side(filters)
+        if right is None or (
+            right_kind == "excluded" and self._tomb_bc is not None
+        ):
+            # unfiltered fast path: mapInPandas — ONE python call per cache
+            # partition (the kernels tolerate any doc_id mix), not one
+            # per-doc_part group (VERDICT r02 #4; mirrors _scored_frame)
+            tomb_bc = self._tomb_bc if right is not None else None
+
+            def many_map(batches):
+                pdfs = list(batches)
+                if not pdfs:
+                    return
+                pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
+                excluded = tomb_bc.value if tomb_bc is not None else None
+                yield score_plans(pdf, None, excluded)
+
+            scored = blocks.mapInPandas(many_map, schema=batch_schema)
+        else:
+
+            def cokernel(left: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+                if len(left) == 0:
+                    return pd.DataFrame(
+                        {
+                            "query": pd.Series(dtype="object"),
+                            "doc_id": pd.Series(dtype="int64"),
+                            "score": pd.Series(dtype="float64"),
+                        }
+                    )
+                allowed = excluded = None
+                ids = (
+                    np.sort(right_pdf["doc_id"].to_numpy(dtype=np.int64))
+                    if len(right_pdf)
+                    else np.empty(0, dtype=np.int64)
+                )
+                if right_kind == "allowed":
+                    allowed = ids
+                elif right_kind == "excluded":
+                    excluded = ids
+                return score_plans(left, allowed, excluded)
+
             scored = (
                 blocks.groupby("doc_part")
                 .cogroup(right.groupby("doc_part"))
-                .applyInPandas(
-                    kernel, schema="query string, doc_id long, score double"
-                )
-            )
-        else:
-            scored = blocks.groupby("doc_part").applyInPandas(
-                lambda pdf: kernel(pdf, pd.DataFrame({"doc_id": []})),
-                schema="query string, doc_id long, score double",
+                .applyInPandas(cokernel, schema=batch_schema)
             )
         w = Window.partitionBy("query").orderBy(
             F.desc("score"), F.asc("doc_id")
@@ -773,6 +879,10 @@ class SearchEngine:
             lb = self._local_blocks[self._local_blocks["term"].isin(qterms)]
             allowed, excluded = self._local_masks(filters)
             return K.count_and(lb, qterms, allowed=allowed, excluded=excluded)
+        if self._serve_route(dfs, filters):
+            return K.count_and(
+                self._serve.fetch(qterms), qterms, excluded=self._tomb_arr
+            )
         blocks = self.postings.filter(F.col("term").isin(qterms))
         right, right_kind = self._right_side(filters)
         if right is None or (right_kind == "excluded" and self._tomb_bc is not None):

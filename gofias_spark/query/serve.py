@@ -1,0 +1,166 @@
+"""Term-bucketed parquet serve cache — the low-latency query path.
+
+Motivation (round-2 verdict, top item): the doc_part-partitioned in-memory
+postings cache schedules one task per cache partition for EVERY query,
+regardless of which terms the query touches — so per-query latency has a
+floor proportional to the index's partition count and *rises* with core
+count (task-launch overhead scales with concurrently-started Python
+workers). A serving query should schedule work proportional to ITS OWN
+terms, not to the index size.
+
+Layout: the postings blocks are re-keyed by ``pid = crc32(term) %
+n_buckets`` and written ONCE as hive-partitioned parquet
+(``pid=K/part-*.parquet``), term-sorted within each file with small row
+groups. ``pid`` is driver-computable (``zlib.crc32`` — bit-identical to
+Spark's ``crc32(encode(term,'utf-8'))``, parity-tested), so each query's
+scan filter ``pid IN (<buckets of its terms>)`` is eliminated at PLANNING
+time by Catalyst partition pruning: the job schedules only the file splits
+that can contain the query's terms (typically 1-3 tasks, independent of
+index size and core count), and the ``term IN (...)`` predicate pushes
+down to parquet row-group stats inside them (term-sorted ⇒ tight min/max).
+The selected blocks are collected (bounded: the engine routes here only
+when Σ df(term) ≤ ``serve_max_postings``) and scored with the SAME numpy
+kernels (query/kernel.py) driver-side — identical results to the
+distributed path by construction.
+
+At 10^12-doc scale this is the classic two-tier serving split: the vast
+majority of queries (Zipf) touch rare-to-moderate terms and read only
+their own postings from a term-partitioned store; queries whose posting
+volume exceeds the driver budget fall back to the document-partitioned
+distributed WAND path (engine.py) where the intersection work spreads over
+the cluster. The reference gets the same effect from Lucene's term
+dictionary inside each ES shard; Spark-side, hive partition pruning + row-
+group pruning ARE the term dictionary.
+
+The cache lives under ``<index_root>/serve_cache/<token>/`` where the
+token fingerprints the manifest's segment state — a delta import
+invalidates it naturally; tombstones do NOT invalidate it (they are
+applied query-time as an excluded-id mask, exactly like the distributed
+path). Falls back to a temp dir when the index root is not writable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import shutil
+import zlib
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# columns the scoring kernels consume (doc_part is irrelevant driver-side:
+# kernels sort decoded ids globally)
+BLOCK_COLS = ["term", "n", "base", "last", "tf_max", "dl_min", "docs", "tfs", "dls"]
+
+
+def pid_of(term: str, n_buckets: int) -> int:
+    """Driver-side bucket of a term. MUST match the Spark expression in
+    ``build`` (pmod over crc32 of the utf-8 bytes): zlib.crc32 returns the
+    same unsigned CRC-32 (IEEE) as Spark's ``crc32`` function."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def state_token(manifest: dict, seg_metas: dict) -> str:
+    """Fingerprint of the postings-affecting index state: segments and their
+    committed partitions. Tombstones/stats deltas excluded — they are
+    query-time masks, not postings bytes."""
+    state = {
+        "segments": sorted(manifest.get("segments", [])),
+        "parts": {
+            str(s): sorted(
+                (p["part"], p.get("rows", 0)) for p in m.partitions
+            )
+            for s, m in seg_metas.items()
+        },
+    }
+    return hashlib.sha256(
+        json.dumps(state, sort_keys=True).encode()
+    ).hexdigest()[:16]
+
+
+class ServeCache:
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int):
+        self.spark = spark
+        self.path = str(path)
+        self.n_buckets = n_buckets
+        # one reader DataFrame for the engine's lifetime: the file listing
+        # is cached in its InMemoryFileIndex, so per-query planning does not
+        # re-list the directory
+        self._df = spark.read.parquet(self.path)
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        postings: DataFrame,
+        dest: str | Path,
+        n_buckets: int,
+        token: str,
+    ) -> "ServeCache":
+        """Write the term-bucketed cache and return a reader over it.
+
+        One shuffle keyed on pid (bounded: n_buckets targets), term-sorted
+        within partitions so the partitionBy write preserves term order per
+        file; small parquet row groups keep the in-file term ranges tight
+        for row-group pruning."""
+        dest = Path(dest)
+        final = dest / token
+        if (final / "_SUCCESS").exists():
+            return cls(spark, str(final), n_buckets)
+        # drop stale tokens (prior index states) best-effort
+        if dest.exists():
+            for old in dest.iterdir():
+                shutil.rmtree(old, ignore_errors=True)
+        (
+            postings.select(*BLOCK_COLS)
+            .withColumn(
+                "pid",
+                F.pmod(
+                    F.crc32(F.encode(F.col("term"), "utf-8")),
+                    F.lit(n_buckets),
+                ).cast("int"),
+            )
+            .repartition(n_buckets, "pid")
+            .sortWithinPartitions("term", "base")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 2 * 1024 * 1024)
+            .partitionBy("pid")
+            .parquet(str(final))
+        )
+        return cls(spark, str(final), n_buckets)
+
+    @staticmethod
+    def resolve_dir(index_root: str | Path) -> Path:
+        """Preferred cache location: beside the index. Falls back to a temp
+        dir (tmpfs when present) if the root is not writable."""
+        root = Path(index_root)
+        cand = root / "serve_cache"
+        try:
+            cand.mkdir(parents=True, exist_ok=True)
+            probe = cand / ".write_probe"
+            probe.write_text("")
+            probe.unlink()
+            return cand
+        except OSError:
+            import tempfile
+
+            base = "/dev/shm" if Path("/dev/shm").is_dir() else None
+            return Path(tempfile.mkdtemp(prefix="gofias_serve_", dir=base))
+
+    # -- query-time ----------------------------------------------------------
+    def scan(self, qterms: list[str]) -> DataFrame:
+        """The pruned scan plan for a query's terms (exposed for plan
+        tests): pid IN (...) prunes hive partitions at planning time,
+        term IN (...) pushes down to row groups."""
+        pids = sorted({pid_of(t, self.n_buckets) for t in qterms})
+        return self._df.filter(
+            F.col("pid").isin(pids) & F.col("term").isin(list(qterms))
+        ).select(*BLOCK_COLS)
+
+    def fetch(self, qterms: list[str]) -> pd.DataFrame:
+        """Collect the blocks of ``qterms`` to the driver (Arrow)."""
+        return self.scan(qterms).toPandas()

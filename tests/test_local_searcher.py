@@ -41,8 +41,8 @@ def _rows(df):
 
 
 def test_local_equals_distributed(spark, ref_index):
-    dist = SearchEngine(spark, ref_index)
-    dist.warm(local_max_blocks=0)  # force distributed
+    dist = SearchEngine(spark, ref_index, serve=False)
+    dist.warm(local_max_blocks=0)  # force distributed (serve off too)
     loc = SearchEngine(spark, ref_index, cache=False)
     loc.warm()  # refcorpus is tiny -> local searcher engages
     assert loc._local_blocks is not None and dist._local_blocks is None

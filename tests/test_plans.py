@@ -85,3 +85,23 @@ def test_topk_is_take_ordered(engine):
     scored = engine._scored_frame(blocks, K.score_and, params, None)
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(5)
     assert C.uses_take_ordered(topk)
+
+
+def test_search_many_unfiltered_uses_map_not_groupby(engine):
+    """VERDICT r02 #4: the unfiltered batched-search plan must be the
+    one-call-per-partition mapInPandas path (MapInPandas node), NOT a
+    per-doc_part FlatMapGroupsInPandas — at 512 doc_parts the grouping costs
+    one Python/Arrow roundtrip per group per batch."""
+    df = engine.search_many(["common_util", "func return"], k=5)
+    plan = C.physical_plan(df)
+    assert "MapInPandas" in plan, plan[:2000]
+    assert "FlatMapGroupsInPandas" not in plan, plan[:2000]
+    assert "FlatMapCoGroupsInPandas" not in plan, plan[:2000]
+
+
+def test_search_many_filtered_uses_cogroup(engine):
+    """Filtered batched search keeps the co-partitioned cogroup (the
+    allowed-ids side rides doc_part, no shuffle)."""
+    df = engine.search_many(["common_util"], k=5, filters={"lang": "py"})
+    plan = C.physical_plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:2000]

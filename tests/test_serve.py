@@ -1,0 +1,166 @@
+"""Term-bucketed serve cache (query/serve.py): the low-latency path must be
+result-identical to the distributed cogroup path and the driver-side
+searcher, its scan must be PARTITION-pruned (tasks ∝ query terms, not index
+size — VERDICT r02 #1), and its pid hash must match Spark's crc32."""
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from gofias_spark.config import IndexConfig
+from gofias_spark.corpus import load_refcorpus, synth_corpus
+from gofias_spark.index.build import build_segment
+from gofias_spark.index.merge import apply_delta
+from gofias_spark.plans.checks import physical_plan
+from gofias_spark.query.engine import SearchEngine
+from gofias_spark.query.serve import pid_of
+
+CFG = IndexConfig(n_buckets=5, block_size=16)
+
+
+@pytest.fixture(scope="module")
+def roots(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("serveidx"))
+    build_segment(spark, synth_corpus(spark, 400), root, CFG)
+    # a delta so tombstones exercise the serve path's excluded mask
+    dels = spark.createDataFrame(
+        [(r["path"], r["commit"])
+         for r in SearchEngine(spark, root)
+         .doc_meta.filter(F.col("repo") == "org1/project1")
+         .select("path", "commit").limit(3).collect()],
+        "path string, commit string",
+    ).selectExpr("'org1/project1' as repo", "path", "commit")
+    apply_delta(spark, root, deletes=dels)
+    return root
+
+
+@pytest.fixture(scope="module")
+def engines(spark, roots):
+    served = SearchEngine(spark, roots)
+    served.warm(local_max_blocks=0)  # skip local searcher -> serve engages
+    assert served._serve is not None and served._local_blocks is None
+    dist = SearchEngine(spark, roots, serve=False)
+    dist.warm(local_max_blocks=0)
+    assert dist._serve is None
+    local = SearchEngine(spark, roots, cache=False)
+    local.warm()
+    assert local._local_blocks is not None
+    return served, dist, local
+
+
+def test_pid_parity_with_spark_crc32(spark):
+    """Driver-side zlib.crc32 bucket == the Spark expression used at cache
+    build time, for ascii and non-ascii terms."""
+    terms = ["func", "main", "common_util", "x", "переулок", "東京", "a_b9"]
+    n = 13
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(
+            "term",
+            F.pmod(F.crc32(F.encode(F.col("term"), "utf-8")), F.lit(n))
+            .cast("int")
+            .alias("pid"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert pid_of(r["term"], n) == r["pid"], r["term"]
+
+
+def _rows(df):
+    return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+
+def test_serve_equals_distributed_and_local(engines):
+    served, dist, local = engines
+    cases = [
+        dict(query="common_util", k=10),
+        dict(query="common_util helper", k=5),
+        dict(query="def return", k=8, mode="or"),
+        dict(query="common_util", k=7, offset=4),
+        dict(query="zzz_missing", k=5),
+    ]
+    for case in cases:
+        a, b, c = (
+            _rows(e.search(**case)) for e in (served, dist, local)
+        )
+        assert a == b == c, case
+    for q in ["common_util", "def", "zzz_missing"]:
+        assert served.count(q) == dist.count(q) == local.count(q)
+
+
+def test_serve_applies_tombstones(spark, engines, roots):
+    """Deleted docs must not surface on the serve path (query-time excluded
+    mask, same as distributed)."""
+    served, dist, _ = engines
+    no_tombs = SearchEngine(spark, roots)
+    dead = set(
+        no_tombs._tombstones.select("doc_id").toPandas()["doc_id"]
+    )
+    assert dead, "fixture must have tombstones"
+    ids = {r["doc_id"] for r in served.search("common_util", k=100).collect()}
+    assert not (ids & dead)
+
+
+def test_filtered_queries_stay_distributed(engines):
+    """Attribute filters ride the co-partitioned cogroup path — the serve
+    router must decline them (and results still agree)."""
+    served, dist, _ = engines
+    f = {"lang": "py"}
+    assert not served._serve_route({"common_util": 10}, f)
+    a = _rows(served.search("common_util", k=5, filters=f))
+    b = _rows(dist.search("common_util", k=5, filters=f))
+    assert a == b and len(a) > 0
+
+
+def test_serve_scan_is_partition_pruned(engines):
+    """The per-query scan must read only the hive partitions of the query's
+    term buckets: planning-time partition pruning shows in the scan node,
+    and the scheduled task count is bounded by the term count, not the
+    bucket count."""
+    served, _, _ = engines
+    scan = served._serve.scan(["common_util"])
+    plan = physical_plan(scan)
+    assert "PartitionFilters" in plan
+    # the pruned scan schedules at most one split per matching bucket
+    n_parts = scan.rdd.getNumPartitions()
+    assert n_parts <= 2, f"expected <=2 tasks for 1 term, got {n_parts}"
+    full = served._serve._df
+    assert full.rdd.getNumPartitions() >= served._serve.n_buckets
+
+
+def test_threshold_falls_back_to_distributed(spark, roots):
+    """serve_max_postings=0 -> every query exceeds the driver budget and
+    routes distributed; results unchanged."""
+    eng = SearchEngine(spark, roots, serve_max_postings=0)
+    eng.warm(local_max_blocks=0)
+    assert eng._serve is not None
+    assert not eng._serve_route({"common_util": 10}, None)
+    assert len(_rows(eng.search("common_util", k=5))) == 5
+
+
+def test_serve_cache_reused_across_engines(spark, roots):
+    """Same index state -> same token -> the second engine opens the
+    existing parquet instead of rewriting it."""
+    e1 = SearchEngine(spark, roots)
+    e1.warm(local_max_blocks=0)
+    path1 = e1._serve.path
+    e2 = SearchEngine(spark, roots)
+    e2.warm(local_max_blocks=0)
+    assert e2._serve.path == path1
+
+
+def test_serve_search_many_matches_distributed(spark, roots):
+    served = SearchEngine(spark, roots)
+    served.warm(local_max_blocks=0)
+    dist = SearchEngine(spark, roots, serve=False)
+    dist.warm(local_max_blocks=0)
+    queries = {"q1": "common_util", "q2": "def return", "q3": "zzz_missing"}
+    a = served.search_many(queries, k=5).toPandas()
+    b = dist.search_many(queries, k=5).toPandas()
+    key = ["query", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["score"].tolist() == pytest.approx(b["score"].tolist(), rel=1e-12)
