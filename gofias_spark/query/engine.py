@@ -302,6 +302,7 @@ class SearchEngine:
             ServeCache.resolve_dir(self.store.root),
             n_buckets,
             state_token(self.manifest, self._seg_metas),
+            doc_meta=self._meta_slim,
         )
 
     def _serve_route(self, dfs: dict[str, int], filters: dict | None) -> bool:
@@ -408,7 +409,13 @@ class SearchEngine:
         if len(topk_pdf) == 0:
             return self._empty_result(True)
         ids = [int(x) for x in topk_pdf["doc_id"]]
-        meta_pdf = self._meta_slim.filter(F.col("doc_id").isin(ids)).toPandas()
+        meta_pdf = (
+            self._serve.fetch_meta(ids) if self._serve is not None else None
+        )
+        if meta_pdf is None:
+            meta_pdf = self._meta_slim.filter(
+                F.col("doc_id").isin(ids)
+            ).toPandas()
         out = topk_pdf.merge(meta_pdf, on="doc_id", how="left")[
             ["doc_id", "score", "repo", "path", "commit", "lang", "sha256"]
         ]
@@ -547,7 +554,7 @@ class SearchEngine:
         if not with_meta:
             schema = T.StructType(base)
             if len(pdf) == 0:
-                return self.spark.createDataFrame([], schema)
+                return self.spark.createDataFrame([], schema).limit(0)
             return self.spark.createDataFrame(pdf[[f.name for f in base]], schema)
         display = ["repo", "path", "commit", "lang", "sha256"]
         need = [c for c in display if c not in attrs]
@@ -555,15 +562,22 @@ class SearchEngine:
             base + [T.StructField(c, T.StringType()) for c in need]
         )
         if len(pdf) == 0:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], schema).limit(0)
         ids = [int(x) for x in pdf["doc_id"]]
         if self._local_meta is not None:
             meta_pdf = self._local_meta.reset_index(drop=True)
             meta_pdf = meta_pdf[meta_pdf["doc_id"].isin(ids)][["doc_id"] + need]
         else:
-            meta_pdf = self._meta_slim.filter(
-                F.col("doc_id").isin(ids)
-            ).toPandas()[["doc_id"] + need]
+            meta_pdf = (
+                self._serve.fetch_meta(ids)
+                if self._serve is not None
+                else None
+            )
+            if meta_pdf is None:
+                meta_pdf = self._meta_slim.filter(
+                    F.col("doc_id").isin(ids)
+                ).toPandas()
+            meta_pdf = meta_pdf[["doc_id"] + need]
         out = pdf.merge(meta_pdf, on="doc_id", how="left")
         out = out.sort_values(by=pd_cols, ascending=asc, na_position="last")
         return self.spark.createDataFrame(
@@ -698,7 +712,7 @@ class SearchEngine:
         if not all_terms:
             return self.spark.createDataFrame(
                 [], "query string, doc_id long, score double, rank int"
-            )
+            ).limit(0)
         dfs = self._term_dfs(all_terms)
         plans: dict[str, tuple[list[str], dict[str, float]]] = {}
         for qid, ts in analyzed.items():
@@ -714,7 +728,7 @@ class SearchEngine:
         if not plans:
             return self.spark.createDataFrame(
                 [], "query string, doc_id long, score double, rank int"
-            )
+            ).limit(0)
         union_terms = sorted({t for ts, _ in plans.values() for t in ts})
         avgdl, k1, b = self.avgdl, self.bm25.k1, self.bm25.b
         fn = K.score_and if mode == "and" else K.score_or
@@ -757,7 +771,7 @@ class SearchEngine:
             if len(r) == 0:
                 return self.spark.createDataFrame(
                     [], "query string, doc_id long, score double, rank int"
-                )
+                ).limit(0)
             # each query's rows leave the kernel already sorted by
             # (score desc, doc_id asc) — the Window ordering of the
             # distributed path — so rank is positional per query
@@ -855,7 +869,10 @@ class SearchEngine:
             if with_meta
             else RESULT_SCHEMA
         )
-        return self.spark.createDataFrame([], schema=schema)
+        # .limit(0) folds to an empty LocalRelation (OptimizeLimitZero):
+        # collect() is then driver-side, vs the 1-task-per-default-parallelism
+        # job an RDD-backed empty frame schedules on EVERY collect
+        return self.spark.createDataFrame([], schema=schema).limit(0)
 
     def count(self, query: str | None = None, filters: dict | None = None) -> int:
         """Filtered count (A1 analogue, client.go:151-162)."""

@@ -46,7 +46,7 @@ def naive_bm25(
     if not query_terms:
         return docs.sparkSession.createDataFrame(
             [], schema=f"{id_col} long, score double"
-        )
+        ).limit(0)
     toks = docs.select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
     )

@@ -48,6 +48,7 @@ import zlib
 from pathlib import Path
 
 import pandas as pd
+import pyarrow.dataset as pads
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -89,7 +90,22 @@ class ServeCache:
         # one reader DataFrame for the engine's lifetime: the file listing
         # is cached in its InMemoryFileIndex, so per-query planning does not
         # re-list the directory
-        self._df = spark.read.parquet(self.path)
+        self._df = spark.read.parquet(str(Path(self.path) / "postings"))
+        # serving-tier readers: pyarrow datasets over the same files. The
+        # query hot path reads them DRIVER-side (hive-partition + row-group
+        # pruning happen in pyarrow) — zero Spark jobs, so per-query latency
+        # is file-IO-bound and independent of core count AND cluster size.
+        # On a real deployment the cache lives on shared storage and any
+        # serving node reads it the same way (pyarrow accepts fsspec
+        # filesystems); the Spark reader above stays for plan tests and as
+        # the executor-side path for cache-building jobs.
+        self._pads = pads.dataset(
+            str(Path(self.path) / "postings"), partitioning="hive"
+        )
+        meta_dir = Path(self.path) / "meta"
+        self._meta_ds = (
+            pads.dataset(str(meta_dir)) if meta_dir.exists() else None
+        )
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -100,16 +116,19 @@ class ServeCache:
         dest: str | Path,
         n_buckets: int,
         token: str,
+        doc_meta: DataFrame | None = None,
     ) -> "ServeCache":
         """Write the term-bucketed cache and return a reader over it.
 
         One shuffle keyed on pid (bounded: n_buckets targets), term-sorted
         within partitions so the partitionBy write preserves term order per
         file; small parquet row groups keep the in-file term ranges tight
-        for row-group pruning."""
+        for row-group pruning. ``doc_meta`` (display columns) is written as
+        a doc_id-range-sorted sidecar so the k-row display lookup after
+        top-k is a pruned driver-side read too."""
         dest = Path(dest)
         final = dest / token
-        if (final / "_SUCCESS").exists():
+        if (final / "_DONE").exists():
             return cls(spark, str(final), n_buckets)
         # drop stale tokens (prior index states) best-effort
         if dest.exists():
@@ -129,8 +148,19 @@ class ServeCache:
             .write.mode("overwrite")
             .option("parquet.block.size", 2 * 1024 * 1024)
             .partitionBy("pid")
-            .parquet(str(final))
+            .parquet(str(final / "postings"))
         )
+        if doc_meta is not None:
+            (
+                doc_meta.repartitionByRange(
+                    max(8, n_buckets // 4), "doc_id"
+                )
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .option("parquet.block.size", 1024 * 1024)
+                .parquet(str(final / "meta"))
+            )
+        (final / "_DONE").write_text("")
         return cls(spark, str(final), n_buckets)
 
     @staticmethod
@@ -162,5 +192,24 @@ class ServeCache:
         ).select(*BLOCK_COLS)
 
     def fetch(self, qterms: list[str]) -> pd.DataFrame:
-        """Collect the blocks of ``qterms`` to the driver (Arrow)."""
-        return self.scan(qterms).toPandas()
+        """Blocks of ``qterms``, read driver-side via pyarrow (no Spark
+        job): pid partitions pruned from directory names, term IN (...)
+        pruned against row-group stats (term-sorted files ⇒ tight
+        min/max), only matching row groups decoded."""
+        pids = sorted({pid_of(t, self.n_buckets) for t in qterms})
+        tbl = self._pads.to_table(
+            columns=BLOCK_COLS,
+            filter=pads.field("pid").isin(pids)
+            & pads.field("term").isin(list(qterms)),
+        )
+        return tbl.to_pandas()
+
+    def fetch_meta(self, doc_ids: list[int]) -> pd.DataFrame | None:
+        """Display columns for ≤k doc_ids — pruned driver-side read of the
+        doc_id-sorted meta sidecar (None when the sidecar is absent)."""
+        if self._meta_ds is None:
+            return None
+        tbl = self._meta_ds.to_table(
+            filter=pads.field("doc_id").isin([int(x) for x in doc_ids])
+        )
+        return tbl.to_pandas()
