@@ -276,6 +276,11 @@ def _q_dedup_simhash(spark, sf):
 
 
 def _q_minhash_lsh(spark, sf):  # approximate -> rows-only
+    """32 hashes / 8 bands here keeps the driver-run entry cheap; the
+    production banding is 64 hashes / 16 bands (r=4 rows/band, s-curve
+    midpoint (1/16)^(1/4) ≈ 0.5) and is recall-gated ≥ 0.95 against exact
+    jaccard-0.5 pairs in
+    tests/test_similarity_recall.py::test_minhash_candidate_recall_production_banding."""
     return D.minhash_lsh_candidates(
         _documents(spark, sf), num_hashes=32, bands=8, text_col="text"
     )

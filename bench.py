@@ -33,7 +33,17 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, repo)
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    # host-ceiling control bracketing the run (BASELINE.md §3): identical
+    # fixed numpy workloads at 8/32-way process parallelism, no Spark. When
+    # the control efficiencies are low, the hypervisor regime — not the
+    # engine — bounds every number below (round-over-round comparisons must
+    # compare like-regime runs).
+    from run_scaling import run_control
+
+    control_before = run_control()
     from pyspark.sql import functions as F
 
     from gofias_spark.config import IndexConfig
@@ -124,6 +134,41 @@ def main() -> None:
         repeat=1,
     )
 
+    # sf1-equivalent row (round-1 item #10): the parquet testdata tops out
+    # at sf0.1 (5k docs), where second-scale noise dominates round-to-round
+    # comparisons. Synthesize the deterministic 10x corpus (50k docs — same
+    # generator as the 2M-doc scaling runs, no external data) and time the
+    # same build + warm query set at a scale where the engine, not fixed
+    # overhead, is the signal.
+    sf1 = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SF1", "") != "1":
+        from gofias_spark.corpus import synth_corpus_distributed
+
+        sdocs = synth_corpus_distributed(spark, 50_000, num_parts=64)
+        sroot = tempfile.mkdtemp(prefix="gofias_bench_sf1_")
+        t0 = time.perf_counter()
+        build_segment(
+            spark, sdocs, sroot,
+            IndexConfig(n_buckets=max(8, min(128, 50_000 // 2000)),
+                        block_size=128),
+        )
+        sf1["build_secs"] = round(time.perf_counter() - t0, 3)
+        sf1["files_per_sec"] = round(50_000 / sf1["build_secs"], 1)
+        seng = SearchEngine(spark, sroot)
+        seng.warm()
+        seng.search("warmup", k=1).collect()
+        lat = []
+        for _ in range(3):
+            for q in ["index_1 search_2", "common_util", "elastic batch",
+                      "func worker"]:
+                lat.append(_timed(lambda: seng.search(q, k=10).collect()))
+        lat.sort()
+        sf1["query_p50_secs"] = round(lat[len(lat) // 2], 4)
+        sf1["n_docs"] = 50_000
+        shutil.rmtree(sroot, ignore_errors=True)
+
+    control_after = run_control()
+
     # naive_bm25 is the DIFFERENTIAL CHECK (index-free DataFrame scorer, by
     # design ~10-100x slower than the indexed engine): report it separately
     # so the headline value reflects the engine, not the semantics oracle
@@ -138,6 +183,8 @@ def main() -> None:
         "build_files_per_sec": round(n_docs / timings["index_build"], 1),
         "naive_bm25_differential_sec": round(timings["naive_bm25"], 3),
         "cpus": cpus,
+        "host_control": {"before": control_before, "after": control_after},
+        "sf1_synth": sf1,
     }
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()

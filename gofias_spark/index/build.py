@@ -578,12 +578,15 @@ def build_segment(
     # quadratic rewrite-meta-per-partition cost
     dest_root = store.seg_dir(seg_id) / "postings"
     dest_root.mkdir(parents=True, exist_ok=True)
+    prior_committed = store.committed_parts(seg_id)
     for part in sorted(set(moved_meta) | set(part_stats)):
         src = staging / "postings" / f"doc_part={part}"
         if src.exists():
-            dest = dest_root / f"doc_part={part}"
-            if not dest.exists():
-                src.rename(dest)
+            store.promote_dir(
+                src,
+                dest_root / f"doc_part={part}",
+                committed=part in prior_committed,
+            )
         s = part_stats.get(part, {})
         lineage = PartitionLineage(
             part=part,

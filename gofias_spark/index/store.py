@@ -40,6 +40,7 @@ from dataclasses import asdict, dataclass, field
 from pathlib import Path
 
 from gofias_spark.config import AnalyzerConfig, BM25Params, IndexConfig
+from gofias_spark.index.iofs import resolve_io
 
 MANIFEST = "manifest.json"
 
@@ -68,8 +69,14 @@ class SegmentMeta:
 
 
 class IndexStore:
-    def __init__(self, root: str | os.PathLike):
+    def __init__(self, root: str | os.PathLike, io=None):
+        """``io``: commit-primitive protocol (iofs.StoreIO shape). Defaults
+        to rename-based ``LocalIO``; pass ``ObjectStoreIO`` (or an fsspec
+        adapter with the same three methods) for stores without atomic
+        rename — promotion then publishes by idempotent copy and trusts
+        lineage membership instead of destination existence."""
         self.root = Path(root)
+        self.io = io if io is not None else resolve_io(root)
 
     # -- paths ------------------------------------------------------------
     def seg_dir(self, seg_id: int) -> Path:
@@ -105,13 +112,15 @@ class IndexStore:
 
     def write_manifest(self, manifest: dict) -> None:
         self.root.mkdir(parents=True, exist_ok=True)
-        tmp = self.root / f".{MANIFEST}.{uuid.uuid4().hex}.tmp"
         manifest = dict(manifest)
         manifest.setdefault("history", []).append(
             {"ts": time.time(), "segments": len(manifest.get("segments", []))}
         )
-        tmp.write_text(json.dumps(manifest, indent=2, sort_keys=True))
-        tmp.rename(self.root / MANIFEST)
+        # published LAST in every commit sequence; single-file publish is
+        # atomic under both protocols (rename / single-object PUT)
+        self.io.put_text(
+            self.root / MANIFEST, json.dumps(manifest, indent=2, sort_keys=True)
+        )
 
     def exists(self) -> bool:
         return (self.root / MANIFEST).exists()
@@ -131,7 +140,7 @@ class IndexStore:
     def write_seg_meta(self, meta: SegmentMeta) -> None:
         d = self.seg_dir(meta.seg_id)
         d.mkdir(parents=True, exist_ok=True)
-        (d / "meta.json").write_text(json.dumps(asdict(meta), indent=2))
+        self.io.put_text(d / "meta.json", json.dumps(asdict(meta), indent=2))
 
     # -- per-partition lineage log -----------------------------------------
     # Committing a partition must be O(1), not O(committed so far): rewriting
@@ -144,8 +153,7 @@ class IndexStore:
     def append_lineage(self, seg_id: int, lineage: dict) -> None:
         d = self.seg_dir(seg_id)
         d.mkdir(parents=True, exist_ok=True)
-        with open(d / "lineage.jsonl", "a") as f:
-            f.write(json.dumps(lineage) + "\n")
+        self.io.append_text(d / "lineage.jsonl", json.dumps(lineage) + "\n")
 
     def _read_lineage_log(self, seg_id: int) -> list[dict]:
         p = self.seg_dir(seg_id) / "lineage.jsonl"
@@ -204,21 +212,37 @@ class IndexStore:
     def promote_partition_dirs(
         self, staging: Path, seg_id: int, table: str
     ) -> list[int]:
-        """Move ``part=K`` dirs from a staged write into the segment dir.
-        Rename per partition — each partition commit is atomic."""
+        """Publish ``part=K`` dirs from a staged write into the segment dir,
+        one partition at a time (each publish is an independent commit).
+
+        An existing destination is trusted only under atomic rename (it can
+        only be a COMPLETE previous publish) or when the partition has a
+        committed lineage row; otherwise — a copy-based store crashed
+        mid-publish — it is overwritten (idempotent re-PUT)."""
         dest_root = self.seg_dir(seg_id) / table
         dest_root.mkdir(parents=True, exist_ok=True)
+        trusted = (
+            None if self.io.atomic_rename else self.committed_parts(seg_id)
+        )
         moved = []
         src_root = staging / table
         for part_dir in sorted(src_root.glob("doc_part=*")):
             part = int(part_dir.name.split("=", 1)[1])
             dest = dest_root / part_dir.name
-            if dest.exists():
+            if dest.exists() and (trusted is None or part in trusted):
                 shutil.rmtree(part_dir)
             else:
-                part_dir.rename(dest)
+                self.io.move_dir(part_dir, dest)
             moved.append(part)
         return moved
+
+    def promote_dir(self, src: Path, dest: Path, committed: bool) -> bool:
+        """Publish one staged dir; ``committed`` = the partition already has
+        a committed lineage row. Returns True when a publish happened."""
+        if dest.exists() and (self.io.atomic_rename or committed):
+            return False
+        self.io.move_dir(src, dest)
+        return True
 
     def cleanup_staging(self) -> None:
         d = self.root / "_staging"

@@ -158,3 +158,24 @@ def test_minhash_candidate_recall(docs):
         f"minhash-LSH candidate recall {recall:.2f} < 0.95 "
         f"({len(true_pairs)} true pairs)"
     )
+
+
+def test_minhash_candidate_recall_production_banding(docs):
+    """VERDICT r02 #7: gate the PRODUCTION banding 64 hashes / 16 bands
+    (r=4 rows/band — s-curve midpoint (1/16)^(1/4) ≈ 0.5, i.e. tuned for
+    the same jaccard-0.5 threshold; strictly more bands than the 32/8
+    fixture gate, so candidate recall can only improve)."""
+    exact = D.ngram_jaccard_pairs(
+        docs, threshold=0.5, n=3, text_col="text"
+    ).collect()
+    true_pairs = {(r["id_a"], r["id_b"]) for r in exact}
+    assert true_pairs, "fixture has no jaccard>=0.5 pairs; test is vacuous"
+    cand = D.minhash_lsh_candidates(
+        docs, num_hashes=64, bands=16, text_col="text"
+    ).collect()
+    cand_pairs = {(r["id_a"], r["id_b"]) for r in cand}
+    recall = len(cand_pairs & true_pairs) / len(true_pairs)
+    assert recall >= 0.95, (
+        f"minhash-LSH 64/16 candidate recall {recall:.2f} < 0.95 "
+        f"({len(true_pairs)} true pairs)"
+    )
