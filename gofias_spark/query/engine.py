@@ -276,6 +276,12 @@ class SearchEngine:
             self._stats_cache = dict(zip(pdf["term"], pdf["df"].astype(int)))
         if self._serve_enabled and n_blocks > local_max_blocks:
             self._build_serve(n_blocks)
+            if self._stats_cache is None:
+                # vocabulary too large for the driver dict: term-sorted
+                # stats sidecar keeps per-query df lookup a pruned pyarrow
+                # read instead of a Spark job (keyed by delta state — see
+                # ServeCache.attach_stats)
+                self._serve.attach_stats(self._stats, self._delta_token())
         if 0 < n_blocks <= local_max_blocks:
             self._local_blocks = self.postings.toPandas()
             self._local_meta = self.doc_meta.select(
@@ -322,9 +328,35 @@ class SearchEngine:
             np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
         )
 
+    def _delta_token(self) -> str:
+        """Fingerprint of the df-affecting delta state (tombstone + stats
+        correction files) — the key of the serve stats sidecar."""
+        import hashlib
+        import json
+
+        delta_dir = self.store.root / "stats_delta"
+        files = (
+            sorted(p.name for p in delta_dir.glob("*"))
+            if delta_dir.exists()
+            else []
+        )
+        state = {
+            "tomb": sorted(
+                self.manifest.get("tombstones", {}).get("files", [])
+            ),
+            "delta": files,
+        }
+        return hashlib.sha256(
+            json.dumps(state, sort_keys=True).encode()
+        ).hexdigest()[:12]
+
     def _term_dfs(self, qterms: list[str]) -> dict[str, int]:
         if self._stats_cache is not None:
             return {t: self._stats_cache.get(t, 0) for t in qterms}
+        if self._serve is not None:
+            found = self._serve.fetch_stats(qterms)
+            if found is not None:
+                return {t: found.get(t, 0) for t in qterms}
         rows = self._stats.filter(F.col("term").isin(qterms)).collect()
         found = {r["term"]: int(r["df"]) for r in rows}
         return {t: found.get(t, 0) for t in qterms}

@@ -213,3 +213,38 @@ class ServeCache:
             filter=pads.field("doc_id").isin([int(x) for x in doc_ids])
         )
         return tbl.to_pandas()
+
+    # -- term-stats sidecar --------------------------------------------------
+    def attach_stats(self, stats: DataFrame, delta_token: str) -> None:
+        """Write (or reopen) the term-sorted (term, df) sidecar for
+        vocabularies too large for the driver dict (warm's ``max_terms``).
+
+        Keyed SEPARATELY from the postings token: a delete-only delta
+        changes df (tombstones + stats_delta) without changing segment
+        state, so postings stay valid while stats must refresh —
+        ``delta_token`` fingerprints the tombstone/stats-delta files and a
+        reopened engine writes a fresh (vocab-sized, cheap) sidecar next to
+        the reused postings."""
+        d = Path(self.path) / f"stats_{delta_token}"
+        if not (d / "_SUCCESS").exists():
+            for old in Path(self.path).glob("stats_*"):
+                shutil.rmtree(old, ignore_errors=True)
+            (
+                stats.repartitionByRange(8, "term")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .option("parquet.block.size", 1024 * 1024)
+                .parquet(str(d))
+            )
+        self._stats_ds = pads.dataset(str(d))
+
+    def fetch_stats(self, terms: list[str]) -> dict[str, int] | None:
+        """df for each query term — pruned driver-side read of the
+        term-sorted stats sidecar (row-group stats make term IN (...)
+        touch only matching groups). None when no sidecar is attached."""
+        ds = getattr(self, "_stats_ds", None)
+        if ds is None:
+            return None
+        tbl = ds.to_table(filter=pads.field("term").isin(list(terms)))
+        pdf = tbl.to_pandas()
+        return dict(zip(pdf["term"], pdf["df"].astype(int)))

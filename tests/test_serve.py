@@ -151,6 +151,34 @@ def test_serve_cache_reused_across_engines(spark, roots):
     assert e2._serve.path == path1
 
 
+def test_stats_sidecar_when_vocab_exceeds_driver_dict(spark, roots):
+    """warm(max_terms=0) models a vocabulary too large for the driver
+    dict: df lookups must come from the term-sorted stats sidecar (pruned
+    pyarrow read, no Spark job) and produce identical scores; after a
+    delete-only delta the sidecar must refresh (df changes while the
+    postings token does not)."""
+    eng = SearchEngine(spark, roots)
+    eng.warm(max_terms=0, local_max_blocks=0)
+    assert eng._stats_cache is None
+    assert eng._serve.fetch_stats(["common_util"]) is not None
+    ref = SearchEngine(spark, roots, serve=False)
+    ref.warm(local_max_blocks=0)
+    a = _rows(eng.search("common_util helper", k=5))
+    b = _rows(ref.search("common_util helper", k=5))
+    assert a == b and len(a) > 0
+    # sidecar dfs must equal the delta-corrected stats frame, which the
+    # fixture's delete delta has already perturbed
+    true_dfs = {
+        r["term"]: int(r["df"])
+        for r in eng._stats.filter(
+            F.col("term").isin(["common_util", "func"])
+        ).collect()
+    }
+    assert eng._term_dfs(["common_util", "func"]) == {
+        t: true_dfs.get(t, 0) for t in ["common_util", "func"]
+    }
+
+
 def test_serve_search_many_matches_distributed(spark, roots):
     served = SearchEngine(spark, roots)
     served.warm(local_max_blocks=0)
