@@ -139,6 +139,26 @@ def _q_ft_sort_attr(spark, sf):
     )
 
 
+def _q_ft_filter_sort(spark, sf):
+    """F4+O1+O4 composed: range filter, attribute-first composite sort and
+    paging in ONE query — the gateway's full parameter surface (the
+    reference composes Level range + ao_level sort + from/size on the same
+    route, elasticAddressRepository.go:489-530). Served driver-side when
+    the posting volume fits the filtered serve budget (query/serve.py)."""
+    r = _engine(spark, sf).search(
+        "table scan",
+        k=8,
+        offset=2,
+        filters={"doclen": {"gte": 80, "lte": 600}},
+        sort_by=[("lang", "asc"), ("_score", "desc")],
+    )
+    return r.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "lang",
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _q_ft_paging(spark, sf):
     return _ft(_engine(spark, sf).search("data query", k=10, offset=5))
 
@@ -586,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_top1": _q_ft_top1,
         "ft_filter_range": _q_ft_filter_range,
         "ft_sort_attr": _q_ft_sort_attr,
+        "ft_filter_sort": _q_ft_filter_sort,
         "ft_paging": _q_ft_paging,
         "ft_count": _q_ft_count,
         "ft_prefix_top10": _q_ft_prefix,
@@ -788,6 +809,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ft_sort_attr": _bm25_sql(
             ["table", "scan"], 10, sort_lang_first=True
+        ),
+        "ft_filter_sort": _bm25_sql(
+            ["table", "scan"], 8, offset=2, dl_range=(80, 600),
+            sort_lang_first=True,
         ),
         "ft_paging": _bm25_sql(["data", "query"], 10, offset=5),
         "ft_count": f"""

@@ -94,6 +94,37 @@ def compile_filters(filters: dict | None):
     return cond
 
 
+def pandas_filter_mask(pdf: pd.DataFrame, filters: dict) -> pd.Series:
+    """``compile_filters`` semantics over a pandas frame — the single
+    driver-side filter evaluator (local searcher + serve tier), kept
+    bit-consistent with the Spark column expressions.
+
+    Spark null semantics are applied explicitly: a null attribute fails
+    EVERY predicate, including ``neq`` (``col != v`` is null → dropped),
+    which pandas would otherwise pass (``NaN != v`` is True)."""
+    mask = pd.Series(True, index=pdf.index)
+    for field, val in filters.items():
+        if field == "path_prefix":
+            mask &= pdf["path"].str.startswith(val).fillna(False)
+            continue
+        s = pdf[field]
+        notna = s.notna()
+        if isinstance(val, dict):
+            for op, v in val.items():
+                if op not in _RANGE_OPS:
+                    raise ValueError(f"unknown range operator {op!r}")
+                sub = np.zeros(len(pdf), dtype=bool)
+                sub[notna.to_numpy()] = _RANGE_OPS[op](
+                    s[notna], v
+                ).to_numpy(dtype=bool)
+                mask &= pd.Series(sub, index=pdf.index)
+        elif isinstance(val, (list, tuple, set)):
+            mask &= s.isin(list(val)) & notna
+        else:
+            mask &= (s == val) & notna
+    return mask
+
+
 class SearchEngine:
     def __init__(
         self,
@@ -102,18 +133,26 @@ class SearchEngine:
         cache: bool = True,
         serve: bool = True,
         serve_max_postings: int = 4_000_000,
+        serve_filtered_max: int = 500_000,
     ):
         """``serve``/``serve_max_postings``: the term-bucketed serve cache
         (query/serve.py) handles unfiltered queries whose total posting
         volume Σ df(term) fits the driver budget — a partition-pruned scan
         of 1-3 tasks + driver-side kernel, so p50 is independent of index
-        partition count AND core count. Larger queries, attribute filters
-        and composite sorts stay on the distributed doc_part paths."""
+        partition count AND core count.
+
+        ``serve_filtered_max``: tighter Σ df budget for attribute-filtered
+        and composite-sorted queries on the serve tier — these score ALL
+        candidates (no relevance pruning) and evaluate the filter/sort
+        attributes against the doc_id-sorted meta sidecar driver-side, so
+        the budget bounds the candidate meta read. Queries above either
+        budget stay on the distributed doc_part paths."""
         self.spark = spark
         self.store = IndexStore(index_root)
         self._serve: ServeCache | None = None
         self._serve_enabled = serve
         self._serve_max = serve_max_postings
+        self._serve_filtered_max = serve_filtered_max
         self._tomb_arr: np.ndarray | None = None
         self.manifest = self.store.read_manifest()
         cfg = self.manifest["config"]
@@ -308,19 +347,37 @@ class SearchEngine:
             ServeCache.resolve_dir(self.store.root),
             n_buckets,
             state_token(self.manifest, self._seg_metas),
-            doc_meta=self._meta_slim,
+            # the sidecar carries every filterable/sortable attribute (not
+            # just the display set): the serve tier evaluates filters and
+            # composite sort keys against it driver-side
+            doc_meta=self.doc_meta.select(
+                "doc_id", "repo", "path", "commit", "lang", "sha256", "doclen"
+            ),
         )
+
+    @staticmethod
+    def _filter_fields(filters: dict | None) -> set[str]:
+        return {
+            "path" if f == "path_prefix" else f for f in (filters or {})
+        }
 
     def _serve_route(self, dfs: dict[str, int], filters: dict | None) -> bool:
         """True when the term-pruned driver path should serve this query:
-        no attribute filters (those ride the co-partitioned cogroup), the
-        tombstone set is driver-resident, and the total posting volume fits
-        the driver budget."""
-        if self._serve is None or filters:
+        the tombstone set is driver-resident and the total posting volume
+        fits the driver budget. Attribute-filtered queries take the
+        (tighter) ``serve_filtered_max`` budget and additionally require
+        every filter field to exist in the meta sidecar — otherwise they
+        ride the co-partitioned cogroup path."""
+        if self._serve is None:
             return False
         if self._tombstones is not None and self._tomb_arr is None:
             return False
-        return sum(dfs.values()) <= self._serve_max
+        vol = sum(dfs.values())
+        if not filters:
+            return vol <= self._serve_max
+        if not self._filter_fields(filters) <= self._serve.meta_columns():
+            return False
+        return vol <= self._serve_filtered_max
 
     # -- BM25 ---------------------------------------------------------------
     def _idf(self, df: int) -> float:
@@ -399,7 +456,7 @@ class SearchEngine:
         topn = offset + k
         if sort_by:
             return self._search_sorted(
-                qterms, idf, k, offset, mode, filters, sort_by, with_meta
+                qterms, idf, dfs, k, offset, mode, filters, sort_by, with_meta
             )
         if self._local_blocks is not None:
             return self._local_search(
@@ -407,7 +464,7 @@ class SearchEngine:
             )
         if self._serve_route(dfs, filters):
             return self._serve_search(
-                qterms, idf, topn, offset, k, mode, with_meta
+                qterms, idf, topn, offset, k, mode, with_meta, filters
             )
         params = dict(
             qterms=qterms,
@@ -477,18 +534,64 @@ class SearchEngine:
         )
 
     def _serve_search(
-        self, qterms, idf, topn, offset, k, mode, with_meta
+        self, qterms, idf, topn, offset, k, mode, with_meta, filters=None
     ) -> DataFrame:
         """Term-pruned path: partition-pruned scan of the serve cache (tasks
         ∝ query terms), kernels run driver-side on the collected blocks —
-        results identical to the distributed path by construction."""
+        results identical to the distributed path by construction.
+
+        With attribute filters the kernel scores ALL candidates (filtering
+        happens after scoring, exactly like the distributed allowed-mask:
+        BM25 stats stay index-global either way), then evaluates the filter
+        against the meta sidecar in score order with a probe-then-full
+        backfill: one small meta read (8×topn highest-scored candidates)
+        satisfies any non-selective filter; only selective filters pay the
+        second, full-candidate read — bounded by ``serve_filtered_max``."""
         blocks = self._serve.fetch(qterms)
         fn = K.score_and if mode == "and" else K.score_or
-        r = fn(
-            blocks, qterms, idf, self.avgdl, self.bm25.k1, self.bm25.b, topn,
-            excluded=self._tomb_arr,
-        ).iloc[offset : offset + k]
-        return self._attach_meta(r, with_meta)
+        if not filters:
+            r = fn(
+                blocks, qterms, idf, self.avgdl, self.bm25.k1, self.bm25.b,
+                topn, excluded=self._tomb_arr,
+            ).iloc[offset : offset + k]
+            return self._attach_meta(r, with_meta)
+        cand = fn(
+            blocks, qterms, idf, self.avgdl, self.bm25.k1, self.bm25.b,
+            None, excluded=self._tomb_arr,
+        )
+        r = self._filter_candidates(cand, filters, topn)
+        return self._attach_meta(r.iloc[offset : offset + k], with_meta)
+
+    def _filter_candidates(
+        self, cand: pd.DataFrame, filters: dict, topn: int | None
+    ) -> pd.DataFrame:
+        """Score-ordered candidates surviving ``filters``, evaluated against
+        the meta sidecar driver-side (probe read first, full read only when
+        the probe can't fill ``topn``). ``topn=None`` evaluates everything
+        (count path)."""
+        if len(cand) == 0:
+            return cand[["doc_id", "score"]]
+        order = np.lexsort(
+            (cand["doc_id"].to_numpy(), -cand["score"].to_numpy())
+        )
+        cand = cand.iloc[order].reset_index(drop=True)
+        need = sorted(self._filter_fields(filters))
+        cols = ["doc_id"] + need
+
+        def survivors(chunk: pd.DataFrame) -> pd.DataFrame:
+            meta = self._serve.fetch_meta(chunk["doc_id"].tolist(), cols)
+            merged = chunk.merge(meta, on="doc_id", how="left")
+            return merged[pandas_filter_mask(merged, filters)]
+
+        if topn is not None:
+            probe_n = max(1024, 8 * topn)
+            head = survivors(cand.iloc[:probe_n])
+            if len(head) >= topn or probe_n >= len(cand):
+                return head[["doc_id", "score"]].iloc[:topn]
+        out = survivors(cand)
+        if topn is not None:
+            out = out.iloc[:topn]
+        return out[["doc_id", "score"]]
 
     def _sort_spec(self, sort_by):
         """Normalize sort_by -> (attr list, pandas cols, asc flags, spark cols)
@@ -517,14 +620,30 @@ class SearchEngine:
             )
         return attrs, pd_cols, asc, spark_cols
 
+    def _serve_sorted_route(self, dfs, filters, attrs) -> bool:
+        """Composite sorts on the serve tier: ALL candidates are scored and
+        their sort attributes read from the meta sidecar driver-side, so
+        the route takes the filtered budget and requires sidecar coverage
+        of both the sort attributes and any filter fields."""
+        if self._serve is None:
+            return False
+        if self._tombstones is not None and self._tomb_arr is None:
+            return False
+        need = set(attrs) | self._filter_fields(filters)
+        if not need <= self._serve.meta_columns():
+            return False
+        return sum(dfs.values()) <= self._serve_filtered_max
+
     def _search_sorted(
-        self, qterms, idf, k, offset, mode, filters, sort_by, with_meta
+        self, qterms, idf, dfs, k, offset, mode, filters, sort_by, with_meta
     ) -> DataFrame:
         """Composite-key top-k (O1/O2/O3): attribute keys can dominate the
         score, so relevance pruning is off (topn=None scores ALL matches);
         the sort attributes ride the cogroup right side — co-partitioned
         with the postings cache, no shuffle — and each partition emits its
-        composite top-n, merged by a global TakeOrderedAndProject."""
+        composite top-n, merged by a global TakeOrderedAndProject. Small
+        queries (Σ df within the filtered serve budget) instead score and
+        sort entirely driver-side against the serve cache + meta sidecar."""
         attrs, pd_cols, asc, spark_cols = self._sort_spec(sort_by)
         topn = offset + k
         params = dict(
@@ -542,6 +661,24 @@ class SearchEngine:
                 r = r.sort_values(
                     by=pd_cols, ascending=asc, na_position="last"
                 ).iloc[offset : offset + k]
+            return self._finish_sorted(r, attrs, with_meta, pd_cols, asc)
+
+        if self._serve_sorted_route(dfs, filters, attrs):
+            r = fn(
+                self._serve.fetch(qterms), excluded=self._tomb_arr, **params
+            )
+            if len(r):
+                need = sorted(set(attrs) | self._filter_fields(filters))
+                meta = self._serve.fetch_meta(
+                    r["doc_id"].tolist(), ["doc_id"] + need
+                )
+                r = r.merge(meta, on="doc_id", how="left")
+                if filters:
+                    r = r[pandas_filter_mask(r, filters)]
+                r = r.sort_values(
+                    by=pd_cols, ascending=asc, na_position="last"
+                ).iloc[offset : offset + k]
+            r = r[["doc_id", "score"] + attrs] if len(r) else r
             return self._finish_sorted(r, attrs, with_meta, pd_cols, asc)
 
         cond = compile_filters(filters)
@@ -683,24 +820,7 @@ class SearchEngine:
         mirroring _right_side semantics."""
         meta = self._local_meta
         if filters:
-            _ops = {
-                "gte": lambda s, v: s >= v,
-                "gt": lambda s, v: s > v,
-                "lte": lambda s, v: s <= v,
-                "lt": lambda s, v: s < v,
-                "neq": lambda s, v: s != v,
-            }
-            m = pd.Series(True, index=meta.index)
-            for field, val in filters.items():
-                if field == "path_prefix":
-                    m &= meta["path"].str.startswith(val)
-                elif isinstance(val, dict):
-                    for op, v in val.items():
-                        m &= _ops[op](meta[field], v)
-                elif isinstance(val, (list, tuple, set)):
-                    m &= meta[field].isin(list(val))
-                else:
-                    m &= meta[field] == val
+            m = pandas_filter_mask(meta, filters)
             allowed = np.sort(meta.loc[m, "doc_id"].to_numpy(dtype=np.int64))
             if self._local_tombs is not None and allowed.size:
                 allowed = allowed[
@@ -946,9 +1066,18 @@ class SearchEngine:
             allowed, excluded = self._local_masks(filters)
             return K.count_and(lb, qterms, allowed=allowed, excluded=excluded)
         if self._serve_route(dfs, filters):
-            return K.count_and(
-                self._serve.fetch(qterms), qterms, excluded=self._tomb_arr
+            if not filters:
+                return K.count_and(
+                    self._serve.fetch(qterms), qterms, excluded=self._tomb_arr
+                )
+            # scores are irrelevant to the count — zero idf keeps the same
+            # candidate set while skipping no work the kernel wouldn't do
+            cand = K.score_and(
+                self._serve.fetch(qterms), qterms,
+                {t: 0.0 for t in qterms}, self.avgdl,
+                self.bm25.k1, self.bm25.b, None, excluded=self._tomb_arr,
             )
+            return int(len(self._filter_candidates(cand, filters, None)))
         blocks = self.postings.filter(F.col("term").isin(qterms))
         right, right_kind = self._right_side(filters)
         if right is None or (right_kind == "excluded" and self._tomb_bc is not None):

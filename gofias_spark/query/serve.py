@@ -32,6 +32,15 @@ the cluster. The reference gets the same effect from Lucene's term
 dictionary inside each ES shard; Spark-side, hive partition pruning + row-
 group pruning ARE the term dictionary.
 
+Attribute-filtered and composite-sorted queries also serve driver-side
+when their posting volume fits the (tighter) filtered budget: the kernel
+scores ALL candidates (BM25 stats are index-global, so filtering after
+scoring is exact), then the filter/sort attributes are read from the
+doc_id-sorted meta sidecar — in score order with a probe-then-full
+backfill for filters, or in one candidate-set read for sorts. Fields
+missing from the sidecar (or over-budget queries) fall back to the
+distributed cogroup path, so stale caches degrade gracefully.
+
 The cache lives under ``<index_root>/serve_cache/<token>/`` where the
 token fingerprints the manifest's segment state — a delta import
 invalidates it naturally; tombstones do NOT invalidate it (they are
@@ -204,15 +213,28 @@ class ServeCache:
         )
         return tbl.to_pandas()
 
-    def fetch_meta(self, doc_ids: list[int]) -> pd.DataFrame | None:
-        """Display columns for ≤k doc_ids — pruned driver-side read of the
-        doc_id-sorted meta sidecar (None when the sidecar is absent)."""
+    def fetch_meta(
+        self, doc_ids: list[int], columns: list[str] | None = None
+    ) -> pd.DataFrame | None:
+        """Meta columns for a doc_id set — pruned driver-side read of the
+        doc_id-sorted meta sidecar (None when the sidecar is absent).
+        ``columns`` restricts the projection (filter/sort paths read only
+        the attribute columns they evaluate)."""
         if self._meta_ds is None:
             return None
         tbl = self._meta_ds.to_table(
-            filter=pads.field("doc_id").isin([int(x) for x in doc_ids])
+            columns=columns,
+            filter=pads.field("doc_id").isin([int(x) for x in doc_ids]),
         )
         return tbl.to_pandas()
+
+    def meta_columns(self) -> set[str]:
+        """Column names available in the meta sidecar (empty when absent) —
+        the serve router checks filter/sort fields against this before
+        committing a query to the driver-side path."""
+        if self._meta_ds is None:
+            return set()
+        return set(self._meta_ds.schema.names)
 
     # -- term-stats sidecar --------------------------------------------------
     def attach_stats(self, stats: DataFrame, delta_token: str) -> None:

@@ -51,6 +51,14 @@ def normalized(cand: dict) -> tuple[float, float]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--min-control", type=float, default=0.7)
+    ap.add_argument(
+        "--min-ceiling", type=float, default=0.5,
+        help="bracketing mem-control ceiling below which an attempt is "
+        "INVALID rather than normalizable: dividing by a collapsed "
+        "control (host died mid-run, or a concurrent load poisoned the "
+        "bracket) would let any raw efficiency 'pass' — a normalized "
+        "pass only counts when the bracket itself shows a live host",
+    )
     ap.add_argument("--max-hours", type=float, default=4.0)
     ap.add_argument("--probe-secs", type=int, default=240)
     ap.add_argument("--docs", type=int, default=2_000_000)
@@ -75,12 +83,24 @@ def main() -> None:
         attempt += 1
         cand_path = f"/tmp/scaling_candidate_{attempt}.json"
         print(f"window open -> full scaling run #{attempt}", flush=True)
-        r = subprocess.run(
-            [sys.executable, os.path.join(REPO, "scripts", "run_scaling.py"),
-             "--docs", str(args.docs), "--reps", str(args.reps),
-             "--out", cand_path],
-            capture_output=True, text=True,
-        )
+        # marker so other tooling on this box can avoid launching heavy
+        # load over the measurement (a concurrent 32-thread job poisons
+        # both the run and its control bracket)
+        marker = "/tmp/gofias_scaling_running"
+        open(marker, "w").write(str(time.time()))
+        try:
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "scripts", "run_scaling.py"),
+                 "--docs", str(args.docs), "--reps", str(args.reps),
+                 "--out", cand_path],
+                capture_output=True, text=True,
+            )
+        finally:
+            try:
+                os.remove(marker)
+            except OSError:
+                pass
         if r.returncode != 0 or not os.path.exists(cand_path):
             log_line(args.log, {"kind": "attempt_error", "attempt": attempt,
                                 "stderr": r.stderr[-1000:]})
@@ -88,19 +108,33 @@ def main() -> None:
             continue
         cand = json.load(open(cand_path))
         eff, norm = normalized(cand)
+        ceil = min(
+            cand["host_control"]["before"]["mem"]["eff"],
+            cand["host_control"]["after"]["mem"]["eff"],
+        )
         log_line(args.log, {"kind": "attempt", "attempt": attempt,
                             "eff": eff, "normalized": round(norm, 3),
-                            "path": cand_path,
+                            "ceiling": ceil, "path": cand_path,
                             "host_control": cand["host_control"]})
-        print(f"attempt #{attempt}: eff {eff} normalized {norm:.3f}",
-              flush=True)
+        print(f"attempt #{attempt}: eff {eff} normalized {norm:.3f} "
+              f"ceiling {ceil}", flush=True)
+        if ceil < args.min_ceiling and eff < 0.8:
+            print(f"  bracket invalid (ceiling {ceil} < "
+                  f"{args.min_ceiling}) — not promotable", flush=True)
+            time.sleep(args.probe_secs)
+            continue
         if best is None or norm > best[0]:
             best = (norm, cand_path)
         if eff >= 0.8 or norm >= 0.8:
             cand["gate"] = {
-                "criterion": "eff >= 0.8 OR eff >= 0.8 x mem-control ceiling",
+                "criterion": (
+                    "eff >= 0.8 OR (eff >= 0.8 x mem-control ceiling "
+                    "AND ceiling >= min_ceiling)"
+                ),
                 "raw_eff": eff,
                 "control_normalized_eff": round(norm, 3),
+                "ceiling": ceil,
+                "min_ceiling": args.min_ceiling,
                 "pass": True,
             }
             json.dump(cand, open(args.out, "w"), indent=2)

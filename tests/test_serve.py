@@ -103,15 +103,88 @@ def test_serve_applies_tombstones(spark, engines, roots):
     assert not (ids & dead)
 
 
-def test_filtered_queries_stay_distributed(engines):
-    """Attribute filters ride the co-partitioned cogroup path — the serve
-    router must decline them (and results still agree)."""
+def test_filtered_queries_serve_driver_side(engines):
+    """Attribute filters whose fields live in the meta sidecar ride the
+    serve tier (score all candidates, evaluate the filter against the
+    sidecar in score order, probe-then-full backfill) — result-identical
+    to the distributed cogroup path for every filter shape."""
     served, dist, _ = engines
-    f = {"lang": "py"}
-    assert not served._serve_route({"common_util": 10}, f)
-    a = _rows(served.search("common_util", k=5, filters=f))
-    b = _rows(dist.search("common_util", k=5, filters=f))
+    cases = [
+        {"lang": "py"},
+        {"lang": ["py", "go"]},
+        {"doclen": {"gte": 10, "lt": 400}},
+        {"path_prefix": "src/"},
+        {"lang": {"neq": "py"}},
+        {"lang": "py", "doclen": {"gt": 3}, "path_prefix": "src/"},
+    ]
+    for f in cases:
+        assert served._serve_route({"common_util": 10}, f), f
+        a = _rows(served.search("common_util", k=8, filters=f))
+        b = _rows(dist.search("common_util", k=8, filters=f))
+        assert a == b, f
+        assert len(a) > 0, f
+
+
+def test_filtered_route_declines_over_budget_or_unknown_field(engines):
+    """Sidecar-absent fields and over-budget queries stay distributed."""
+    served, _, _ = engines
+    assert not served._serve_route({"t": 10}, {"no_such_column": 1})
+    big = {"t": served._serve_filtered_max + 1}
+    assert not served._serve_route(big, {"lang": "py"})
+    assert served._serve_route(big, None)  # unfiltered budget is larger
+
+
+def test_filtered_count_and_sorted_on_serve(engines):
+    """Filtered counts and composite attribute sorts also serve
+    driver-side under the filtered budget, matching the distributed path
+    value-for-value (incl. attribute columns and null-last ordering)."""
+    served, dist, _ = engines
+    f = {"doclen": {"gte": 5}}
+    assert served.count("common_util", filters=f) == dist.count(
+        "common_util", filters=f
+    )
+    sb = [("lang", "asc"), ("_score", "desc")]
+    dfs = served._term_dfs(["common_util"])
+    assert served._serve_sorted_route(dfs, f, ["lang"])
+    key = lambda rows: [
+        (r["doc_id"], r["lang"], round(r["score"], 9)) for r in rows
+    ]
+    a = key(served.search("common_util", k=6, filters=f, sort_by=sb).collect())
+    b = key(dist.search("common_util", k=6, filters=f, sort_by=sb).collect())
     assert a == b and len(a) > 0
+
+
+def test_filtered_serve_null_semantics(spark, tmp_path):
+    """A null attribute fails every predicate on the serve path exactly as
+    in Spark SQL — including ``neq``, where pandas' native ``!=`` would
+    wrongly keep the null row (ADVICE r02 family)."""
+    rows = [
+        ("o/r", "a.py", "c1", "py", "common_util alpha"),
+        ("o/r", "b.go", "c2", "go", "common_util beta"),
+        ("o/r", "c.txt", "c3", None, "common_util gamma"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    root = str(tmp_path / "nullidx")
+    build_segment(spark, docs, root, IndexConfig(n_buckets=2, block_size=8))
+    served = SearchEngine(spark, root)
+    served.warm(local_max_blocks=0)
+    dist = SearchEngine(spark, root, serve=False)
+    dist.warm(local_max_blocks=0)
+    for f in ({"lang": {"neq": "py"}}, {"lang": "go"}, {"doclen": {"gte": 1}}):
+        assert served._serve_route({"common_util": 3}, f)
+        a = _rows(served.search("common_util", k=10, filters=f))
+        b = _rows(dist.search("common_util", k=10, filters=f))
+        assert a == b, f
+    # neq must exclude the null-lang doc (Spark: null != 'py' -> null -> drop)
+    langs = [
+        r["lang"]
+        for r in served.search(
+            "common_util", k=10, filters={"lang": {"neq": "py"}}
+        ).collect()
+    ]
+    assert langs == ["go"]
 
 
 def test_serve_scan_is_partition_pruned(engines):
