@@ -114,6 +114,15 @@ def main() -> None:
         lambda: engine.search("table scan", k=10, filters={"lang": "en"}).collect(),
     )
     bench("ft_count", lambda: engine.count("window group"))
+    bench(
+        "ft_sort_top10",
+        lambda: engine.search(
+            "table scan",
+            k=10,
+            filters={"doclen": {"gte": 50}},
+            sort_by=[("lang", "asc"), ("_score", "desc")],
+        ).collect(),
+    )
     docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench(
         "naive_bm25",
