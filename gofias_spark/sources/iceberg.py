@@ -1,0 +1,77 @@
+"""Input adapter: the north-rule docs table from an Iceberg catalog.
+
+The engine's input contract is a five-column frame
+``(repo, path, commit, lang, content)`` (``corpus.DOCS_SCHEMA``). At
+deployment scale that table lives in an Iceberg catalog (north rule:
+"over Iceberg tables of source-code repositories at 10^12-file scale");
+in tests and benches it is deterministic synthetic parquet. This module
+resolves either into the same frame:
+
+* ``catalog.db.table`` names read through the session catalog
+  (``spark.read.table``), which serves Iceberg tables when the Iceberg
+  runtime jar + catalog config are on the session (snapshot / as-of-time
+  travel supported via the standard read options). Column pruning and
+  predicate pushdown reach the Iceberg scan exactly as for parquet — the
+  build reads only the five contract columns, so manifests prune files
+  and the scan schema stays narrow.
+* filesystem paths read as parquet (the sandbox/test path).
+
+No Iceberg classes are imported here — the adapter only *routes* to
+Spark's reader, so environments without the runtime jar fail with a
+clear error only when a catalog table is actually requested.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DOCS_COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+def read_docs_table(
+    spark: SparkSession,
+    source: str,
+    snapshot_id: int | None = None,
+    as_of_timestamp: str | None = None,
+) -> DataFrame:
+    """The docs input frame from ``source``.
+
+    ``source`` is either a filesystem path (read as parquet) or a
+    catalog table name (read via ``spark.read.table`` / Iceberg when the
+    session's catalog serves it). ``snapshot_id`` / ``as_of_timestamp``
+    select an Iceberg snapshot (time travel) — build reproducibility at
+    scale: an index build pinned to a snapshot re-reads identical bytes
+    on resume even while the table keeps committing.
+    """
+    if snapshot_id is not None and as_of_timestamp is not None:
+        raise ValueError("pass snapshot_id OR as_of_timestamp, not both")
+    if os.path.sep in source or os.path.exists(source):
+        df = spark.read.parquet(source)
+    else:
+        reader = spark.read
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        if as_of_timestamp is not None:
+            reader = reader.option("as-of-timestamp", as_of_timestamp)
+        try:
+            df = reader.table(source)
+        except Exception as exc:  # noqa: BLE001 - repackage with context
+            raise RuntimeError(
+                f"cannot read catalog table {source!r}: the session catalog "
+                "does not serve it (for Iceberg tables the runtime jar and "
+                "catalog config must be on the session, e.g. "
+                "--packages org.apache.iceberg:iceberg-spark-runtime and "
+                "spark.sql.catalog.<name>=org.apache.iceberg.spark."
+                "SparkCatalog)"
+            ) from exc
+    missing = [c for c in DOCS_COLS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"input {source!r} lacks docs-contract columns {missing}; "
+            f"expected {DOCS_COLS}"
+        )
+    # narrow projection: only the contract columns reach the build, so
+    # pruning pushes to the (parquet or Iceberg) scan
+    return df.select(*DOCS_COLS)

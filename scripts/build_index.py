@@ -1,7 +1,8 @@
 """spark-submit entry point: build (or resume) an index from a docs table.
 
     spark-submit --py-files gofias_spark.zip scripts/build_index.py \
-        --input /path/docs_parquet --index /path/index \
+        --input /path/docs_parquet_or_catalog.db.table --index /path/index \
+        [--snapshot-id N | --as-of-timestamp TS]  (Iceberg time travel) \
         [--analyzer standard|edge_ngram|ngram] [--docs-per-part 65536] \
         [--block-size 128] [--refcorpus]
 
@@ -18,14 +19,23 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from gofias_spark.config import AnalyzerConfig, IndexConfig  # noqa: E402
-from gofias_spark.corpus import DOCS_SCHEMA, load_refcorpus  # noqa: E402
+from gofias_spark.corpus import load_refcorpus  # noqa: E402
+from gofias_spark.sources.iceberg import read_docs_table  # noqa: E402
 from gofias_spark.index.build import build_segment  # noqa: E402
 from gofias_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", help="docs parquet path (repo,path,commit,lang,content)")
+    ap.add_argument(
+        "--input",
+        help="docs source: a parquet path OR a catalog (Iceberg) table "
+        "name, columns (repo,path,commit,lang,content)",
+    )
+    ap.add_argument("--snapshot-id", type=int, default=None,
+                    help="pin an Iceberg snapshot (build reproducibility)")
+    ap.add_argument("--as-of-timestamp", default=None,
+                    help="Iceberg as-of-timestamp time travel")
     ap.add_argument("--refcorpus", action="store_true",
                     help="ingest /root/reference files instead of --input")
     ap.add_argument("--index", required=True)
@@ -41,7 +51,11 @@ def main() -> None:
     if args.refcorpus:
         docs = load_refcorpus(spark)
     elif args.input:
-        docs = spark.read.schema(DOCS_SCHEMA).parquet(args.input)
+        docs = read_docs_table(
+            spark, args.input,
+            snapshot_id=args.snapshot_id,
+            as_of_timestamp=args.as_of_timestamp,
+        )
     else:
         ap.error("need --input or --refcorpus")
     cfg = IndexConfig(

@@ -3,6 +3,9 @@ mirroring the reference's streaming XML import (util/xml.go:15-43)."""
 
 import xml.sax.saxutils as sx
 
+import pytest
+from pyspark.sql import functions as F
+
 from gofias_spark.sources.xml import read_attribute_xml
 
 
@@ -47,3 +50,39 @@ def test_xml_scan_missing_and_unknown_attrs(spark, tmp_path):
     [r] = df.collect()
     assert r["guid"] == "g9" and r["name"] is None
     assert df.columns == ["guid", "name"]
+
+
+# -- iceberg/docs-table input adapter ---------------------------------------
+
+
+def test_read_docs_table_parquet_path(spark, tmp_path):
+    from gofias_spark.corpus import synth_corpus
+    from gofias_spark.sources.iceberg import DOCS_COLS, read_docs_table
+
+    p = str(tmp_path / "docs_pq")
+    synth_corpus(spark, 20).withColumn(
+        "extra", F.lit(1)
+    ).write.parquet(p)
+    df = read_docs_table(spark, p)
+    assert df.columns == DOCS_COLS  # narrow projection, extras pruned
+    assert df.count() == 20
+
+
+def test_read_docs_table_validates_contract(spark, tmp_path):
+    from gofias_spark.sources.iceberg import read_docs_table
+
+    p = str(tmp_path / "bad_pq")
+    spark.range(3).write.parquet(p)
+    with pytest.raises(ValueError, match="docs-contract columns"):
+        read_docs_table(spark, p)
+
+
+def test_read_docs_table_catalog_errors_are_actionable(spark):
+    from gofias_spark.sources.iceberg import read_docs_table
+
+    with pytest.raises(RuntimeError, match="catalog table"):
+        read_docs_table(spark, "nocat.nodb.notable")
+    with pytest.raises(ValueError, match="not both"):
+        read_docs_table(
+            spark, "t", snapshot_id=1, as_of_timestamp="2026-01-01"
+        )
