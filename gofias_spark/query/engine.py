@@ -133,7 +133,7 @@ class SearchEngine:
         cache: bool = True,
         serve: bool = True,
         serve_max_postings: int = 4_000_000,
-        serve_filtered_max: int = 500_000,
+        serve_filtered_max: int = 2_000_000,
     ):
         """``serve``/``serve_max_postings``: the term-bucketed serve cache
         (query/serve.py) handles unfiltered queries whose total posting
@@ -583,15 +583,26 @@ class SearchEngine:
             merged = chunk.merge(meta, on="doc_id", how="left")
             return merged[pandas_filter_mask(merged, filters)]
 
-        if topn is not None:
-            probe_n = max(1024, 8 * topn)
-            head = survivors(cand.iloc[:probe_n])
-            if len(head) >= topn or probe_n >= len(cand):
-                return head[["doc_id", "score"]].iloc[:topn]
-        out = survivors(cand)
-        if topn is not None:
-            out = out.iloc[:topn]
-        return out[["doc_id", "score"]]
+        if topn is None:
+            return survivors(cand)[["doc_id", "score"]]
+        # geometric backfill: chunks grow 8x per round, so non-selective
+        # filters finish on one small read while selective ones escalate in
+        # O(log) rounds — never a full-candidate read unless truly needed.
+        # Chunks are consumed in global score order, so concatenated
+        # survivors stay score-sorted.
+        out: list[pd.DataFrame] = []
+        got = 0
+        fetched = 0
+        chunk_n = max(1024, 8 * topn)
+        while fetched < len(cand) and got < topn:
+            chunk = cand.iloc[fetched : fetched + chunk_n]
+            sv = survivors(chunk)
+            out.append(sv)
+            got += len(sv)
+            fetched += len(chunk)
+            chunk_n *= 8
+        res = pd.concat(out, ignore_index=True) if out else cand.iloc[:0]
+        return res[["doc_id", "score"]].iloc[:topn]
 
     def _sort_spec(self, sort_by):
         """Normalize sort_by -> (attr list, pandas cols, asc flags, spark cols)
@@ -632,7 +643,10 @@ class SearchEngine:
         need = set(attrs) | self._filter_fields(filters)
         if not need <= self._serve.meta_columns():
             return False
-        return sum(dfs.values()) <= self._serve_filtered_max
+        # sorts read attributes for EVERY candidate in one shot (no
+        # score-ordered backfill is possible when score isn't the primary
+        # key), so they take a quarter of the filtered budget
+        return sum(dfs.values()) <= self._serve_filtered_max // 4
 
     def _search_sorted(
         self, qterms, idf, dfs, k, offset, mode, filters, sort_by, with_meta

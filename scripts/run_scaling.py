@@ -80,6 +80,19 @@ for _ in range(3):
         eng.search(q, k=10).collect()
         lat.append(time.perf_counter() - t0)
 lat.sort()
+# filtered + composite-sorted latencies (serve tier's filtered budget or
+# distributed fallback, whichever the router picks at this scale)
+lat_f = []
+for _ in range(3):
+    for q in qs:
+        t0 = time.perf_counter()
+        eng.search(q, k=10, filters={{"doclen": {{"gte": 40}}}}).collect()
+        lat_f.append(time.perf_counter() - t0)
+lat_f.sort()
+t0 = time.perf_counter()
+eng.search("index_1 search_2", k=10,
+           sort_by=[("lang", "asc"), ("_score", "desc")]).collect()
+sorted_secs = time.perf_counter() - t0
 shutil.rmtree(last_root, ignore_errors=True)
 builds_sorted = sorted(builds)
 med = builds_sorted[len(builds_sorted) // 2]
@@ -88,7 +101,9 @@ print("RESULT " + json.dumps({{
     "build_secs_all": [round(b, 1) for b in builds],
     "build_secs_median": round(med, 2),
     "files_per_sec": round(n / med, 1),
-    "query_p50_secs": round(lat[len(lat) // 2], 4)}}))
+    "query_p50_secs": round(lat[len(lat) // 2], 4),
+    "query_p50_filtered_secs": round(lat_f[len(lat_f) // 2], 4),
+    "query_sorted_secs": round(sorted_secs, 4)}}))
 spark.stop()
 """
 
