@@ -947,9 +947,51 @@ class SearchEngine:
             allowed, excluded = self._local_masks(filters)
             r = score_plans(self._local_blocks, allowed, excluded)
         elif self._serve_route(sub_dfs, filters):
-            r = score_plans(
-                self._serve.fetch(union_terms), None, self._tomb_arr
-            )
+            sblocks = self._serve.fetch(union_terms)
+            if not filters:
+                r = score_plans(sblocks, None, self._tomb_arr)
+            else:
+                # batched filtered serving: score ALL candidates per plan
+                # (stats are index-global; filtering after scoring is
+                # exact), then ONE union meta read amortized across the
+                # whole batch, mask per query, positional top-k
+                cand_frames = []
+                for qid, (terms, idf) in plans.items():
+                    r0 = fn(
+                        sblocks[sblocks["term"].isin(terms)],
+                        terms, idf, avgdl, k1, b, None,
+                        excluded=self._tomb_arr,
+                    )
+                    if len(r0):
+                        order = np.lexsort(
+                            (r0["doc_id"].to_numpy(),
+                             -r0["score"].to_numpy())
+                        )
+                        r0 = r0.iloc[order].copy()
+                        r0["query"] = qid
+                        cand_frames.append(r0)
+                if not cand_frames:
+                    r = pd.DataFrame(
+                        {
+                            "query": pd.Series(dtype="object"),
+                            "doc_id": pd.Series(dtype="int64"),
+                            "score": pd.Series(dtype="float64"),
+                        }
+                    )
+                else:
+                    cand = pd.concat(cand_frames, ignore_index=True)
+                    need = sorted(self._filter_fields(filters))
+                    meta = self._serve.fetch_meta(
+                        np.unique(cand["doc_id"].to_numpy()).tolist(),
+                        ["doc_id"] + need,
+                    )
+                    merged = cand.merge(meta, on="doc_id", how="left")
+                    keep = merged[pandas_filter_mask(merged, filters)]
+                    # concat order is per-query contiguous + rank-sorted,
+                    # and merge/mask preserve row order -> head(k) is top-k
+                    r = keep.groupby("query", sort=False).head(k)[
+                        ["query", "doc_id", "score"]
+                    ]
         if r is not None:
             if len(r) == 0:
                 return self.spark.createDataFrame(

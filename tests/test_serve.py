@@ -265,3 +265,24 @@ def test_serve_search_many_matches_distributed(spark, roots):
     b = b.sort_values(key).reset_index(drop=True)
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
     assert a["score"].tolist() == pytest.approx(b["score"].tolist(), rel=1e-12)
+
+
+def test_serve_search_many_filtered_matches_distributed(spark, roots):
+    """Filtered batches serve driver-side too (one union sidecar read,
+    per-query mask) — value-identical to the distributed cogroup path."""
+    served = SearchEngine(spark, roots)
+    served.warm(local_max_blocks=0)
+    dist = SearchEngine(spark, roots, serve=False)
+    dist.warm(local_max_blocks=0)
+    queries = {"q1": "common_util", "q2": "def return", "q3": "zzz_missing"}
+    for f in ({"lang": ["py", "go"]}, {"doclen": {"gte": 10}}):
+        a = served.search_many(queries, k=5, filters=f).toPandas()
+        b = dist.search_many(queries, k=5, filters=f).toPandas()
+        key = ["query", "rank"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        assert len(a) > 0, f
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), f
+        assert a["score"].tolist() == pytest.approx(
+            b["score"].tolist(), rel=1e-12
+        ), f
