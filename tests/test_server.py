@@ -150,3 +150,28 @@ def test_paging_clamps(gateway):
     # equality + range on the same field is contradictory input
     assert _get_status(base, "/api/v1/address/term?term=x&lang=py&lang.gte=a") == 400
     assert _get_status(base, "/api/v1/suggests?term=x&size=5000") == 400
+
+
+def test_concurrent_requests_consistent(gateway):
+    """The gateway is a ThreadingHTTPServer: concurrent requests hit the
+    engine's driver-side serve path from many threads at once and must
+    all succeed with identical results (pyarrow dataset reads and the
+    small-result materialization are thread-safe)."""
+    import concurrent.futures
+
+    _, base = gateway
+    path = "/api/v1/address/term?term=common_util&size=5"
+
+    def hit(_):
+        return _get(base, path)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(hit, range(24)))
+    statuses = {s for s, _ in results}
+    assert statuses == {200}
+    bodies = [
+        [(row["doc_id"], round(row["score"], 9)) for row in b["items"]]
+        for _, b in results
+    ]
+    assert all(b == bodies[0] for b in bodies)
+    assert len(bodies[0]) > 0
