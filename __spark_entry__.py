@@ -196,6 +196,27 @@ def _q_ft_search_many(spark, sf):
     )
 
 
+def _q_ft_search_many_filtered(spark, sf):
+    """J4 batched search with an attribute filter riding the whole batch
+    (the reference's OSM enrichment searches within active rows only,
+    osmService.go:161-223 + the active predicate F1) — on the serve tier
+    this is one union sidecar read amortized across the batch."""
+    eng = _engine(spark, sf)
+    res = eng.search_many(
+        {"q1": "spark join", "q2": "merge batch"},
+        k=3,
+        filters={"doclen": {"gte": 100, "lte": 500}},
+    )
+    meta = eng.doc_meta.select(
+        "doc_id", F.col("path").cast("long").alias("orig_id")
+    )
+    return res.join(meta, "doc_id").select(
+        "query",
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _q_rel_hierarchy_paths(spark, sf):
     """J1 iterative level-ordered hierarchy enrichment (parents before
     children, elasticAddressRepository.go:825-1014) over a 3-level
@@ -612,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_prefix_top10": _q_ft_prefix,
         "ft_infix_top10": _q_ft_infix,
         "ft_search_many": _q_ft_search_many,
+        "ft_search_many_filtered": _q_ft_search_many_filtered,
         "ft_naive_bm25": _q_ft_naive,
         "ft_term_stats": _q_ft_term_stats,
         "ft_global_stats": _q_ft_global_stats,
@@ -830,6 +852,14 @@ SELECT count(*)::BIGINT AS cnt FROM m WHERE nt = 2
                 ("q1", ["spark", "join"]),
                 ("q2", ["merge", "batch"]),
                 ("q3", ["window", "group"]),
+            ]
+        ),
+        "ft_search_many_filtered": " UNION ALL ".join(
+            f"SELECT '{label}' AS query, doc_id, score "
+            f"FROM ({_bm25_sql(terms, 3, dl_range=(100, 500))})"
+            for label, terms in [
+                ("q1", ["spark", "join"]),
+                ("q2", ["merge", "batch"]),
             ]
         ),
         "ft_naive_bm25": _bm25_sql(["spark", "join"], 10),
