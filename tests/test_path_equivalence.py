@@ -1,0 +1,123 @@
+"""Randomized three-path equivalence: the local searcher, the serve tier
+(driver-side pyarrow), and the distributed cogroup/mapInPandas paths must
+return IDENTICAL results for the same index and query — across random
+corpora, query shapes, modes, filters, sorts, and paging. This is the
+end-to-end complement to tests/test_wand_stress.py (kernel vs brute
+force) and tests/test_serve.py (hand-picked cases)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from gofias_spark.config import IndexConfig
+from gofias_spark.index.build import build_segment
+from gofias_spark.query.engine import SearchEngine
+
+WORDS = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+    "iota", "kappa", "toolong_identifier_name", "x", "common_util",
+]
+
+
+def _random_docs(rng, n):
+    rows = []
+    for i in range(n):
+        n_tok = rng.randint(1, 30)
+        content = " ".join(rng.choice(WORDS) for _ in range(n_tok))
+        lang = rng.choice(["py", "go", None])
+        rows.append((f"org/r{i % 3}", f"src/f{i}.py", f"c{i}", lang, content))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def trio(spark, tmp_path_factory):
+    rng = random.Random(12345)
+    docs = spark.createDataFrame(
+        _random_docs(rng, 300),
+        "repo string, path string, commit string, lang string, content string",
+    )
+    root = str(tmp_path_factory.mktemp("eqidx"))
+    build_segment(spark, docs, root, IndexConfig(n_buckets=3, block_size=8))
+    local = SearchEngine(spark, root, cache=False)
+    local.warm()
+    assert local._local_blocks is not None
+    served = SearchEngine(spark, root)
+    served.warm(local_max_blocks=0)
+    assert served._serve is not None
+    dist = SearchEngine(spark, root, serve=False)
+    dist.warm(local_max_blocks=0)
+    return local, served, dist
+
+
+def _key(df):
+    return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+
+def _sorted_key(df):
+    return [
+        (r["doc_id"], r["lang"], round(r["score"], 9)) for r in df.collect()
+    ]
+
+
+def test_three_paths_agree_randomized(trio):
+    local, served, dist = trio
+    rng = random.Random(99)
+    filters_pool = [
+        None,
+        {"lang": "py"},
+        {"lang": ["py", "go"]},
+        {"lang": {"neq": "go"}},
+        {"doclen": {"gte": 5, "lt": 25}},
+        {"path_prefix": "src/f1"},
+        {"repo": "org/r1", "doclen": {"gt": 2}},
+    ]
+    for trial in range(40):
+        n_terms = rng.randint(1, 3)
+        q = " ".join(rng.choice(WORDS) for _ in range(n_terms))
+        mode = rng.choice(["and", "or"])
+        k = rng.choice([1, 3, 10])
+        offset = rng.choice([0, 0, 2])
+        f = rng.choice(filters_pool)
+        kw = dict(k=k, offset=offset, mode=mode, filters=f)
+        a = _key(local.search(q, **kw))
+        b = _key(served.search(q, **kw))
+        c = _key(dist.search(q, **kw))
+        assert a == b == c, (trial, q, kw)
+
+
+def test_three_paths_agree_sorted_randomized(trio):
+    local, served, dist = trio
+    rng = random.Random(7)
+    for trial in range(12):
+        q = rng.choice(["common_util", "alpha beta", "kappa"])
+        f = rng.choice([None, {"doclen": {"gte": 3}}, {"lang": ["py", "go"]}])
+        sb = rng.choice(
+            [
+                [("lang", "asc"), ("_score", "desc")],
+                [("doclen", "desc"), ("_score", "desc")],
+                [("lang", "desc"), ("doclen", "asc")],
+            ]
+        )
+        kw = dict(k=5, mode="or", filters=f, sort_by=sb)
+        a = _sorted_key(local.search(q, **kw).select("doc_id", "lang", "score"))
+        b = _sorted_key(
+            served.search(q, **kw).select("doc_id", "lang", "score")
+        )
+        c = _sorted_key(dist.search(q, **kw).select("doc_id", "lang", "score"))
+        assert a == b == c, (trial, q, kw)
+
+
+def test_counts_agree_randomized(trio):
+    local, served, dist = trio
+    rng = random.Random(3)
+    for _ in range(10):
+        q = " ".join(
+            rng.choice(WORDS) for _ in range(rng.randint(1, 2))
+        )
+        f = rng.choice([None, {"lang": "py"}, {"doclen": {"gte": 10}}])
+        assert (
+            local.count(q, filters=f)
+            == served.count(q, filters=f)
+            == dist.count(q, filters=f)
+        ), (q, f)
