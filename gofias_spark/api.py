@@ -105,3 +105,10 @@ class FulltextAPI:
 
     def version(self) -> dict:
         return self.engine.stats()
+
+    def close(self) -> None:
+        """Release executor-side caches of both engines (see
+        SearchEngine.close)."""
+        self.engine.close()
+        if self.prefix_engine is not None:
+            self.prefix_engine.close()

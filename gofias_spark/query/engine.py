@@ -1198,3 +1198,25 @@ class SearchEngine:
             "next_doc_id": self.manifest["next_doc_id"],
             "analyzer": self.manifest["config"]["analyzer"],
         }
+
+    def close(self) -> None:
+        """Release executor-side state: unpersist the cached postings /
+        stats / meta frames and drop the tombstone broadcast. A serving
+        process that reopens engines across delta imports must close the
+        old one, or each reopen leaks a full postings cache into executor
+        storage memory (the serve cache's parquet files persist on disk by
+        design — they are keyed by index state and reused)."""
+        for df in (self.postings, self._stats, self._meta_slim):
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 - already-stopped session
+                pass
+        if self._tomb_bc is not None:
+            try:
+                self._tomb_bc.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+            self._tomb_bc = None
+        self._local_blocks = None
+        self._local_meta = None
+        self._stats_cache = None

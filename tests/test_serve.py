@@ -286,3 +286,20 @@ def test_serve_search_many_filtered_matches_distributed(spark, roots):
         assert a["score"].tolist() == pytest.approx(
             b["score"].tolist(), rel=1e-12
         ), f
+
+
+def test_engine_close_releases_caches(spark, roots):
+    """close() must unpersist the postings/stats/meta caches (a serving
+    process reopening engines across deltas must not leak executor
+    storage) while leaving the on-disk serve cache reusable."""
+    eng = SearchEngine(spark, roots)
+    eng.warm(local_max_blocks=0)
+    assert eng.search("common_util", k=3).count() > 0
+    eng.close()
+    assert eng._tomb_bc is None
+    assert eng._local_blocks is None and eng._stats_cache is None
+    # a fresh engine over the same root still works (serve cache reused)
+    eng2 = SearchEngine(spark, roots)
+    eng2.warm(local_max_blocks=0)
+    assert eng2.search("common_util", k=3).count() > 0
+    eng2.close()
