@@ -339,14 +339,28 @@ class SearchEngine:
     def _build_serve(self, n_blocks: int) -> None:
         """Materialize the term-bucketed serve cache (idempotent per index
         state: the token fingerprints committed segments/partitions, so a
-        re-opened engine reuses the existing parquet)."""
+        re-opened engine reuses the existing parquet).
+
+        Terms whose df exceeds the serve budget are EXCLUDED from the
+        cache: any query containing one has Σ df over budget and routes
+        distributed, so their postings would be dead weight — and at web
+        scale they are exactly the hot terms that would skew the pid
+        buckets (a 50%-df term is half the index). The threshold is
+        persisted with the cache so an engine opened with a different
+        ``serve_max_postings`` still routes correctly against it."""
         n_buckets = int(min(512, max(8, n_blocks // 1_500_000)))
+        postings = self._union("postings")
+        big = self._stats.filter(
+            F.col("df") > self._serve_max
+        ).select("term")
+        postings = postings.join(F.broadcast(big), "term", "left_anti")
         self._serve = ServeCache.build(
             self.spark,
-            self._union("postings"),
+            postings,
             ServeCache.resolve_dir(self.store.root),
             n_buckets,
             state_token(self.manifest, self._seg_metas),
+            df_threshold=self._serve_max,
             # the sidecar carries every filterable/sortable attribute (not
             # just the display set): the serve tier evaluates filters and
             # composite sort keys against it driver-side
@@ -373,11 +387,14 @@ class SearchEngine:
         if self._tombstones is not None and self._tomb_arr is None:
             return False
         vol = sum(dfs.values())
+        # cap by the cache's own build threshold: a cache built under a
+        # smaller budget excluded terms this engine's budget would accept
+        cap = min(self._serve_max, self._serve.df_threshold)
         if not filters:
-            return vol <= self._serve_max
+            return vol <= cap
         if not self._filter_fields(filters) <= self._serve.meta_columns():
             return False
-        return vol <= self._serve_filtered_max
+        return vol <= min(self._serve_filtered_max, cap)
 
     # -- BM25 ---------------------------------------------------------------
     def _idf(self, df: int) -> float:
@@ -646,7 +663,9 @@ class SearchEngine:
         # sorts read attributes for EVERY candidate in one shot (no
         # score-ordered backfill is possible when score isn't the primary
         # key), so they take a quarter of the filtered budget
-        return sum(dfs.values()) <= self._serve_filtered_max // 4
+        return sum(dfs.values()) <= min(
+            self._serve_filtered_max // 4, self._serve.df_threshold
+        )
 
     def _search_sorted(
         self, qterms, idf, dfs, k, offset, mode, filters, sort_by, with_meta

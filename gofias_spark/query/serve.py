@@ -96,6 +96,16 @@ class ServeCache:
         self.spark = spark
         self.path = str(path)
         self.n_buckets = n_buckets
+        # df threshold the cache was built with: terms above it were
+        # excluded (they can never be served — any query containing one is
+        # over budget). Engines must cap their routing budget to this.
+        # Caches from before the threshold existed contain every term.
+        tfile = Path(self.path) / "threshold.json"
+        self.df_threshold = (
+            json.loads(tfile.read_text())["df_threshold"]
+            if tfile.exists()
+            else float("inf")
+        )
         # one reader DataFrame for the engine's lifetime: the file listing
         # is cached in its InMemoryFileIndex, so per-query planning does not
         # re-list the directory
@@ -126,6 +136,7 @@ class ServeCache:
         n_buckets: int,
         token: str,
         doc_meta: DataFrame | None = None,
+        df_threshold: int | None = None,
     ) -> "ServeCache":
         """Write the term-bucketed cache and return a reader over it.
 
@@ -168,6 +179,10 @@ class ServeCache:
                 .write.mode("overwrite")
                 .option("parquet.block.size", 1024 * 1024)
                 .parquet(str(final / "meta"))
+            )
+        if df_threshold is not None:
+            (final / "threshold.json").write_text(
+                json.dumps({"df_threshold": int(df_threshold)})
             )
         (final / "_DONE").write_text("")
         return cls(spark, str(final), n_buckets)

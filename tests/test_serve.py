@@ -303,3 +303,39 @@ def test_engine_close_releases_caches(spark, roots):
     eng2.warm(local_max_blocks=0)
     assert eng2.search("common_util", k=3).count() > 0
     eng2.close()
+
+
+def test_cache_excludes_unservable_hot_terms(spark, tmp_path):
+    """Terms with df above the serve budget are excluded from the cache
+    (they can never be served; at scale they are the skew makers), the
+    build threshold is persisted, and an engine opened with a LARGER
+    budget over the same cache caps its routing to the cache's threshold
+    — falling back to the distributed path with identical results."""
+    root = str(tmp_path / "hotidx")
+    build_segment(spark, synth_corpus(spark, 100), root, CFG)
+    small = SearchEngine(spark, root, serve_max_postings=30)
+    small.warm(local_max_blocks=0)
+    df_hot = small._term_dfs(["common_util"])["common_util"]
+    assert df_hot > 30  # hot term genuinely over the small budget
+    assert len(small._serve.fetch(["common_util"])) == 0  # excluded
+    assert small._serve.df_threshold == 30
+    rare = small._stats.filter(
+        F.col("df").between(1, 20)
+    ).limit(1).collect()[0]["term"]
+    assert len(small._serve.fetch([rare])) > 0  # servable terms kept
+    # a bigger-budget engine reuses the same cache but must not serve the
+    # excluded term
+    big = SearchEngine(spark, root, serve_max_postings=4_000_000)
+    big.warm(local_max_blocks=0)
+    assert big._serve.path == small._serve.path
+    assert not big._serve_route({"common_util": df_hot}, None)
+    dist = SearchEngine(spark, root, serve=False)
+    dist.warm(local_max_blocks=0)
+    a = _rows(big.search("common_util helper", k=5))
+    b = _rows(dist.search("common_util helper", k=5))
+    assert a == b and len(a) > 0
+    # rare terms still serve under the capped budget
+    assert big._serve_route(big._term_dfs([rare]), None)
+    a = _rows(big.search(rare, k=5))
+    b = _rows(dist.search(rare, k=5))
+    assert a == b
