@@ -28,6 +28,8 @@ def main() -> None:
     spark = get_spark("gofias_serve")
     api = FulltextAPI(spark, args.index, prefix_index_root=args.prefix_index)
     api.engine.warm()
+    if api.prefix_engine is not None:
+        api.prefix_engine.warm()
     server, thread = serve(api, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port} (Ctrl-C to stop)")
     try:

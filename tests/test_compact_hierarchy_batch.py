@@ -126,3 +126,34 @@ def test_search_many_with_filters(batch_engine):
     assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [
         r["doc_id"] for r in single
     ]
+
+
+def test_compact_invalidates_and_rebuilds_serve_cache(spark, tmp_path):
+    """The serve cache token fingerprints segment state: compaction must
+    rotate it (stale postings never served) and the rebuilt cache must be
+    result-identical."""
+    root = str(tmp_path / "csidx")
+    build_segment(spark, synth_corpus(spark, 120), root, CFG)
+    ups = spark.createDataFrame(
+        [("orgN/new", "src/n.py", "c1", "py", "fresh compaction_probe doc")],
+        schema=DOCS_SCHEMA,
+    )
+    apply_delta(spark, root, upserts=ups, cfg=CFG)
+    e1 = SearchEngine(spark, root)
+    e1.warm(local_max_blocks=0)
+    assert e1._serve is not None
+    path1 = e1._serve.path
+    before = [
+        (r["repo"], r["path"], round(r["score"], 9))
+        for r in e1.search("common_util", k=10).collect()
+    ]
+    e1.close()
+    compact(spark, root)
+    e2 = SearchEngine(spark, root)
+    e2.warm(local_max_blocks=0)
+    assert e2._serve is not None and e2._serve.path != path1
+    after = [
+        (r["repo"], r["path"], round(r["score"], 9))
+        for r in e2.search("common_util", k=10).collect()
+    ]
+    assert after == before and len(after) > 0
