@@ -51,23 +51,50 @@ class FulltextAPI:
         from_: int = 0,
         filters: dict | None = None,
         sort_by: list[tuple[str, str]] | None = None,
-    ) -> DataFrame:
+        as_pandas: bool = False,
+    ):
         """GetAddressByTerm analogue: AND match + filters + paging
         (default size 100, fias.proto:126-128). ``sort_by`` mirrors the
         reference's attribute-first result orders (O1,
-        elasticAddressRepository.go:489-493)."""
+        elasticAddressRepository.go:489-493). ``as_pandas`` is the
+        serving fast path (no Spark materialization; see
+        SearchEngine.search)."""
         return self.engine.search(
             term, k=size, offset=from_, mode="and", filters=filters,
-            sort_by=sort_by,
+            sort_by=sort_by, as_pandas=as_pandas,
         )
 
     def suggest(
-        self, term: str, size: int = 10, filters: dict | None = None
-    ) -> DataFrame:
+        self,
+        term: str,
+        size: int = 10,
+        filters: dict | None = None,
+        as_pandas: bool = False,
+    ):
         """GetSuggests analogue with J5-style union backfill
         (addressHandler.go:81-137): exact AND hits first; if fewer than
-        ``size``, fill the remainder with prefix-index hits (deduped)."""
-        primary = self.engine.search(term, k=size, filters=filters)
+        ``size``, fill the remainder with prefix-index hits (deduped).
+        With ``as_pandas`` the union/dedup/sort run driver-side in pandas
+        — both engines' hits are already driver-resident k-row frames."""
+        primary = self.engine.search(
+            term, k=size, filters=filters, as_pandas=as_pandas
+        )
+        if as_pandas:
+            import pandas as pd
+
+            if self.prefix_engine is None or len(primary) >= size:
+                return primary
+            back = self.prefix_engine.search(
+                term, k=size, filters=filters, as_pandas=True
+            )
+            back = back[~back["doc_id"].isin(primary["doc_id"])].iloc[
+                : size - len(primary)
+            ]
+            out = pd.concat([primary, back], ignore_index=True)
+            return out.sort_values(
+                ["score", "doc_id"], ascending=[False, True],
+                kind="mergesort",
+            ).reset_index(drop=True)
         if self.prefix_engine is None:
             return primary
         n = primary.count()

@@ -445,10 +445,17 @@ class SearchEngine:
         filters: dict | None = None,
         with_meta: bool = True,
         sort_by: list[tuple[str, str]] | None = None,
-    ) -> DataFrame:
+        as_pandas: bool = False,
+    ):
         """BM25 top-k. ``mode='and'`` = reference match operator=and semantics;
         ``offset`` mirrors from/size paging (O4, default size 100 in
         fias.proto:126-128).
+
+        ``as_pandas=True`` returns the result as a pandas frame, skipping
+        the Spark materialization round trip — every query path already
+        ends driver-side in pandas, and a serving process (the HTTP
+        gateway) that immediately re-collects the DataFrame pays
+        createDataFrame+collect for nothing (~30-100 ms/query measured).
 
         ``sort_by`` = list of (field, "asc"|"desc") keys; "_score" names the
         BM25 score. Mirrors the reference's attribute-first result orders
@@ -459,29 +466,35 @@ class SearchEngine:
         tie-break."""
         spark = self.spark
         if filters_impossible(filters):
-            return self._empty_result(with_meta, sort_by=sort_by)
+            return self._empty_result(with_meta, sort_by=sort_by,
+                                      as_pdf=as_pandas)
         qterms = analyze_query(query, self.analyzer)
         dfs = self._term_dfs(qterms)
         if mode == "and":
             if not qterms or any(dfs[t] == 0 for t in qterms):
-                return self._empty_result(with_meta, sort_by=sort_by)
+                return self._empty_result(with_meta, sort_by=sort_by,
+                                          as_pdf=as_pandas)
         else:
             qterms = [t for t in qterms if dfs[t] > 0]
             if not qterms:
-                return self._empty_result(with_meta, sort_by=sort_by)
+                return self._empty_result(with_meta, sort_by=sort_by,
+                                          as_pdf=as_pandas)
         idf = {t: self._idf(dfs[t]) for t in qterms}
         topn = offset + k
         if sort_by:
             return self._search_sorted(
-                qterms, idf, dfs, k, offset, mode, filters, sort_by, with_meta
+                qterms, idf, dfs, k, offset, mode, filters, sort_by,
+                with_meta, as_pandas,
             )
         if self._local_blocks is not None:
             return self._local_search(
-                qterms, idf, topn, offset, k, mode, filters, with_meta
+                qterms, idf, topn, offset, k, mode, filters, with_meta,
+                as_pandas,
             )
         if self._serve_route(dfs, filters):
             return self._serve_search(
-                qterms, idf, topn, offset, k, mode, with_meta, filters
+                qterms, idf, topn, offset, k, mode, with_meta, filters,
+                as_pandas,
             )
         params = dict(
             qterms=qterms,
@@ -504,7 +517,7 @@ class SearchEngine:
             .toPandas()
             .iloc[offset : offset + k]
         )
-        return self._attach_meta(topk_pdf, with_meta)
+        return self._attach_meta(topk_pdf, with_meta, as_pandas)
 
     def _pdf_df(self, pdf: pd.DataFrame, schema) -> DataFrame:
         """Small-result materialization: pyarrow Table -> DataFrame halves
@@ -523,13 +536,24 @@ class SearchEngine:
         except Exception:
             return self.spark.createDataFrame(pdf, schema=schema)
 
-    def _attach_meta(self, topk_pdf: pd.DataFrame, with_meta: bool) -> DataFrame:
+    DISPLAY_COLS = [
+        "doc_id", "score", "repo", "path", "commit", "lang", "sha256",
+    ]
+
+    def _attach_meta(
+        self, topk_pdf: pd.DataFrame, with_meta: bool, as_pdf: bool = False
+    ):
         """k-row display lookup: doc_id IN (ids) pruned scan of the
         doc_id-sorted meta cache, merged driver-side — cheaper and
-        lower-latency than a broadcast join stage for k ~ 10..100 rows."""
+        lower-latency than a broadcast join stage for k ~ 10..100 rows.
+        ``as_pdf`` skips the final Spark materialization entirely — the
+        serving fast path (see ``search``'s ``as_pandas``)."""
         if not with_meta:
-            return self._pdf_df(topk_pdf, RESULT_SCHEMA)
+            out = topk_pdf[["doc_id", "score"]]
+            return out if as_pdf else self._pdf_df(out, RESULT_SCHEMA)
         if len(topk_pdf) == 0:
+            if as_pdf:
+                return pd.DataFrame(columns=self.DISPLAY_COLS)
             return self._empty_result(True)
         ids = [int(x) for x in topk_pdf["doc_id"]]
         meta_pdf = (
@@ -540,8 +564,10 @@ class SearchEngine:
                 F.col("doc_id").isin(ids)
             ).toPandas()
         out = topk_pdf.merge(meta_pdf, on="doc_id", how="left")[
-            ["doc_id", "score", "repo", "path", "commit", "lang", "sha256"]
+            self.DISPLAY_COLS
         ]
+        if as_pdf:
+            return out
         return self._pdf_df(
             out,
             (
@@ -551,8 +577,9 @@ class SearchEngine:
         )
 
     def _serve_search(
-        self, qterms, idf, topn, offset, k, mode, with_meta, filters=None
-    ) -> DataFrame:
+        self, qterms, idf, topn, offset, k, mode, with_meta, filters=None,
+        as_pdf=False,
+    ):
         """Term-pruned path: partition-pruned scan of the serve cache (tasks
         ∝ query terms), kernels run driver-side on the collected blocks —
         results identical to the distributed path by construction.
@@ -571,13 +598,13 @@ class SearchEngine:
                 blocks, qterms, idf, self.avgdl, self.bm25.k1, self.bm25.b,
                 topn, excluded=self._tomb_arr,
             ).iloc[offset : offset + k]
-            return self._attach_meta(r, with_meta)
+            return self._attach_meta(r, with_meta, as_pdf)
         cand = fn(
             blocks, qterms, idf, self.avgdl, self.bm25.k1, self.bm25.b,
             None, excluded=self._tomb_arr,
         )
         r = self._filter_candidates(cand, filters, topn)
-        return self._attach_meta(r.iloc[offset : offset + k], with_meta)
+        return self._attach_meta(r.iloc[offset : offset + k], with_meta, as_pdf)
 
     def _filter_candidates(
         self, cand: pd.DataFrame, filters: dict, topn: int | None
@@ -668,8 +695,9 @@ class SearchEngine:
         )
 
     def _search_sorted(
-        self, qterms, idf, dfs, k, offset, mode, filters, sort_by, with_meta
-    ) -> DataFrame:
+        self, qterms, idf, dfs, k, offset, mode, filters, sort_by, with_meta,
+        as_pdf=False,
+    ):
         """Composite-key top-k (O1/O2/O3): attribute keys can dominate the
         score, so relevance pruning is off (topn=None scores ALL matches);
         the sort attributes ride the cogroup right side — co-partitioned
@@ -694,7 +722,9 @@ class SearchEngine:
                 r = r.sort_values(
                     by=pd_cols, ascending=asc, na_position="last"
                 ).iloc[offset : offset + k]
-            return self._finish_sorted(r, attrs, with_meta, pd_cols, asc)
+            return self._finish_sorted(
+                r, attrs, with_meta, pd_cols, asc, as_pdf
+            )
 
         if self._serve_sorted_route(dfs, filters, attrs):
             r = fn(
@@ -712,7 +742,9 @@ class SearchEngine:
                     by=pd_cols, ascending=asc, na_position="last"
                 ).iloc[offset : offset + k]
             r = r[["doc_id", "score"] + attrs] if len(r) else r
-            return self._finish_sorted(r, attrs, with_meta, pd_cols, asc)
+            return self._finish_sorted(
+                r, attrs, with_meta, pd_cols, asc, as_pdf
+            )
 
         cond = compile_filters(filters)
         right = self.doc_meta.select("doc_part", "doc_id", *attrs)
@@ -762,9 +794,12 @@ class SearchEngine:
             scored.orderBy(*spark_cols).limit(topn).toPandas()
             .iloc[offset : offset + k]
         )
-        return self._finish_sorted(topk_pdf, attrs, with_meta, pd_cols, asc)
+        return self._finish_sorted(
+            topk_pdf, attrs, with_meta, pd_cols, asc, as_pdf
+        )
 
-    def _finish_sorted(self, pdf, attrs, with_meta, pd_cols, asc):
+    def _finish_sorted(self, pdf, attrs, with_meta, pd_cols, asc,
+                       as_pdf=False):
         meta_fields = {f.name: f.dataType for f in self.doc_meta.schema.fields}
         base = [
             T.StructField("doc_id", T.LongType()),
@@ -773,7 +808,11 @@ class SearchEngine:
         if not with_meta:
             schema = T.StructType(base)
             if len(pdf) == 0:
+                if as_pdf:
+                    return pd.DataFrame(columns=[f.name for f in base])
                 return self.spark.createDataFrame([], schema).limit(0)
+            if as_pdf:
+                return pdf[[f.name for f in base]]
             return self.spark.createDataFrame(pdf[[f.name for f in base]], schema)
         display = ["repo", "path", "commit", "lang", "sha256"]
         need = [c for c in display if c not in attrs]
@@ -781,6 +820,8 @@ class SearchEngine:
             base + [T.StructField(c, T.StringType()) for c in need]
         )
         if len(pdf) == 0:
+            if as_pdf:
+                return pd.DataFrame(columns=[f.name for f in schema.fields])
             return self.spark.createDataFrame([], schema).limit(0)
         ids = [int(x) for x in pdf["doc_id"]]
         if self._local_meta is not None:
@@ -799,6 +840,8 @@ class SearchEngine:
             meta_pdf = meta_pdf[["doc_id"] + need]
         out = pdf.merge(meta_pdf, on="doc_id", how="left")
         out = out.sort_values(by=pd_cols, ascending=asc, na_position="last")
+        if as_pdf:
+            return out[[f.name for f in schema.fields]]
         return self.spark.createDataFrame(
             out[[f.name for f in schema.fields]], schema
         )
@@ -863,8 +906,9 @@ class SearchEngine:
         return None, self._local_tombs
 
     def _local_search(
-        self, qterms, idf, topn, offset, k, mode, filters, with_meta
-    ) -> DataFrame:
+        self, qterms, idf, topn, offset, k, mode, filters, with_meta,
+        as_pdf=False,
+    ):
         blocks = self._local_blocks[self._local_blocks["term"].isin(qterms)]
         allowed, excluded = self._local_masks(filters)
         fn = K.score_and if mode == "and" else K.score_or
@@ -873,12 +917,14 @@ class SearchEngine:
             allowed=allowed, excluded=excluded,
         ).iloc[offset : offset + k]
         if len(r) == 0:
-            return self._empty_result(with_meta)
+            return self._empty_result(with_meta, as_pdf=as_pdf)
         if not with_meta:
-            return self._pdf_df(r, RESULT_SCHEMA)
+            return r if as_pdf else self._pdf_df(r, RESULT_SCHEMA)
         out = r.merge(
             self._local_meta.reset_index(drop=True), on="doc_id", how="left"
-        )[["doc_id", "score", "repo", "path", "commit", "lang", "sha256"]]
+        )[self.DISPLAY_COLS]
+        if as_pdf:
+            return out
         return self._pdf_df(
             out,
             (
@@ -1101,11 +1147,16 @@ class SearchEngine:
             return tomb.select("doc_part", "doc_id"), "excluded"
         return None, "none"
 
-    def _empty_result(self, with_meta: bool, sort_by=None) -> DataFrame:
+    def _empty_result(self, with_meta: bool, sort_by=None, as_pdf=False):
         if sort_by:
             attrs, pd_cols, asc, _ = self._sort_spec(sort_by)
             return self._finish_sorted(
-                pd.DataFrame(), attrs, with_meta, pd_cols, asc
+                pd.DataFrame(), attrs, with_meta, pd_cols, asc, as_pdf
+            )
+        if as_pdf:
+            return pd.DataFrame(
+                columns=self.DISPLAY_COLS if with_meta
+                else ["doc_id", "score"]
             )
         schema = (
             "doc_id long, score double, repo string, path string, "

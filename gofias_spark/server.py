@@ -108,6 +108,23 @@ def _rows(df) -> list[dict]:
     return [r.asDict() for r in df.collect()]
 
 
+def _items(pdf) -> list[dict]:
+    """pandas frame -> JSON-safe records: numpy scalars to Python, NaN to
+    null (json.dumps would otherwise emit invalid ``NaN`` literals)."""
+    import pandas as pd
+
+    out = []
+    for rec in pdf.to_dict("records"):
+        out.append(
+            {
+                k: (None if (isinstance(v, float) and v != v) or v is pd.NaT
+                    else v.item() if hasattr(v, "item") else v)
+                for k, v in rec.items()
+            }
+        )
+    return out
+
+
 def make_handler(api: FulltextAPI):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -131,22 +148,26 @@ def make_handler(api: FulltextAPI):
                     self._json(api.version())
                 elif url.path == "/api/v1/address/term":
                     size, from_ = _page(q, default_size=100)
-                    df = api.search_by_term(
+                    # serving fast path: pandas straight to JSON — no
+                    # Spark materialization round trip per request
+                    pdf = api.search_by_term(
                         q.get("term", [""])[0],
                         size=size,
                         from_=from_,
                         filters=_filters_from_query(q),
                         sort_by=_sort_from_query(q),
+                        as_pandas=True,
                     )
-                    self._json({"items": _rows(df)})
+                    self._json({"items": _items(pdf)})
                 elif url.path == "/api/v1/suggests":
                     size, _ = _page(q, default_size=10)
-                    df = api.suggest(
+                    pdf = api.suggest(
                         q.get("term", [""])[0],
                         size=size,
                         filters=_filters_from_query(q),
+                        as_pandas=True,
                     )
-                    self._json({"items": _rows(df)})
+                    self._json({"items": _items(pdf)})
                 elif url.path == "/api/v1/address/guid":
                     key = {
                         k: q[k][0]

@@ -339,3 +339,29 @@ def test_cache_excludes_unservable_hot_terms(spark, tmp_path):
     a = _rows(big.search(rare, k=5))
     b = _rows(dist.search(rare, k=5))
     assert a == b
+
+
+def test_as_pandas_matches_dataframe_results(engines):
+    """search(as_pandas=True) — the serving fast path — must return the
+    same rows/columns as the DataFrame result across plain, filtered,
+    sorted, and empty queries."""
+    served, dist, local = engines
+    cases = [
+        dict(query="common_util", k=5),
+        dict(query="common_util", k=5, with_meta=False),
+        dict(query="common_util", k=5, filters={"lang": ["py", "go"]}),
+        dict(
+            query="common_util", k=5,
+            filters={"doclen": {"gte": 5}},
+            sort_by=[("lang", "asc"), ("_score", "desc")],
+        ),
+        dict(query="zzz_missing", k=5),
+    ]
+    for eng in (served, local):
+        for case in cases:
+            pdf = eng.search(as_pandas=True, **case)
+            df = eng.search(**case).toPandas()
+            assert list(pdf.columns) == list(df.columns), case
+            a = pdf.reset_index(drop=True).fillna("∅")
+            b = df.reset_index(drop=True).fillna("∅")
+            assert a.to_dict("records") == b.to_dict("records"), case
