@@ -43,6 +43,7 @@ _FILTER_FIELDS = ("lang", "repo", "path_prefix")
 _RANGE_OPS = ("gte", "gt", "lte", "lt", "neq")
 MAX_SIZE = 1000
 MAX_FROM = 10000
+MAX_TERM_LEN = 1024  # analyzer cost is O(len); clamp like size/from
 
 
 class BadRequest(ValueError):
@@ -104,6 +105,13 @@ def _page(q: dict, default_size: int) -> tuple[int, int]:
     return size, from_
 
 
+def _term(q: dict) -> str:
+    term = q.get("term", [""])[0]
+    if len(term) > MAX_TERM_LEN:
+        raise BadRequest(f"term longer than {MAX_TERM_LEN} chars")
+    return term
+
+
 def _rows(df) -> list[dict]:
     return [r.asDict() for r in df.collect()]
 
@@ -151,7 +159,7 @@ def make_handler(api: FulltextAPI):
                     # serving fast path: pandas straight to JSON — no
                     # Spark materialization round trip per request
                     pdf = api.search_by_term(
-                        q.get("term", [""])[0],
+                        _term(q),
                         size=size,
                         from_=from_,
                         filters=_filters_from_query(q),
@@ -162,7 +170,7 @@ def make_handler(api: FulltextAPI):
                 elif url.path == "/api/v1/suggests":
                     size, _ = _page(q, default_size=10)
                     pdf = api.suggest(
-                        q.get("term", [""])[0],
+                        _term(q),
                         size=size,
                         filters=_filters_from_query(q),
                         as_pandas=True,
@@ -178,7 +186,7 @@ def make_handler(api: FulltextAPI):
                     self._json({"items": _rows(df)})
                 elif url.path == "/api/v1/count":
                     n = api.count(
-                        q.get("term", [None])[0],
+                        _term(q) or None,
                         filters=_filters_from_query(q),
                     )
                     self._json({"count": n})

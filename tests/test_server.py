@@ -175,3 +175,10 @@ def test_concurrent_requests_consistent(gateway):
     ]
     assert all(b == bodies[0] for b in bodies)
     assert len(bodies[0]) > 0
+
+
+def test_term_length_clamped(gateway):
+    _, base = gateway
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/api/v1/address/term?term=" + "a" * 2000)
+    assert e.value.code == 400
