@@ -118,9 +118,20 @@ def main() -> None:
                             "host_control": cand["host_control"]})
         print(f"attempt #{attempt}: eff {eff} normalized {norm:.3f} "
               f"ceiling {ceil}", flush=True)
-        if ceil < args.min_ceiling and eff < 0.8:
+        # A dead bracket invalidates the attempt in BOTH directions: it
+        # can't normalize a low raw eff, and it can't certify a high one —
+        # a super-linear raw eff (e.g. 1.73 with ceiling 0.045, attempt #1
+        # of 2026-08-17) just means the N-leg ran while the host was
+        # collapsed, inflating the ratio. Promotion always requires a live
+        # bracket; implausibly super-linear ratios are rejected outright.
+        if ceil < args.min_ceiling:
             print(f"  bracket invalid (ceiling {ceil} < "
                   f"{args.min_ceiling}) — not promotable", flush=True)
+            time.sleep(args.probe_secs)
+            continue
+        if eff > 1.3:
+            print(f"  eff {eff} super-linear beyond plausibility — "
+                  f"N-leg likely poisoned; not promotable", flush=True)
             time.sleep(args.probe_secs)
             continue
         if best is None or norm > best[0]:
@@ -128,8 +139,8 @@ def main() -> None:
         if eff >= 0.8 or norm >= 0.8:
             cand["gate"] = {
                 "criterion": (
-                    "eff >= 0.8 OR (eff >= 0.8 x mem-control ceiling "
-                    "AND ceiling >= min_ceiling)"
+                    "(eff >= 0.8 OR eff >= 0.8 x mem-control ceiling) "
+                    "AND ceiling >= min_ceiling AND eff <= 1.3"
                 ),
                 "raw_eff": eff,
                 "control_normalized_eff": round(norm, 3),

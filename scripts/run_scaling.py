@@ -74,7 +74,7 @@ eng.warm()
 eng.search("warmup", k=1).collect()
 qs = ["index_1 search_2", "common_util", "elastic batch", "func worker"]
 lat = []
-for _ in range(3):
+for _ in range(6):
     for q in qs:
         t0 = time.perf_counter()
         eng.search(q, k=10).collect()
@@ -83,7 +83,7 @@ lat.sort()
 # filtered + composite-sorted latencies (serve tier's filtered budget or
 # distributed fallback, whichever the router picks at this scale)
 lat_f = []
-for _ in range(3):
+for _ in range(6):
     for q in qs:
         t0 = time.perf_counter()
         eng.search(q, k=10, filters={{"doclen": {{"gte": 40}}}}).collect()
@@ -251,6 +251,15 @@ def main() -> None:
         "scaling": {"from": lo, "to": hi,
                     "thr_from": thr_lo, "thr_to": thr_hi,
                     "efficiency": round(eff, 3), "pass": eff >= 0.8},
+        # round-1 done-criterion: query latency must NOT rise with core
+        # count (the serve tier answers driver-side, so task count is
+        # independent of cache partitioning / executor count)
+        "query_scaling": {
+            "p50_from": results[f"local{lo}"]["query_p50_secs"],
+            "p50_to": results[f"local{hi}"]["query_p50_secs"],
+            "pass": (results[f"local{hi}"]["query_p50_secs"]
+                     <= results[f"local{lo}"]["query_p50_secs"]),
+        },
         "scaling_efficiency": round(eff, 3),
         "pass": eff >= 0.8,
     }
