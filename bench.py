@@ -41,8 +41,13 @@ def main() -> None:
     # the control efficiencies are low, the hypervisor regime — not the
     # engine — bounds every number below (round-over-round comparisons must
     # compare like-regime runs).
-    from run_scaling import run_control
+    from run_scaling import measurement_lock, run_control
 
+    with measurement_lock():
+        _run_bench(sf_dir, cpus, sf, run_control)
+
+
+def _run_bench(sf_dir: str, cpus: int, sf: float, run_control) -> None:
     control_before = run_control()
     from pyspark.sql import functions as F
 

@@ -48,8 +48,41 @@ def normalized(cand: dict) -> tuple[float, float]:
     return eff, (eff / ceil if ceil > 0 else 0.0)
 
 
+def gate(cand: dict, min_ceiling: float) -> dict:
+    """Apply the promotion gate to a candidate artifact; returns the gate
+    record (pass/fail + reasons). Shared by the hunt loop and --promote."""
+    eff, norm = normalized(cand)
+    ceil = min(
+        cand["host_control"]["before"]["mem"]["eff"],
+        cand["host_control"]["after"]["mem"]["eff"],
+    )
+    reasons = []
+    if ceil < min_ceiling:
+        reasons.append(f"bracket invalid: ceiling {ceil} < {min_ceiling}")
+    if eff > 1.3:
+        reasons.append(f"eff {eff} super-linear beyond plausibility")
+    ok = not reasons and (eff >= 0.8 or norm >= 0.8)
+    if not reasons and not ok:
+        reasons.append(f"eff {eff} and normalized {norm:.3f} both < 0.8")
+    return {
+        "criterion": ("(eff >= 0.8 OR eff >= 0.8 x mem-control ceiling) "
+                      "AND ceiling >= min_ceiling AND eff <= 1.3"),
+        "raw_eff": eff,
+        "control_normalized_eff": round(norm, 3),
+        "ceiling": ceil,
+        "min_ceiling": min_ceiling,
+        "pass": ok,
+        **({"fail_reasons": reasons} if reasons else {}),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--promote", metavar="CANDIDATE_JSON", default=None,
+        help="no hunting: gate the given candidate artifact and, if it "
+        "passes, write it (with the gate record) to --out",
+    )
     ap.add_argument("--min-control", type=float, default=0.7)
     ap.add_argument(
         "--min-ceiling", type=float, default=0.5,
@@ -69,10 +102,36 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    if args.promote:
+        cand = json.load(open(args.promote))
+        g = gate(cand, args.min_ceiling)
+        print(json.dumps(g, indent=2))
+        log_line(args.log, {"kind": "manual_promote_attempt",
+                            "path": args.promote, "gate": g})
+        if g["pass"]:
+            cand["gate"] = g
+            json.dump(cand, open(args.out, "w"), indent=2)
+            print(f"PASS -> {args.out}", flush=True)
+            sys.exit(0)
+        print("not promotable", flush=True)
+        sys.exit(1)
+
     deadline = time.time() + args.max_hours * 3600
     best: tuple[float, str] | None = None  # (normalized eff, path)
     attempt = 0
     while time.time() < deadline:
+        # don't probe (or launch) over someone else's measurement — e.g.
+        # the driver's per-round bench.py run, which holds the same marker
+        try:
+            age = time.time() - os.path.getmtime(
+                "/tmp/gofias_scaling_running")
+        except OSError:
+            age = None
+        if age is not None and age < 2400:
+            print(f"concurrent measurement in progress (marker age "
+                  f"{age:.0f}s); sleeping", flush=True)
+            time.sleep(args.probe_secs)
+            continue
         ctl = run_control()
         log_line(args.log, {"kind": "probe", "control": ctl})
         print(f"probe: mem eff {ctl['mem']['eff']} cpu {ctl['cpu']['eff']}",
@@ -83,74 +142,50 @@ def main() -> None:
         attempt += 1
         cand_path = f"/tmp/scaling_candidate_{attempt}.json"
         print(f"window open -> full scaling run #{attempt}", flush=True)
-        # marker so other tooling on this box can avoid launching heavy
-        # load over the measurement (a concurrent 32-thread job poisons
-        # both the run and its control bracket)
-        marker = "/tmp/gofias_scaling_running"
-        open(marker, "w").write(str(time.time()))
-        try:
-            r = subprocess.run(
-                [sys.executable,
-                 os.path.join(REPO, "scripts", "run_scaling.py"),
-                 "--docs", str(args.docs), "--reps", str(args.reps),
-                 "--out", cand_path],
-                capture_output=True, text=True,
-            )
-        finally:
-            try:
-                os.remove(marker)
-            except OSError:
-                pass
+        # run_scaling.py itself holds the measurement marker
+        # (run_scaling.measurement_lock) so other tooling on this box —
+        # notably bench.py — avoids launching heavy load over the
+        # measurement (a concurrent 32-thread job poisons both the run
+        # and its control bracket)
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "scripts", "run_scaling.py"),
+             "--docs", str(args.docs), "--reps", str(args.reps),
+             "--out", cand_path],
+            capture_output=True, text=True,
+        )
         if r.returncode != 0 or not os.path.exists(cand_path):
             log_line(args.log, {"kind": "attempt_error", "attempt": attempt,
                                 "stderr": r.stderr[-1000:]})
             time.sleep(args.probe_secs)
             continue
         cand = json.load(open(cand_path))
-        eff, norm = normalized(cand)
-        ceil = min(
-            cand["host_control"]["before"]["mem"]["eff"],
-            cand["host_control"]["after"]["mem"]["eff"],
-        )
-        log_line(args.log, {"kind": "attempt", "attempt": attempt,
-                            "eff": eff, "normalized": round(norm, 3),
-                            "ceiling": ceil, "path": cand_path,
-                            "host_control": cand["host_control"]})
-        print(f"attempt #{attempt}: eff {eff} normalized {norm:.3f} "
-              f"ceiling {ceil}", flush=True)
         # A dead bracket invalidates the attempt in BOTH directions: it
         # can't normalize a low raw eff, and it can't certify a high one —
         # a super-linear raw eff (e.g. 1.73 with ceiling 0.045, attempt #1
         # of 2026-08-17) just means the N-leg ran while the host was
         # collapsed, inflating the ratio. Promotion always requires a live
         # bracket; implausibly super-linear ratios are rejected outright.
-        if ceil < args.min_ceiling:
-            print(f"  bracket invalid (ceiling {ceil} < "
-                  f"{args.min_ceiling}) — not promotable", flush=True)
-            time.sleep(args.probe_secs)
-            continue
-        if eff > 1.3:
-            print(f"  eff {eff} super-linear beyond plausibility — "
-                  f"N-leg likely poisoned; not promotable", flush=True)
-            time.sleep(args.probe_secs)
-            continue
-        if best is None or norm > best[0]:
-            best = (norm, cand_path)
-        if eff >= 0.8 or norm >= 0.8:
-            cand["gate"] = {
-                "criterion": (
-                    "(eff >= 0.8 OR eff >= 0.8 x mem-control ceiling) "
-                    "AND ceiling >= min_ceiling AND eff <= 1.3"
-                ),
-                "raw_eff": eff,
-                "control_normalized_eff": round(norm, 3),
-                "ceiling": ceil,
-                "min_ceiling": args.min_ceiling,
-                "pass": True,
-            }
+        g = gate(cand, args.min_ceiling)
+        log_line(args.log, {"kind": "attempt", "attempt": attempt,
+                            "eff": g["raw_eff"],
+                            "normalized": g["control_normalized_eff"],
+                            "ceiling": g["ceiling"], "path": cand_path,
+                            "gate": g,
+                            "host_control": cand["host_control"]})
+        print(f"attempt #{attempt}: eff {g['raw_eff']} normalized "
+              f"{g['control_normalized_eff']} ceiling {g['ceiling']}",
+              flush=True)
+        if "fail_reasons" not in g:
+            if best is None or g["control_normalized_eff"] > best[0]:
+                best = (g["control_normalized_eff"], cand_path)
+        if g["pass"]:
+            cand["gate"] = g
             json.dump(cand, open(args.out, "w"), indent=2)
             print(f"PASS -> {args.out}", flush=True)
             return
+        print("  not promotable: " + "; ".join(g.get("fail_reasons", [])),
+              flush=True)
         time.sleep(args.probe_secs)
     if best is not None:
         print(f"deadline; best normalized {best[0]:.3f} at {best[1]}",

@@ -187,6 +187,51 @@ if __name__ == "__main__":
 """
 
 
+MEASUREMENT_MARKER = "/tmp/gofias_scaling_running"
+
+
+def wait_for_quiet(max_wait_secs: float = 1200.0,
+                   stale_after_secs: float = 2400.0) -> None:
+    """Block while another measurement holds the marker file.
+
+    bench.py and the scaling hunter both produce host-sensitive numbers on
+    a shared 32-vCPU guest; running one over the other poisons BOTH runs
+    and their control brackets. Each waits for the other (bounded), and a
+    marker older than ``stale_after_secs`` is treated as a crash leftover
+    and ignored."""
+    import time as _time
+    deadline = _time.time() + max_wait_secs
+    while _time.time() < deadline:
+        try:
+            age = _time.time() - os.path.getmtime(MEASUREMENT_MARKER)
+        except OSError:
+            return
+        if age > stale_after_secs:
+            return
+        print(f"waiting for concurrent measurement ({MEASUREMENT_MARKER}, "
+              f"age {age:.0f}s)", file=sys.stderr, flush=True)
+        _time.sleep(15)
+
+
+class measurement_lock:
+    """Context manager: wait for quiet, then hold the marker while
+    measuring. Best-effort (no atomicity needed — the marker is advisory
+    coordination between this repo's own tools, not a mutex)."""
+
+    def __enter__(self):
+        wait_for_quiet()
+        with open(MEASUREMENT_MARKER, "w") as f:
+            f.write(f"{os.getpid()}\n")
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(MEASUREMENT_MARKER)
+        except OSError:
+            pass
+        return False
+
+
 def run_control() -> dict:
     """Host-ceiling control: an identical fixed numpy workload (no Spark,
     no I/O) run at 8-way and 32-way process parallelism. On an idle host it
@@ -218,6 +263,11 @@ def main() -> None:
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     workdir = os.path.join(base, "gofias_scaling_work")
     os.makedirs(workdir, exist_ok=True)
+    with measurement_lock():
+        _run_measurement(args, base, workdir)
+
+
+def _run_measurement(args, base: str, workdir: str) -> None:
     corpus = gen_corpus(args.docs, base)
     levels = [int(x) for x in args.levels.split(",")]
     # bucket count sets the per-task Arrow working set (docs/bucket): ~4k
