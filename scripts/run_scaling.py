@@ -210,7 +210,7 @@ def wait_for_quiet(max_wait_secs: float = 1200.0,
             return
         print(f"waiting for concurrent measurement ({MEASUREMENT_MARKER}, "
               f"age {age:.0f}s)", file=sys.stderr, flush=True)
-        _time.sleep(15)
+        _time.sleep(max(0.1, min(15.0, deadline - _time.time())))
 
 
 class measurement_lock:
