@@ -170,20 +170,22 @@ def cpu_work(_):
     return time.perf_counter() - t0
 
 if __name__ == "__main__":
-    res = {}
+    lo, hi = {lo}, {hi}
+    res = {{}}
     for name, fn in (("mem", mem_work), ("cpu", cpu_work)):
-        out = {}
-        for n in (8, 32):
+        out = {{}}
+        for n in (lo, hi):
             with mp.Pool(n) as p:
                 t0 = time.perf_counter()
                 p.map(fn, range(n))
                 out[n] = time.perf_counter() - t0
-        res[name] = {"wall8": round(out[8], 2), "wall32": round(out[32], 2),
-                     "eff": round((32 / out[32]) / (8 / out[8]) / 4, 3)}
+        res[name] = {{
+            f"wall{{lo}}": round(out[lo], 2), f"wall{{hi}}": round(out[hi], 2),
+            "eff": round((hi / out[hi]) / (lo / out[lo]) / (hi / lo), 3)}}
     # legacy top-level fields mirror the memory control
     print("CONTROL " + json.dumps(
-        {"wall8": res["mem"]["wall8"], "wall32": res["mem"]["wall32"],
-         "eff": res["mem"]["eff"], "cpu": res["cpu"], "mem": res["mem"]}))
+        {{**res["mem"], "levels": [lo, hi], "cpu": res["cpu"],
+          "mem": res["mem"]}}))
 """
 
 
@@ -232,15 +234,18 @@ class measurement_lock:
         return False
 
 
-def run_control() -> dict:
+def run_control(levels: tuple[int, int] = (8, 32)) -> dict:
     """Host-ceiling control: an identical fixed numpy workload (no Spark,
-    no I/O) run at 8-way and 32-way process parallelism. On an idle host it
-    scales near-perfectly; under hypervisor contention (lock-holder
-    preemption amplifies with vCPU count) NO 32-way workload scales — the
-    control documents which regime the measurement ran in, so a low engine
-    efficiency can be attributed to the host when the control is also low."""
+    no I/O) run at ``levels[0]``-way and ``levels[1]``-way process
+    parallelism (default 8/32, matching the default engine levels). On an
+    idle host it scales near-perfectly; under hypervisor contention
+    (lock-holder preemption amplifies with vCPU count) NO wide workload
+    scales — the control documents which regime the measurement ran in, so
+    a low engine efficiency can be attributed to the host when the control
+    is also low."""
     out = subprocess.run(
-        [sys.executable, "-c", CONTROL], capture_output=True, text=True,
+        [sys.executable, "-c", CONTROL.format(lo=levels[0], hi=levels[1])],
+        capture_output=True, text=True,
         check=True, env={**os.environ,
                          "MALLOC_MMAP_THRESHOLD_": "1073741824",
                          "MALLOC_TRIM_THRESHOLD_": "1073741824",
@@ -276,14 +281,15 @@ def _run_measurement(args, base: str, workdir: str) -> None:
     # (measured: 128 buckets -> 15.6k docs/task -> DRAM-bound, eff 0.48;
     # 512 buckets -> 3.9k docs/task -> eff ~0.7+ on the same input)
     n_buckets = 512
-    control_before = run_control()
+    lohi = (min(levels), max(levels))
+    control_before = run_control(lohi)
     results = {}
     for cpus in levels:
         results[f"local{cpus}"] = run_level(
             cpus, corpus, n_buckets, args.reps, workdir
         )
-    control_after = run_control()
-    lo, hi = min(levels), max(levels)
+    control_after = run_control(lohi)
+    lo, hi = lohi
     thr_lo = results[f"local{lo}"]["files_per_sec"]
     thr_hi = results[f"local{hi}"]["files_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
