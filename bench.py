@@ -179,6 +179,9 @@ def _run_bench(sf_dir: str, cpus: int, sf: float, run_control) -> None:
         lat.sort()
         sf1["query_p50_secs"] = round(lat[len(lat) // 2], 4)
         sf1["n_docs"] = 50_000
+        # unpersist the sf1 caches before the after-control: a leaked
+        # postings cache would skew the very bracket validating the run
+        seng.close()
         shutil.rmtree(sroot, ignore_errors=True)
 
     control_after = run_control()

@@ -353,6 +353,12 @@ class SearchEngine:
         big = self._stats.filter(
             F.col("df") > self._serve_max
         ).select("term")
+        # the excluded set is tiny by construction (terms in > serve_max
+        # docs — the Zipf head) and is PERSISTED with the cache: routing
+        # checks membership in it rather than live dfs, because a
+        # delete-only delta can drop a term's df under the threshold
+        # without rotating the postings token (the cache still lacks it)
+        excluded_terms = [r["term"] for r in big.collect()]
         postings = postings.join(F.broadcast(big), "term", "left_anti")
         self._serve = ServeCache.build(
             self.spark,
@@ -361,6 +367,7 @@ class SearchEngine:
             n_buckets,
             state_token(self.manifest, self._seg_metas),
             df_threshold=self._serve_max,
+            excluded_terms=excluded_terms,
             # the sidecar carries every filterable/sortable attribute (not
             # just the display set): the serve tier evaluates filters and
             # composite sort keys against it driver-side
@@ -375,6 +382,18 @@ class SearchEngine:
             "path" if f == "path_prefix" else f for f in (filters or {})
         }
 
+    def _cache_lacks_terms(self, dfs: dict[str, int]) -> bool:
+        """True when a query term was EXCLUDED from the serve cache at
+        build time. The persisted excluded set is authoritative: live dfs
+        can drift below the build threshold after a delete-only delta
+        (tombstones + stats delta don't rotate the postings token), and
+        routing on them would serve silently-empty postings for the term.
+        Legacy caches without the file fall back to the threshold
+        heuristic in the callers (their residual exposure is exactly this
+        delta-drift case, until the next segment change rebuilds them)."""
+        excl = self._serve.excluded_terms
+        return excl is not None and not excl.isdisjoint(dfs)
+
     def _serve_route(self, dfs: dict[str, int], filters: dict | None) -> bool:
         """True when the term-pruned driver path should serve this query:
         the tombstone set is driver-resident and the total posting volume
@@ -385,6 +404,8 @@ class SearchEngine:
         if self._serve is None:
             return False
         if self._tombstones is not None and self._tomb_arr is None:
+            return False
+        if self._cache_lacks_terms(dfs):
             return False
         vol = sum(dfs.values())
         # cap by the cache's own build threshold: a cache built under a
@@ -615,10 +636,6 @@ class SearchEngine:
         (count path)."""
         if len(cand) == 0:
             return cand[["doc_id", "score"]]
-        order = np.lexsort(
-            (cand["doc_id"].to_numpy(), -cand["score"].to_numpy())
-        )
-        cand = cand.iloc[order].reset_index(drop=True)
         need = sorted(self._filter_fields(filters))
         cols = ["doc_id"] + need
 
@@ -628,7 +645,20 @@ class SearchEngine:
             return merged[pandas_filter_mask(merged, filters)]
 
         if topn is None:
-            return survivors(cand)[["doc_id", "score"]]
+            # count path: order is irrelevant, so skip the lexsort, and
+            # evaluate in fixed-size slices so the pyarrow isin expression
+            # stays bounded even at the full filtered budget (millions of
+            # candidates in one Python-list filter otherwise)
+            step = 262_144
+            out = [
+                survivors(cand.iloc[i : i + step])
+                for i in range(0, len(cand), step)
+            ]
+            return pd.concat(out, ignore_index=True)[["doc_id", "score"]]
+        order = np.lexsort(
+            (cand["doc_id"].to_numpy(), -cand["score"].to_numpy())
+        )
+        cand = cand.iloc[order].reset_index(drop=True)
         # geometric backfill: chunks grow 8x per round, so non-selective
         # filters finish on one small read while selective ones escalate in
         # O(log) rounds — never a full-candidate read unless truly needed.
@@ -683,6 +713,8 @@ class SearchEngine:
         if self._serve is None:
             return False
         if self._tombstones is not None and self._tomb_arr is None:
+            return False
+        if self._cache_lacks_terms(dfs):
             return False
         need = set(attrs) | self._filter_fields(filters)
         if not need <= self._serve.meta_columns():

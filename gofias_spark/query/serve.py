@@ -106,6 +106,17 @@ class ServeCache:
             if tfile.exists()
             else float("inf")
         )
+        # the EXACT set of terms the build excluded (df > threshold at
+        # build time). Routing must consult this set, not live dfs: a
+        # delete-only delta lowers df without rotating the postings token,
+        # so a term can drop under the threshold while the cache still
+        # lacks its postings — threshold-vs-live-df routing would then
+        # silently serve empty results for it. None = legacy cache without
+        # the file (router falls back to the threshold heuristic).
+        xfile = Path(self.path) / "excluded_terms.json"
+        self.excluded_terms: set[str] | None = (
+            set(json.loads(xfile.read_text())) if xfile.exists() else None
+        )
         # one reader DataFrame for the engine's lifetime: the file listing
         # is cached in its InMemoryFileIndex, so per-query planning does not
         # re-list the directory
@@ -137,6 +148,7 @@ class ServeCache:
         token: str,
         doc_meta: DataFrame | None = None,
         df_threshold: int | None = None,
+        excluded_terms: list[str] | None = None,
     ) -> "ServeCache":
         """Write the term-bucketed cache and return a reader over it.
 
@@ -150,9 +162,18 @@ class ServeCache:
         final = dest / token
         if (final / "_DONE").exists():
             return cls(spark, str(final), n_buckets)
-        # drop stale tokens (prior index states) best-effort
+        # drop stale tokens (prior index states) best-effort — but RETAIN
+        # the newest other token: during a rolling reopen an already-open
+        # engine may still be serving from it (pyarrow datasets hold file
+        # paths, not fds), and deleting it under that engine turns every
+        # serve-tier query into an IO error until the swap completes.
+        # Repeated builds keep at most one predecessor around.
         if dest.exists():
-            for old in dest.iterdir():
+            others = sorted(
+                (p for p in dest.iterdir() if p != final),
+                key=lambda p: p.stat().st_mtime,
+            )
+            for old in others[:-1]:
                 shutil.rmtree(old, ignore_errors=True)
         (
             postings.select(*BLOCK_COLS)
@@ -183,6 +204,10 @@ class ServeCache:
         if df_threshold is not None:
             (final / "threshold.json").write_text(
                 json.dumps({"df_threshold": int(df_threshold)})
+            )
+        if excluded_terms is not None:
+            (final / "excluded_terms.json").write_text(
+                json.dumps(sorted(excluded_terms))
             )
         (final / "_DONE").write_text("")
         return cls(spark, str(final), n_buckets)
@@ -264,7 +289,13 @@ class ServeCache:
         the reused postings."""
         d = Path(self.path) / f"stats_{delta_token}"
         if not (d / "_SUCCESS").exists():
-            for old in Path(self.path).glob("stats_*"):
+            # same retention as token rotation: keep the newest other
+            # sidecar for an engine still serving from it mid-swap
+            others = sorted(
+                (p for p in Path(self.path).glob("stats_*") if p != d),
+                key=lambda p: p.stat().st_mtime,
+            )
+            for old in others[:-1]:
                 shutil.rmtree(old, ignore_errors=True)
             (
                 stats.repartitionByRange(8, "term")

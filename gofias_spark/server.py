@@ -41,6 +41,11 @@ from gofias_spark.api import FulltextAPI
 
 _FILTER_FIELDS = ("lang", "repo", "path_prefix")
 _RANGE_OPS = ("gte", "gt", "lte", "lt", "neq")
+# fields a range op may target: the filterable attribute columns. NOT
+# path_prefix (prefix match has no range semantics — the engine would
+# pass the dict to startswith) and nothing outside the sidecar schema
+# (an unknown field would surface as a 500 from the engine).
+_RANGE_FIELDS = ("lang", "repo", "path", "commit", "sha256", "doclen")
 MAX_SIZE = 1000
 MAX_FROM = 10000
 MAX_TERM_LEN = 1024  # analyzer cost is O(len); clamp like size/from
@@ -69,6 +74,11 @@ def _filters_from_query(q: dict) -> dict | None:
         field, op = key.rsplit(".", 1)
         if op not in _RANGE_OPS:
             continue
+        if field not in _RANGE_FIELDS:
+            raise BadRequest(
+                f"field {field!r} does not support range operators "
+                f"(allowed: {', '.join(_RANGE_FIELDS)})"
+            )
         if not isinstance(f.get(field, {}), dict):
             raise BadRequest(f"field {field!r} has both equality and range")
         f.setdefault(field, {})[op] = _coerce(vals[0])

@@ -48,6 +48,14 @@ def read_docs_table(
     if snapshot_id is not None and as_of_timestamp is not None:
         raise ValueError("pass snapshot_id OR as_of_timestamp, not both")
     if os.path.sep in source or os.path.exists(source):
+        if snapshot_id is not None or as_of_timestamp is not None:
+            # silently dropping the pin would defeat the reproducibility
+            # the options exist for — fail loudly instead
+            raise ValueError(
+                f"snapshot_id/as_of_timestamp require a catalog table; "
+                f"{source!r} resolves to a filesystem path (parquet has "
+                "no time travel)"
+            )
         df = spark.read.parquet(source)
     else:
         reader = spark.read

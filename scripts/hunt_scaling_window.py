@@ -29,51 +29,15 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from run_scaling import run_control  # noqa: E402
+# the gate lives with the artifact producer so a run_scaling.py artifact
+# and a hunter promotion can never disagree on the criterion
+from run_scaling import MEASUREMENT_MARKER, gate, run_control  # noqa: E402
 
 
 def log_line(path: str, rec: dict) -> None:
     rec["ts"] = time.time()
     with open(path, "a") as f:
         f.write(json.dumps(rec) + "\n")
-
-
-def normalized(cand: dict) -> tuple[float, float]:
-    """(raw efficiency, efficiency / bracketing mem-control ceiling)."""
-    eff = cand["scaling_efficiency"]
-    ceil = min(
-        cand["host_control"]["before"]["mem"]["eff"],
-        cand["host_control"]["after"]["mem"]["eff"],
-    )
-    return eff, (eff / ceil if ceil > 0 else 0.0)
-
-
-def gate(cand: dict, min_ceiling: float) -> dict:
-    """Apply the promotion gate to a candidate artifact; returns the gate
-    record (pass/fail + reasons). Shared by the hunt loop and --promote."""
-    eff, norm = normalized(cand)
-    ceil = min(
-        cand["host_control"]["before"]["mem"]["eff"],
-        cand["host_control"]["after"]["mem"]["eff"],
-    )
-    reasons = []
-    if ceil < min_ceiling:
-        reasons.append(f"bracket invalid: ceiling {ceil} < {min_ceiling}")
-    if eff > 1.3:
-        reasons.append(f"eff {eff} super-linear beyond plausibility")
-    ok = not reasons and (eff >= 0.8 or norm >= 0.8)
-    if not reasons and not ok:
-        reasons.append(f"eff {eff} and normalized {norm:.3f} both < 0.8")
-    return {
-        "criterion": ("(eff >= 0.8 OR eff >= 0.8 x mem-control ceiling) "
-                      "AND ceiling >= min_ceiling AND eff <= 1.3"),
-        "raw_eff": eff,
-        "control_normalized_eff": round(norm, 3),
-        "ceiling": ceil,
-        "min_ceiling": min_ceiling,
-        "pass": ok,
-        **({"fail_reasons": reasons} if reasons else {}),
-    }
 
 
 def main() -> None:
@@ -123,8 +87,7 @@ def main() -> None:
         # don't probe (or launch) over someone else's measurement — e.g.
         # the driver's per-round bench.py run, which holds the same marker
         try:
-            age = time.time() - os.path.getmtime(
-                "/tmp/gofias_scaling_running")
+            age = time.time() - os.path.getmtime(MEASUREMENT_MARKER)
         except OSError:
             age = None
         if age is not None and age < 2400:
@@ -176,7 +139,10 @@ def main() -> None:
         print(f"attempt #{attempt}: eff {g['raw_eff']} normalized "
               f"{g['control_normalized_eff']} ceiling {g['ceiling']}",
               flush=True)
-        if "fail_reasons" not in g:
+        # best-so-far tracks VALID-bracket attempts that merely scored
+        # under the pass bar (a passing attempt promotes and returns
+        # below, so gating best on "no fail_reasons" would never fire)
+        if g["bracket_valid"] and not g["pass"]:
             if best is None or g["control_normalized_eff"] > best[0]:
                 best = (g["control_normalized_eff"], cand_path)
         if g["pass"]:

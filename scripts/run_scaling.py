@@ -224,9 +224,27 @@ class measurement_lock:
         wait_for_quiet()
         with open(MEASUREMENT_MARKER, "w") as f:
             f.write(f"{os.getpid()}\n")
+        # heartbeat: a full 2M-doc x 2-level x 5-rep run easily exceeds
+        # the 2400s staleness cutoff; without refreshing the mtime the
+        # other tools would treat the marker as a crash leftover and
+        # launch 32-way load over the in-flight measurement
+        import threading
+
+        self._stop = threading.Event()
+
+        def beat():
+            while not self._stop.wait(300):
+                try:
+                    os.utime(MEASUREMENT_MARKER)
+                except OSError:
+                    return
+
+        self._beat = threading.Thread(target=beat, daemon=True)
+        self._beat.start()
         return self
 
     def __exit__(self, *exc):
+        self._stop.set()
         try:
             os.remove(MEASUREMENT_MARKER)
         except OSError:
@@ -255,6 +273,60 @@ def run_control(levels: tuple[int, int] = (8, 32)) -> dict:
         if line.startswith("CONTROL "):
             return json.loads(line[len("CONTROL "):])
     raise RuntimeError("no CONTROL line")
+
+
+def bracket_ceiling(cand: dict) -> float:
+    """min(before, after) mem-control efficiency of the artifact's host
+    bracket — the ceiling any engine number in that window must be read
+    against (inf when the artifact carries no controls)."""
+    hc = cand.get("host_control")
+    if not hc:
+        return float("inf")
+    return min(hc["before"]["mem"]["eff"], hc["after"]["mem"]["eff"])
+
+
+def normalized(cand: dict) -> tuple[float, float]:
+    """(raw efficiency, efficiency / bracketing mem-control ceiling)."""
+    eff = cand["scaling_efficiency"]
+    ceil = bracket_ceiling(cand)
+    if ceil == float("inf"):
+        return eff, eff
+    return eff, (eff / ceil if ceil > 0 else 0.0)
+
+
+def gate(cand: dict, min_ceiling: float = 0.5) -> dict:
+    """The promotion gate (BASELINE.md §3b), applied where the artifact is
+    PRODUCED so a pass:true JSON never carries an uncertifiable bracket:
+    pass = (raw eff >= 0.8 OR eff >= 0.8 x mem-control ceiling) AND the
+    bracket is valid (ceiling >= min_ceiling — a collapsed control can
+    neither normalize a low raw number nor certify a high one — and
+    eff <= 1.3, since super-linear ratios mean a poisoned slow leg)."""
+    eff, norm = normalized(cand)
+    ceil = bracket_ceiling(cand)
+    reasons = []
+    if ceil == float("inf"):
+        reasons.append("no control bracket: artifact predates the "
+                       "host-control methodology")
+        ceil = None
+    elif ceil < min_ceiling:
+        reasons.append(f"bracket invalid: ceiling {ceil} < {min_ceiling}")
+    if eff > 1.3:
+        reasons.append(f"eff {eff} super-linear beyond plausibility")
+    valid = not reasons
+    ok = valid and (eff >= 0.8 or norm >= 0.8)
+    if valid and not ok:
+        reasons.append(f"eff {eff} and normalized {norm:.3f} both < 0.8")
+    return {
+        "criterion": ("(eff >= 0.8 OR eff >= 0.8 x mem-control ceiling) "
+                      "AND ceiling >= min_ceiling AND eff <= 1.3"),
+        "raw_eff": eff,
+        "control_normalized_eff": round(norm, 3),
+        "ceiling": ceil,
+        "min_ceiling": min_ceiling,
+        "bracket_valid": valid,
+        "pass": ok,
+        **({"fail_reasons": reasons} if reasons else {}),
+    }
 
 
 def main() -> None:
@@ -321,8 +393,12 @@ def _run_measurement(args, base: str, workdir: str) -> None:
                      <= 1.05 * results[f"local{lo}"]["query_p50_secs"]),
         },
         "scaling_efficiency": round(eff, 3),
-        "pass": eff >= 0.8,
     }
+    # top-level pass is the FULL gate (raw-or-normalized AND valid
+    # bracket), not the raw threshold alone: an artifact must never
+    # self-report pass over a collapsed control bracket
+    result["gate"] = gate(result)
+    result["pass"] = result["gate"]["pass"]
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))

@@ -60,3 +60,50 @@ def test_fresh_marker_waited_on_until_removed(rs, marker):
     # bounded wait expired without the marker clearing
     assert time.time() - t0 >= 2
     assert os.path.exists(marker)
+
+
+def _cand(eff, before, after):
+    return {
+        "scaling_efficiency": eff,
+        "host_control": {
+            "before": {"mem": {"eff": before}},
+            "after": {"mem": {"eff": after}},
+        },
+    }
+
+
+def test_gate_raw_pass_with_valid_bracket(rs):
+    g = rs.gate(_cand(0.85, 0.7, 0.65))
+    assert g["pass"] and g["bracket_valid"] and g["ceiling"] == 0.65
+
+
+def test_gate_normalized_pass(rs):
+    # 0.573 raw over a 0.665 ceiling -> 0.862 normalized (the r2
+    # fallback artifact's numbers)
+    g = rs.gate(_cand(0.573, 0.665, 0.696))
+    assert g["pass"] and g["control_normalized_eff"] >= 0.8
+
+
+def test_gate_collapsed_bracket_cannot_certify_high_raw(rs):
+    # raw 0.861 but the before-control collapsed (BENCH_SCALING_2to8
+    # scenario): uncertifiable in BOTH directions
+    g = rs.gate(_cand(0.861, 0.029, 0.883))
+    assert not g["pass"] and not g["bracket_valid"]
+    assert any("bracket invalid" in r for r in g["fail_reasons"])
+
+
+def test_gate_super_linear_rejected(rs):
+    g = rs.gate(_cand(1.73, 0.7, 0.7))
+    assert not g["pass"] and not g["bracket_valid"]
+
+
+def test_gate_unbracketed_artifact_rejected(rs):
+    g = rs.gate({"scaling_efficiency": 0.9})
+    assert not g["pass"] and not g["bracket_valid"]
+    assert any("no control bracket" in r for r in g["fail_reasons"])
+
+
+def test_gate_valid_bracket_low_eff_fails_but_is_trackable(rs):
+    # the hunter's best-so-far tracking keys on bracket_valid & !pass
+    g = rs.gate(_cand(0.5, 0.9, 0.9))
+    assert not g["pass"] and g["bracket_valid"]

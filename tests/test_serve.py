@@ -365,3 +365,53 @@ def test_as_pandas_matches_dataframe_results(engines):
             a = pdf.reset_index(drop=True).fillna("∅")
             b = df.reset_index(drop=True).fillna("∅")
             assert a.to_dict("records") == b.to_dict("records"), case
+
+
+def test_excluded_terms_persisted_and_authoritative(spark, tmp_path):
+    """Routing consults the PERSISTED build-time exclusion set, not live
+    dfs: after a delete-only delta a hot term's df can drop under the
+    threshold while the postings token (and thus the cache) is unchanged
+    — threshold-vs-live-df routing would then serve silently-empty
+    results for it (r3 review, top finding)."""
+    root = str(tmp_path / "exclidx")
+    build_segment(spark, synth_corpus(spark, 100), root, CFG)
+    eng = SearchEngine(spark, root, serve_max_postings=30)
+    eng.warm(local_max_blocks=0)
+    assert eng._serve.excluded_terms is not None
+    assert "common_util" in eng._serve.excluded_terms
+    # live df under the cap (models post-delta drift): still must NOT
+    # route to a cache that lacks the term's postings
+    assert not eng._serve_route({"common_util": 5}, None)
+    assert not eng._serve_sorted_route({"common_util": 5}, None, [])
+    # ... and a larger-budget engine over the same cache agrees
+    big = SearchEngine(spark, root, serve_max_postings=4_000_000)
+    big.warm(local_max_blocks=0)
+    assert big._serve.path == eng._serve.path
+    assert not big._serve_route({"common_util": 5}, None)
+    # non-excluded terms route normally
+    rare = eng._stats.filter(F.col("df").between(1, 20)).limit(1).collect()[0]["term"]
+    assert eng._serve_route({rare: 5}, None)
+    eng.close()
+    big.close()
+
+
+def test_token_rotation_retains_one_predecessor(spark, roots, tmp_path):
+    """Cache rotation keeps the newest other token on disk: a rolling
+    reopen may still be serving from it; only older generations are
+    dropped."""
+    from gofias_spark.query.serve import ServeCache
+
+    eng = SearchEngine(spark, roots)
+    eng.warm(local_max_blocks=0)
+    postings = eng._union("postings")
+    dest = tmp_path / "rotcache"
+    c1 = ServeCache.build(spark, postings, dest, 4, "tok1")
+    c2 = ServeCache.build(spark, postings, dest, 4, "tok2")
+    assert (dest / "tok1").exists() and (dest / "tok2").exists()
+    c3 = ServeCache.build(spark, postings, dest, 4, "tok3")
+    assert not (dest / "tok1").exists()  # two generations back: dropped
+    assert (dest / "tok2").exists() and (dest / "tok3").exists()
+    # the retained predecessor is still readable end-to-end
+    assert len(c2.fetch(["common_util"])) > 0
+    del c1, c3
+    eng.close()

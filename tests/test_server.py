@@ -150,6 +150,10 @@ def test_paging_clamps(gateway):
     # equality + range on the same field is contradictory input
     assert _get_status(base, "/api/v1/address/term?term=x&lang=py&lang.gte=a") == 400
     assert _get_status(base, "/api/v1/suggests?term=x&size=5000") == 400
+    # range ops on prefix-match or unknown fields are malformed requests
+    # (400), not engine errors (500)
+    assert _get_status(base, "/api/v1/address/term?term=x&path_prefix.gte=src") == 400
+    assert _get_status(base, "/api/v1/address/term?term=x&nofield.gte=1") == 400
 
 
 def test_concurrent_requests_consistent(gateway):

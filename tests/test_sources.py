@@ -86,3 +86,18 @@ def test_read_docs_table_catalog_errors_are_actionable(spark):
         read_docs_table(
             spark, "t", snapshot_id=1, as_of_timestamp="2026-01-01"
         )
+
+
+def test_read_docs_table_rejects_time_travel_on_paths(spark, tmp_path):
+    """A snapshot pin on a filesystem source must fail loudly: silently
+    reading whatever bytes are at the path would defeat the
+    reproducibility the pin exists for."""
+    from gofias_spark.corpus import synth_corpus
+    from gofias_spark.sources.iceberg import read_docs_table
+
+    p = str(tmp_path / "tt_pq")
+    synth_corpus(spark, 5).write.parquet(p)
+    with pytest.raises(ValueError, match="time travel"):
+        read_docs_table(spark, p, snapshot_id=42)
+    with pytest.raises(ValueError, match="time travel"):
+        read_docs_table(spark, p, as_of_timestamp="2026-01-01 00:00:00")
