@@ -350,24 +350,40 @@ class SearchEngine:
         ``serve_max_postings`` still routes correctly against it."""
         n_buckets = int(min(512, max(8, n_blocks // 1_500_000)))
         postings = self._union("postings")
-        big = self._stats.filter(
+        dest = ServeCache.resolve_dir(self.store.root)
+        token = state_token(self.manifest, self._seg_metas)
+        # RAW df (tombstoned docs included, no stats_delta correction) is
+        # the basis for both the exclusion set and the volume sidecar:
+        # it is what the cache physically holds per term
+        raw_stats = self._union("term_stats").groupBy("term").agg(
+            F.sum("df").alias("df")
+        )
+        big = raw_stats.filter(
             F.col("df") > self._serve_max
         ).select("term")
         # the excluded set is tiny by construction (terms in > serve_max
         # docs — the Zipf head) and is PERSISTED with the cache: routing
         # checks membership in it rather than live dfs, because a
         # delete-only delta can drop a term's df under the threshold
-        # without rotating the postings token (the cache still lacks it)
-        excluded_terms = [r["term"] for r in big.collect()]
+        # without rotating the postings token (the cache still lacks it).
+        # On reuse (_DONE present) the persisted file is authoritative —
+        # skip the stats job entirely (ServeCache.build early-returns and
+        # never consumes the lazy frames below).
+        excluded_terms = (
+            None
+            if (dest / token / "_DONE").exists()
+            else [r["term"] for r in big.collect()]
+        )
         postings = postings.join(F.broadcast(big), "term", "left_anti")
         self._serve = ServeCache.build(
             self.spark,
             postings,
-            ServeCache.resolve_dir(self.store.root),
+            dest,
             n_buckets,
-            state_token(self.manifest, self._seg_metas),
+            token,
             df_threshold=self._serve_max,
             excluded_terms=excluded_terms,
+            build_stats=raw_stats,
             # the sidecar carries every filterable/sortable attribute (not
             # just the display set): the serve tier evaluates filters and
             # composite sort keys against it driver-side
@@ -394,6 +410,20 @@ class SearchEngine:
         excl = self._serve.excluded_terms
         return excl is not None and not excl.isdisjoint(dfs)
 
+    def _route_vol(self, dfs: dict[str, int]) -> int:
+        """Posting volume the serve tier would actually FETCH for these
+        terms. Without tombstones that is the live df sum; in delta state
+        the cached postings still hold tombstoned docs, so live dfs
+        understate the fetch (heavy deletes could overshoot the driver
+        budget by 1/live-fraction) — use the cache's persisted build-time
+        dfs instead (one pruned ~ms sidecar read, delta state only)."""
+        if self._tombstones is None:
+            return sum(dfs.values())
+        bdfs = self._serve.fetch_build_dfs(list(dfs))
+        if bdfs is None:  # legacy cache without the sidecar
+            return sum(dfs.values())
+        return sum(bdfs.get(t, df) for t, df in dfs.items())
+
     def _serve_route(self, dfs: dict[str, int], filters: dict | None) -> bool:
         """True when the term-pruned driver path should serve this query:
         the tombstone set is driver-resident and the total posting volume
@@ -407,7 +437,7 @@ class SearchEngine:
             return False
         if self._cache_lacks_terms(dfs):
             return False
-        vol = sum(dfs.values())
+        vol = self._route_vol(dfs)
         # cap by the cache's own build threshold: a cache built under a
         # smaller budget excluded terms this engine's budget would accept
         cap = min(self._serve_max, self._serve.df_threshold)
@@ -722,7 +752,7 @@ class SearchEngine:
         # sorts read attributes for EVERY candidate in one shot (no
         # score-ordered backfill is possible when score isn't the primary
         # key), so they take a quarter of the filtered budget
-        return sum(dfs.values()) <= min(
+        return self._route_vol(dfs) <= min(
             self._serve_filtered_max // 4, self._serve.df_threshold
         )
 

@@ -66,6 +66,42 @@ from pyspark.sql import functions as F
 BLOCK_COLS = ["term", "n", "base", "last", "tf_max", "dl_min", "docs", "tfs", "dls"]
 
 
+def _prune_stale(candidates, current: Path, done_name: str) -> None:
+    """Best-effort cleanup of stale sibling cache dirs, RETAINING the
+    newest COMPLETE predecessor — a rolling reopen may still be serving
+    from it. Completeness and age both come from the done-marker file:
+
+    * a partial dir (no marker) never shields a complete predecessor; a
+      STALE partial (crashed build) is dropped outright, while a fresh
+      one is left alone (another process may be mid-build in it);
+    * generation order is the MARKER's mtime, not the dir's — writing a
+      stats_* sidecar into an old token dir bumps the dir mtime and
+      would otherwise make the stale token look newest;
+    * every stat is OSError-guarded: a sibling deleted concurrently by
+      another pruner must not crash this build.
+    """
+    import time
+
+    complete = []
+    for p in candidates:
+        if p == current:
+            continue
+        try:
+            m = (p / done_name).stat().st_mtime
+        except OSError:
+            try:
+                fresh = time.time() - p.stat().st_mtime < 3600
+            except OSError:
+                continue
+            if not fresh:
+                shutil.rmtree(p, ignore_errors=True)
+            continue
+        complete.append((m, p))
+    complete.sort()
+    for _, old in complete[:-1]:
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def pid_of(term: str, n_buckets: int) -> int:
     """Driver-side bucket of a term. MUST match the Spark expression in
     ``build`` (pmod over crc32 of the utf-8 bytes): zlib.crc32 returns the
@@ -136,6 +172,10 @@ class ServeCache:
         self._meta_ds = (
             pads.dataset(str(meta_dir)) if meta_dir.exists() else None
         )
+        bd_dir = Path(self.path) / "build_dfs"
+        self._build_dfs_ds = (
+            pads.dataset(str(bd_dir)) if bd_dir.exists() else None
+        )
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -149,6 +189,7 @@ class ServeCache:
         doc_meta: DataFrame | None = None,
         df_threshold: int | None = None,
         excluded_terms: list[str] | None = None,
+        build_stats: DataFrame | None = None,
     ) -> "ServeCache":
         """Write the term-bucketed cache and return a reader over it.
 
@@ -163,18 +204,13 @@ class ServeCache:
         if (final / "_DONE").exists():
             return cls(spark, str(final), n_buckets)
         # drop stale tokens (prior index states) best-effort — but RETAIN
-        # the newest other token: during a rolling reopen an already-open
-        # engine may still be serving from it (pyarrow datasets hold file
-        # paths, not fds), and deleting it under that engine turns every
-        # serve-tier query into an IO error until the swap completes.
-        # Repeated builds keep at most one predecessor around.
+        # the newest complete other token: during a rolling reopen an
+        # already-open engine may still be serving from it (pyarrow
+        # datasets hold file paths, not fds), and deleting it under that
+        # engine turns every serve-tier query into an IO error until the
+        # swap completes. Repeated builds keep at most one predecessor.
         if dest.exists():
-            others = sorted(
-                (p for p in dest.iterdir() if p != final),
-                key=lambda p: p.stat().st_mtime,
-            )
-            for old in others[:-1]:
-                shutil.rmtree(old, ignore_errors=True)
+            _prune_stale(dest.iterdir(), final, "_DONE")
         (
             postings.select(*BLOCK_COLS)
             .withColumn(
@@ -208,6 +244,17 @@ class ServeCache:
         if excluded_terms is not None:
             (final / "excluded_terms.json").write_text(
                 json.dumps(sorted(excluded_terms))
+            )
+        if build_stats is not None:
+            # RAW per-term df at build time (tombstoned docs included) —
+            # what the cache physically holds per term. The router reads
+            # it in delta state, where live dfs understate the fetch.
+            (
+                build_stats.repartitionByRange(8, "term")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .option("parquet.block.size", 1024 * 1024)
+                .parquet(str(final / "build_dfs"))
             )
         (final / "_DONE").write_text("")
         return cls(spark, str(final), n_buckets)
@@ -289,14 +336,9 @@ class ServeCache:
         the reused postings."""
         d = Path(self.path) / f"stats_{delta_token}"
         if not (d / "_SUCCESS").exists():
-            # same retention as token rotation: keep the newest other
-            # sidecar for an engine still serving from it mid-swap
-            others = sorted(
-                (p for p in Path(self.path).glob("stats_*") if p != d),
-                key=lambda p: p.stat().st_mtime,
-            )
-            for old in others[:-1]:
-                shutil.rmtree(old, ignore_errors=True)
+            # same retention as token rotation: keep the newest complete
+            # other sidecar for an engine still serving from it mid-swap
+            _prune_stale(Path(self.path).glob("stats_*"), d, "_SUCCESS")
             (
                 stats.repartitionByRange(8, "term")
                 .sortWithinPartitions("term")
@@ -305,6 +347,18 @@ class ServeCache:
                 .parquet(str(d))
             )
         self._stats_ds = pads.dataset(str(d))
+
+    def fetch_build_dfs(self, terms: list[str]) -> dict[str, int] | None:
+        """Build-time (raw) df per term — the cache's actual per-term
+        posting volume. Pruned driver-side read of the term-sorted
+        sidecar; None for legacy caches without it."""
+        if self._build_dfs_ds is None:
+            return None
+        tbl = self._build_dfs_ds.to_table(
+            filter=pads.field("term").isin(list(terms))
+        )
+        pdf = tbl.to_pandas()
+        return dict(zip(pdf["term"], pdf["df"].astype(int)))
 
     def fetch_stats(self, terms: list[str]) -> dict[str, int] | None:
         """df for each query term — pruned driver-side read of the

@@ -415,3 +415,66 @@ def test_token_rotation_retains_one_predecessor(spark, roots, tmp_path):
     assert len(c2.fetch(["common_util"])) > 0
     del c1, c3
     eng.close()
+
+
+def test_prune_stale_completeness_and_marker_order(tmp_path):
+    """Retention keeps the newest COMPLETE predecessor: partial dirs never
+    shield a good one, generation order comes from the done-marker's
+    mtime (dir mtimes lie — writing a sidecar into an old token bumps
+    them), and fresh partials (possible in-flight builds) are left."""
+    import os
+    import time
+
+    from gofias_spark.query.serve import _prune_stale
+
+    d = tmp_path
+    for name in ("t1", "t2"):
+        (d / name).mkdir()
+        (d / name / "_DONE").write_text("")
+    partial = d / "t_partial"
+    partial.mkdir()
+    old = time.time() - 7200
+    os.utime(partial, (old, old))
+    os.utime(d / "t1" / "_DONE", (old, old))
+    # bump t1's DIR mtime above t2's (attach_stats-style subdir write)
+    (d / "t1" / "stats_x").mkdir()
+    cur = d / "t3"
+    cur.mkdir()
+    _prune_stale(d.iterdir(), cur, "_DONE")
+    assert not partial.exists()  # stale partial dropped outright
+    assert not (d / "t1").exists()  # older complete dropped (marker order)
+    assert (d / "t2").exists()  # newest complete retained
+    fresh = d / "t_fresh"
+    fresh.mkdir()
+    _prune_stale(d.iterdir(), cur, "_DONE")
+    assert fresh.exists()  # possible in-flight build: left alone
+
+
+def test_route_volume_uses_build_dfs_in_delta_state(spark, tmp_path):
+    """Cached postings retain tombstoned docs, so in delta state the
+    router budgets by the persisted build-time dfs, not the (smaller)
+    live dfs — heavy deletes must not overshoot the driver fetch."""
+    root = str(tmp_path / "volidx")
+    build_segment(spark, synth_corpus(spark, 100), root, CFG)
+    e1 = SearchEngine(spark, root)
+    e1.warm(local_max_blocks=0)  # builds the cache pre-delta
+    raw = e1._serve.fetch_build_dfs(["common_util"])["common_util"]
+    live0 = e1._term_dfs(["common_util"])["common_util"]
+    assert raw == live0  # no delta yet: sidecar mirrors live
+    assert e1._route_vol({"common_util": live0}) == live0
+    victims = [
+        (r["repo"], r["path"], r["commit"])
+        for r in e1.search("common_util", k=40, mode="or").collect()[:40]
+    ]
+    e1.close()
+    dels = spark.createDataFrame(
+        victims, "repo string, path string, commit string"
+    )
+    apply_delta(spark, root, deletes=dels)
+    e2 = SearchEngine(spark, root)
+    e2.warm(local_max_blocks=0)
+    live = e2._term_dfs(["common_util"])["common_util"]
+    assert live < raw  # deletes lowered the live df
+    # the router sees the cache's true per-term volume, not the live df
+    assert e2._route_vol({"common_util": live}) == raw
+    e2.close()
