@@ -100,9 +100,14 @@ class FulltextAPI:
         n = primary.count()
         if n >= size:
             return primary
+        # top-scored backfill, not an arbitrary limit: a bare .limit after
+        # the anti-join picks partition-order-dependent rows, which would
+        # disagree with the as_pandas path (it takes the highest-scored
+        # prefix hits) and vary run to run
         backfill = (
             self.prefix_engine.search(term, k=size, filters=filters)
             .join(primary.select("doc_id"), "doc_id", "left_anti")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(size - n)
         )
         return primary.unionByName(backfill).orderBy(

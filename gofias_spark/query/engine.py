@@ -398,6 +398,37 @@ class SearchEngine:
             "path" if f == "path_prefix" else f for f in (filters or {})
         }
 
+    def _validate_filters(self, filters: dict | None) -> None:
+        """Range operands must match the attribute's column type. The two
+        filter evaluators diverge on a mismatch — Spark casts (string col
+        vs int literal → null → row dropped) while pandas either
+        TypeErrors (gte/gt/lte/lt on an object column) or silently keeps
+        every row (neq) — so a mistyped operand fails loudly HERE, the
+        same way on every route."""
+        if not filters:
+            return
+        from pyspark.sql import types as T
+
+        meta = {f.name: f.dataType for f in self.doc_meta.schema.fields}
+        for field, val in filters.items():
+            if field == "path_prefix" or not isinstance(val, dict):
+                continue
+            dt = meta.get(field)
+            if dt is None:
+                raise ValueError(f"unknown filter field {field!r}")
+            numeric = isinstance(dt, T.NumericType)
+            for op, v in val.items():
+                ok = (
+                    isinstance(v, (int, float)) and not isinstance(v, bool)
+                    if numeric
+                    else isinstance(v, str)
+                )
+                if not ok:
+                    raise ValueError(
+                        f"filter {field}.{op}: operand {v!r} does not "
+                        f"match column type {dt.simpleString()}"
+                    )
+
     def _cache_lacks_terms(self, dfs: dict[str, int]) -> bool:
         """True when a query term was EXCLUDED from the serve cache at
         build time. The persisted excluded set is authoritative: live dfs
@@ -516,6 +547,7 @@ class SearchEngine:
         re-sort of the score-ranked page. doc_id asc is the implicit final
         tie-break."""
         spark = self.spark
+        self._validate_filters(filters)
         if filters_impossible(filters):
             return self._empty_result(with_meta, sort_by=sort_by,
                                       as_pdf=as_pandas)
@@ -1009,6 +1041,8 @@ class SearchEngine:
         (query, doc_id, score, rank), rank 1..k per query."""
         from pyspark.sql import Window
 
+        self._validate_filters(filters)
+
         qmap = (
             {q: q for q in queries}
             if not isinstance(queries, dict)
@@ -1233,6 +1267,7 @@ class SearchEngine:
 
     def count(self, query: str | None = None, filters: dict | None = None) -> int:
         """Filtered count (A1 analogue, client.go:151-162)."""
+        self._validate_filters(filters)
         if filters_impossible(filters):
             return 0
         if query is None:

@@ -131,7 +131,19 @@ class ServeCache:
     def __init__(self, spark: SparkSession, path: str, n_buckets: int):
         self.spark = spark
         self.path = str(path)
-        self.n_buckets = n_buckets
+        # the bucket count the cache was PHYSICALLY written with is
+        # authoritative over the caller's recomputation: pid routing is a
+        # pure function of (term, n_buckets), so if the bucket formula in
+        # engine code ever changes, an engine reopening an existing _DONE
+        # cache would otherwise prune to the wrong pids and silently serve
+        # empty results. Caches from before the sidecar existed fall back
+        # to the caller's value (same formula that built them).
+        nfile = Path(self.path) / "n_buckets.json"
+        self.n_buckets = (
+            json.loads(nfile.read_text())["n_buckets"]
+            if nfile.exists()
+            else n_buckets
+        )
         # df threshold the cache was built with: terms above it were
         # excluded (they can never be served — any query containing one is
         # over budget). Engines must cap their routing budget to this.
@@ -211,6 +223,17 @@ class ServeCache:
         # swap completes. Repeated builds keep at most one predecessor.
         if dest.exists():
             _prune_stale(dest.iterdir(), final, "_DONE")
+        # stage-then-rename claim: each builder writes into its OWN tmp dir
+        # and publishes with an atomic rename, so two replicas warming the
+        # same token concurrently (rolling restart on shared storage) can
+        # never overwrite each other's in-flight Spark output — the loser's
+        # rename fails, it discards its copy and reads the winner's.
+        import os as _os
+        import uuid as _uuid
+
+        staged = dest / f".{token}.tmp-{_os.getpid()}-{_uuid.uuid4().hex[:8]}"
+        publish = final
+        final = staged  # every write below lands in the staging dir
         (
             postings.select(*BLOCK_COLS)
             .withColumn(
@@ -256,8 +279,22 @@ class ServeCache:
                 .option("parquet.block.size", 1024 * 1024)
                 .parquet(str(final / "build_dfs"))
             )
+        # pid routing is a pure function of (term, n_buckets): persist the
+        # build-time bucket count so readers never recompute it from a
+        # formula that may have changed between releases
+        (final / "n_buckets.json").write_text(
+            json.dumps({"n_buckets": int(n_buckets)})
+        )
         (final / "_DONE").write_text("")
-        return cls(spark, str(final), n_buckets)
+        try:
+            _os.rename(staged, publish)
+        except OSError:
+            # another builder published this token first — its copy is
+            # complete (rename is atomic), so discard ours and read it
+            shutil.rmtree(staged, ignore_errors=True)
+            if not (publish / "_DONE").exists():
+                raise
+        return cls(spark, str(publish), n_buckets)
 
     @staticmethod
     def resolve_dir(index_root: str | Path) -> Path:
@@ -306,14 +343,32 @@ class ServeCache:
         """Meta columns for a doc_id set — pruned driver-side read of the
         doc_id-sorted meta sidecar (None when the sidecar is absent).
         ``columns`` restricts the projection (filter/sort paths read only
-        the attribute columns they evaluate)."""
+        the attribute columns they evaluate).
+
+        Large id sets are evaluated in bounded slices: a single isin
+        expression over millions of Python ints spikes driver memory and
+        expression-build time, so ids are SORTED (slices become doc_id-range
+        local → row-group pruning stays effective on the range-sorted
+        sidecar) and read 262k at a time. Callers merge on doc_id, so the
+        concat order is irrelevant."""
         if self._meta_ds is None:
             return None
-        tbl = self._meta_ds.to_table(
-            columns=columns,
-            filter=pads.field("doc_id").isin([int(x) for x in doc_ids]),
-        )
-        return tbl.to_pandas()
+        ids = sorted(int(x) for x in doc_ids)
+        step = 262_144
+        if not ids:
+            return self._meta_ds.to_table(
+                columns=columns, filter=pads.field("doc_id").isin([])
+            ).to_pandas()
+        parts = [
+            self._meta_ds.to_table(
+                columns=columns,
+                filter=pads.field("doc_id").isin(ids[i : i + step]),
+            ).to_pandas()
+            for i in range(0, len(ids), step)
+        ]
+        if len(parts) == 1:
+            return parts[0]
+        return pd.concat(parts, ignore_index=True)
 
     def meta_columns(self) -> set[str]:
         """Column names available in the meta sidecar (empty when absent) —

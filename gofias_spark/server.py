@@ -46,6 +46,14 @@ _RANGE_OPS = ("gte", "gt", "lte", "lt", "neq")
 # pass the dict to startswith) and nothing outside the sidecar schema
 # (an unknown field would surface as a 500 from the engine).
 _RANGE_FIELDS = ("lang", "repo", "path", "commit", "sha256", "doclen")
+# the sidecar's only numeric attribute; every other range field compares
+# as a string. Coercion is TYPE-AWARE: "commit.gte=5" must stay the string
+# "5", or the driver-side pandas evaluator TypeErrors on a string column
+# (HTTP 500) while the Spark path casts — same request, different result.
+_NUMERIC_RANGE_FIELDS = ("doclen",)
+_SORT_FIELDS = (
+    "_score", "doc_id", "lang", "repo", "path", "commit", "sha256", "doclen",
+)
 MAX_SIZE = 1000
 MAX_FROM = 10000
 MAX_TERM_LEN = 1024  # analyzer cost is O(len); clamp like size/from
@@ -55,15 +63,17 @@ class BadRequest(ValueError):
     pass
 
 
-def _coerce(v: str):
-    """Range operand: int -> float -> string, first parse wins (doclen is
-    numeric; lang/commit-style fields compare as strings)."""
+def _coerce(field: str, v: str):
+    """Range operand, typed by the field it targets: numeric fields parse
+    int -> float (400 on garbage), string fields pass through verbatim."""
+    if field not in _NUMERIC_RANGE_FIELDS:
+        return v
     for cast in (int, float):
         try:
             return cast(v)
         except ValueError:
             pass
-    return v
+    raise BadRequest(f"field {field!r} is numeric; bad operand {v!r}")
 
 
 def _filters_from_query(q: dict) -> dict | None:
@@ -81,7 +91,7 @@ def _filters_from_query(q: dict) -> dict | None:
             )
         if not isinstance(f.get(field, {}), dict):
             raise BadRequest(f"field {field!r} has both equality and range")
-        f.setdefault(field, {})[op] = _coerce(vals[0])
+        f.setdefault(field, {})[op] = _coerce(field, vals[0])
     return f or None
 
 
@@ -98,6 +108,13 @@ def _sort_from_query(q: dict) -> list[tuple[str, str]] | None:
         direction = direction or "asc"
         if direction not in ("asc", "desc"):
             raise BadRequest(f"bad sort direction {direction!r}")
+        if field not in _SORT_FIELDS:
+            # same 400 contract as an invalid filter field — without this
+            # the engine's ValueError surfaces as a 500
+            raise BadRequest(
+                f"unknown sort field {field!r} "
+                f"(allowed: {', '.join(_SORT_FIELDS)})"
+            )
         keys.append((field, direction))
     return keys or None
 

@@ -30,6 +30,16 @@ from pyspark.sql import DataFrame, SparkSession
 DOCS_COLS = ["repo", "path", "commit", "lang", "content"]
 
 
+def _catalog_serves(spark: SparkSession, name: str) -> bool:
+    """Whether the session catalog resolves ``name`` — guarded: a malformed
+    identifier or an unconfigured catalog must route to the path fallback,
+    not crash resolution."""
+    try:
+        return spark.catalog.tableExists(name)
+    except Exception:  # noqa: BLE001 - any parse/catalog error means "no"
+        return False
+
+
 def read_docs_table(
     spark: SparkSession,
     source: str,
@@ -47,7 +57,16 @@ def read_docs_table(
     """
     if snapshot_id is not None and as_of_timestamp is not None:
         raise ValueError("pass snapshot_id OR as_of_timestamp, not both")
-    if os.path.sep in source or os.path.exists(source):
+    # Routing must not depend on the launch cwd: an unambiguous path shape
+    # (a separator or a parquet suffix) reads as parquet; anything else is
+    # a bare identifier resolved CATALOG-FIRST, so a stray local file or
+    # dir named like the table (e.g. ./db.docs) can never shadow the
+    # catalog table the caller asked for. Only when the catalog does not
+    # serve the name does a matching local path get a chance.
+    path_like = os.path.sep in source or source.endswith(".parquet")
+    if not path_like and not _catalog_serves(spark, source):
+        path_like = os.path.exists(source)
+    if path_like:
         if snapshot_id is not None or as_of_timestamp is not None:
             # silently dropping the pin would defeat the reproducibility
             # the options exist for — fail loudly instead
@@ -56,6 +75,12 @@ def read_docs_table(
                 f"{source!r} resolves to a filesystem path (parquet has "
                 "no time travel)"
             )
+        # absolutize local paths: Spark's JVM resolves relative paths
+        # against ITS working directory, which need not match the Python
+        # process's — the same cwd-dependence this routing exists to kill.
+        # URIs (s3://, hdfs://, file://) pass through untouched.
+        if "://" not in source:
+            source = os.path.abspath(source)
         df = spark.read.parquet(source)
     else:
         reader = spark.read

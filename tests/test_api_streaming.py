@@ -36,6 +36,12 @@ def test_api_suggest_backfill_and_list(spark, tmp_path):
     assert len(pref) == 5
     assert len({r["doc_id"] for r in pref}) == 5
 
+    # the two suggest modes agree row-for-row: the DataFrame path's
+    # backfill is score-ordered (top-scored prefix hits), not an
+    # arbitrary partition-order limit() (r3 review)
+    pdf = api.suggest("common_ut", size=5, as_pandas=True)
+    assert [r["doc_id"] for r in pref] == pdf["doc_id"].tolist()
+
     # paging surface
     page = api.search_by_term("common_util", size=3, from_=2).collect()
     assert [r["doc_id"] for r in page] == [

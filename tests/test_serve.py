@@ -478,3 +478,65 @@ def test_route_volume_uses_build_dfs_in_delta_state(spark, tmp_path):
     # the router sees the cache's true per-term volume, not the live df
     assert e2._route_vol({"common_util": live}) == raw
     e2.close()
+
+
+def test_staged_publish_no_tmp_residue_and_idempotent(spark, engines, roots):
+    """Builds stage into a private tmp dir and publish by atomic rename:
+    after a successful warm the cache dir holds only complete token dirs
+    (every published dir has _DONE; no .tmp- staging dirs linger), and a
+    re-warm over the same token early-returns instead of rewriting."""
+    from pathlib import Path
+
+    from gofias_spark.query.serve import ServeCache
+
+    dest = Path(ServeCache.resolve_dir(roots))
+    names = [p.name for p in dest.iterdir()]
+    assert names and not any(".tmp-" in n for n in names)
+    toks = [p for p in dest.iterdir() if p.is_dir()]
+    assert all((p / "_DONE").exists() for p in toks)
+    done_mtime = {p: (p / "_DONE").stat().st_mtime for p in toks}
+    again = SearchEngine(spark, roots)
+    again.warm(local_max_blocks=0)
+    assert {
+        p: (p / "_DONE").stat().st_mtime for p in toks
+    } == done_mtime  # reused, not rebuilt
+    again.close()
+
+
+def test_n_buckets_persisted_and_authoritative(spark, engines):
+    """pid routing is a pure function of (term, n_buckets): the build-time
+    bucket count is persisted with the cache, and a reader constructed
+    with a DIFFERENT (e.g. formula-drifted) count must use the persisted
+    one — otherwise partition pruning reads the wrong pids and valid
+    queries serve silently-empty results."""
+    import json as _json
+    from pathlib import Path
+
+    from gofias_spark.query.serve import ServeCache
+
+    served = engines[0]
+    sc = served._serve
+    persisted = _json.loads(
+        (Path(sc.path) / "n_buckets.json").read_text()
+    )["n_buckets"]
+    assert persisted == sc.n_buckets
+    drifted = ServeCache(served.spark, sc.path, persisted * 2 + 7)
+    assert drifted.n_buckets == persisted
+    blocks_ok = sc.fetch(["common_util"])
+    blocks_drift = drifted.fetch(["common_util"])
+    assert len(blocks_ok) > 0
+    assert len(blocks_drift) == len(blocks_ok)
+
+
+def test_fetch_meta_chunks_large_id_sets(engines):
+    """fetch_meta evaluates huge id sets in bounded sorted slices; the
+    chunked read returns exactly the rows the single-slice read does."""
+    served = engines[0]
+    sc = served._serve
+    real = sc.fetch_meta(list(range(0, 500)))
+    assert real is not None and len(real) > 0
+    # pad with misses past the chunk step so the call takes >1 slice
+    padded = list(range(0, 500)) + list(range(10**9, 10**9 + 300_000))
+    big = sc.fetch_meta(padded)
+    assert sorted(big["doc_id"]) == sorted(real["doc_id"])
+    assert sc.fetch_meta([]) is not None and len(sc.fetch_meta([])) == 0

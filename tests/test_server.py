@@ -186,3 +186,36 @@ def test_term_length_clamped(gateway):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(base, "/api/v1/address/term?term=" + "a" * 2000)
     assert e.value.code == 400
+
+
+def test_string_field_range_operands_stay_strings(gateway):
+    """commit.gte=5 must compare as the STRING "5" (type-aware coercion):
+    previously the gateway coerced it to int, which 500'd on the
+    driver-side evaluator and silently diverged on neq (r3 review)."""
+    api, base = gateway
+
+    status, res = _get(
+        base, "/api/v1/address/term?term=common_util&size=5&commit.gte=5"
+    )
+    assert status == 200
+    direct = api.search_by_term(
+        "common_util", size=5, filters={"commit": {"gte": "5"}}
+    ).collect()
+    assert [i["doc_id"] for i in res["items"]] == [
+        r["doc_id"] for r in direct
+    ]
+
+    # neq on a string field: string comparison, same rows as direct
+    status, res = _get(
+        base, "/api/v1/count?term=common_util&lang.neq=py"
+    )
+    assert status == 200
+    assert res["count"] == api.count(
+        "common_util", filters={"lang": {"neq": "py"}}
+    )
+
+    # garbage operand on the numeric field is a 400, not a silent string
+    assert _get_status(base, "/api/v1/address/term?term=x&doclen.gte=abc") == 400
+    # unknown sort field is malformed input (400), same contract as an
+    # unknown filter field — not an engine 500
+    assert _get_status(base, "/api/v1/address/term?term=x&sort=bogus:asc") == 400

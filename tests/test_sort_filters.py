@@ -161,3 +161,26 @@ def test_sort_null_attrs_consistent_across_paths(spark, tmp_path):
                 seen_null = True
             else:
                 assert not seen_null, f"null sorted before non-null ({sort})"
+
+
+def test_mistyped_range_operand_raises_on_every_route(engines):
+    """A range operand whose Python type does not match the column fails
+    LOUDLY and identically everywhere: the Spark path would silently cast
+    (string col vs int literal -> null -> all rows dropped) while the
+    pandas evaluator either TypeErrors (gte) or keeps every row (neq) —
+    divergent results for the same request (ADVICE-class, r3 review)."""
+    dist, local, _ = engines
+    for eng in (dist, local):
+        with pytest.raises(ValueError, match="does not match column type"):
+            eng.search("common_util", k=5, filters={"commit": {"gte": 5}})
+        with pytest.raises(ValueError, match="does not match column type"):
+            eng.search("common_util", k=5, filters={"doclen": {"lt": "x"}})
+        with pytest.raises(ValueError, match="does not match column type"):
+            eng.count("common_util", filters={"lang": {"neq": 123}})
+        with pytest.raises(ValueError, match="unknown filter field"):
+            eng.search("common_util", k=5, filters={"nofield": {"gte": 1}})
+    # bool is not an acceptable stand-in for a numeric operand
+    with pytest.raises(ValueError, match="does not match column type"):
+        dist.search_many(["common_util"], filters={"doclen": {"gte": True}})
+    # correctly-typed operands still flow
+    assert dist.count("common_util", filters={"doclen": {"gte": 0}}) > 0

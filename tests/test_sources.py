@@ -101,3 +101,31 @@ def test_read_docs_table_rejects_time_travel_on_paths(spark, tmp_path):
         read_docs_table(spark, p, snapshot_id=42)
     with pytest.raises(ValueError, match="time travel"):
         read_docs_table(spark, p, as_of_timestamp="2026-01-01 00:00:00")
+
+
+def test_read_docs_table_catalog_wins_over_cwd_file(spark, tmp_path, monkeypatch):
+    """Routing is cwd-independent and catalog-first for bare identifiers:
+    a stray local file/dir named like the table must not shadow the
+    catalog table (r3 review), while unambiguous path shapes (a
+    separator or .parquet suffix) still read as parquet."""
+    from gofias_spark.corpus import synth_corpus
+    from gofias_spark.sources.iceberg import DOCS_COLS, read_docs_table
+
+    docs = synth_corpus(spark, 10)
+    docs.createOrReplaceTempView("docs_route_probe")
+    try:
+        # a cwd-local dir with the same bare name as the served view
+        monkeypatch.chdir(tmp_path)
+        (tmp_path / "docs_route_probe").mkdir()
+        df = read_docs_table(spark, "docs_route_probe")
+        assert df.columns == DOCS_COLS and df.count() == 10
+    finally:
+        spark.catalog.dropTempView("docs_route_probe")
+
+    # a bare name the catalog does NOT serve still falls back to a
+    # matching local path
+    p = tmp_path / "plaindir_pq"
+    docs.write.parquet(str(p))
+    monkeypatch.chdir(tmp_path)
+    df = read_docs_table(spark, "plaindir_pq")
+    assert df.count() == 10
