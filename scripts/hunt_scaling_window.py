@@ -74,6 +74,9 @@ def main() -> None:
                             "path": args.promote, "gate": g})
         if g["pass"]:
             cand["gate"] = g
+            # legacy candidates carry a top-level pass computed under the
+            # raw-only criterion; the gate is authoritative at promote time
+            cand["pass"] = g["pass"]
             json.dump(cand, open(args.out, "w"), indent=2)
             print(f"PASS -> {args.out}", flush=True)
             sys.exit(0)
@@ -147,6 +150,7 @@ def main() -> None:
                 best = (g["control_normalized_eff"], cand_path)
         if g["pass"]:
             cand["gate"] = g
+            cand["pass"] = g["pass"]
             json.dump(cand, open(args.out, "w"), indent=2)
             print(f"PASS -> {args.out}", flush=True)
             return

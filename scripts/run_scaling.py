@@ -282,7 +282,15 @@ def bracket_ceiling(cand: dict) -> float:
     hc = cand.get("host_control")
     if not hc:
         return float("inf")
-    return min(hc["before"]["mem"]["eff"], hc["after"]["mem"]["eff"])
+
+    def mem_eff(side: dict) -> float:
+        # legacy bracket shape (round-2 artifacts, pre cpu/mem split):
+        # the control WAS the mem-regime sort/copy control, recorded as a
+        # top-level eff — read it as the mem ceiling so --promote works
+        # on archived candidates too
+        return side["mem"]["eff"] if "mem" in side else side["eff"]
+
+    return min(mem_eff(hc["before"]), mem_eff(hc["after"]))
 
 
 def normalized(cand: dict) -> tuple[float, float]:
