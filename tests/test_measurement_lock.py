@@ -107,3 +107,60 @@ def test_gate_valid_bracket_low_eff_fails_but_is_trackable(rs):
     # the hunter's best-so-far tracking keys on bracket_valid & !pass
     g = rs.gate(_cand(0.5, 0.9, 0.9))
     assert not g["pass"] and g["bracket_valid"]
+
+
+def test_gate_legacy_bracket_shape(rs):
+    # round-2 artifacts predate the cpu/mem control split: the bracket
+    # sides carry a top-level eff (which WAS the mem control). The gate
+    # must read it as the mem ceiling so archived candidates promote.
+    cand = {
+        "scaling_efficiency": 0.573,
+        "host_control": {
+            "before": {"wall8": 0.61, "wall32": 0.92, "eff": 0.665},
+            "after": {"wall8": 0.6, "wall32": 0.86, "eff": 0.696},
+        },
+    }
+    g = rs.gate(cand)
+    assert g["ceiling"] == 0.665
+    assert g["pass"] and g["control_normalized_eff"] == 0.862
+
+
+def test_manual_promote_syncs_top_level_pass(tmp_path):
+    # a legacy candidate carries pass:false computed under the raw-only
+    # criterion; after gate-based promotion the artifact must not
+    # contradict itself (top-level pass == gate pass)
+    import json
+    import subprocess
+    import sys
+
+    cand = {
+        "scaling_efficiency": 0.573,
+        "pass": False,
+        "scaling": {"efficiency": 0.573, "pass": False},
+        "host_control": {
+            "before": {"eff": 0.665},
+            "after": {"eff": 0.696},
+        },
+    }
+    src = tmp_path / "cand.json"
+    out = tmp_path / "out.json"
+    log = tmp_path / "log.jsonl"
+    src.write_text(json.dumps(cand))
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts", "hunt_scaling_window.py"),
+         "--promote", str(src), "--out", str(out), "--log", str(log)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    promoted = json.loads(out.read_text())
+    assert promoted["pass"] is True
+    assert promoted["gate"]["pass"] is True
+    # the raw sub-criterion stays honestly false; only the top-level
+    # verdict follows the gate
+    assert promoted["scaling"]["pass"] is False
+    # audit line written
+    assert any(
+        json.loads(line)["kind"] == "manual_promote_attempt"
+        for line in log.read_text().splitlines()
+    )
