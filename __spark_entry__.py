@@ -159,6 +159,22 @@ def _q_ft_filter_sort(spark, sf):
     )
 
 
+def _q_ft_phrase(spark, sf):
+    """Exact-phrase top-10 (ES match_phrase analogue; extension beyond the
+    reference's operator=and matches). Slow-phrase plan: conjunctive index
+    candidates (bounded by the rarest term's df) verified for adjacency
+    against the stored content with a JVM regex, BM25-ranked."""
+    return _ft(_engine(spark, sf).search_phrase("table scan", k=10))
+
+
+def _q_ft_fuzzy(spark, sf):
+    """Fuzzy single-token match (ES fuzziness analogue): SymSpell
+    deletion-neighborhood expansion over the term dictionary (levenshtein
+    <= 1 verified), scored as a disjunctive match with per-variant idf.
+    'fash' expands to {fast, hash} on this corpus."""
+    return _ft(_engine(spark, sf).search_fuzzy("fash", k=10))
+
+
 def _q_ft_paging(spark, sf):
     return _ft(_engine(spark, sf).search("data query", k=10, offset=5))
 
@@ -629,6 +645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sort_attr": _q_ft_sort_attr,
         "ft_filter_sort": _q_ft_filter_sort,
         "ft_paging": _q_ft_paging,
+        "ft_phrase_top10": _q_ft_phrase,
+        "ft_fuzzy_top10": _q_ft_fuzzy,
         "ft_count": _q_ft_count,
         "ft_prefix_top10": _q_ft_prefix,
         "ft_infix_top10": _q_ft_infix,
@@ -689,13 +707,28 @@ def _bm25_sql(
     offset: int = 0,
     dl_range: tuple[int, int] | None = None,
     sort_lang_first: bool = False,
+    phrase: list[str] | None = None,
+    fuzzy: str | None = None,
 ) -> str:
-    tlist = ", ".join(f"'{t}'" for t in terms)
+    if fuzzy is not None:
+        # term set = the distance-<=1 vocabulary neighborhood, OR-scored
+        tpred = (
+            "term IN (SELECT DISTINCT term FROM tok "
+            f"WHERE levenshtein(term, '{fuzzy}') <= 1)"
+        )
+    else:
+        tpred = "term IN (" + ", ".join(f"'{t}'" for t in terms) + ")"
     filt = (
         f"JOIN documents fd ON tf.doc_id = fd.doc_id AND fd.lang = '{lang}'"
         if lang
         else ""
     )
+    if phrase:
+        pat = SearchEngine._phrase_pattern(phrase, dialect="re2")
+        filt += (
+            f" JOIN documents pd ON tf.doc_id = pd.doc_id "
+            f"AND regexp_matches(lower(pd.text), '{pat}')"
+        )
     range_filt = (
         f"AND dl.dl >= {dl_range[0]} AND dl.dl <= {dl_range[1]}"
         if dl_range
@@ -721,7 +754,7 @@ dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
        GROUP BY d.doc_id),
 stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
-       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+       WHERE {tpred} GROUP BY doc_id, term),
 df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 scored AS (
   SELECT tf.doc_id,
@@ -837,6 +870,10 @@ def oracle_sql() -> dict[str, str]:
             sort_lang_first=True,
         ),
         "ft_paging": _bm25_sql(["data", "query"], 10, offset=5),
+        "ft_phrase_top10": _bm25_sql(
+            ["table", "scan"], 10, phrase=["table", "scan"]
+        ),
+        "ft_fuzzy_top10": _bm25_sql([], 10, mode="or", fuzzy="fash"),
         "ft_count": f"""
 WITH tok AS ({TOK}),
 m AS (SELECT doc_id, count(DISTINCT term) AS nt FROM tok

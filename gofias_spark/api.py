@@ -64,6 +64,39 @@ class FulltextAPI:
             sort_by=sort_by, as_pandas=as_pandas,
         )
 
+    def search_phrase(
+        self,
+        phrase: str,
+        size: int = 100,
+        from_: int = 0,
+        filters: dict | None = None,
+        as_pandas: bool = False,
+    ):
+        """Exact-phrase match (ES match_phrase analogue; extension beyond
+        the reference's operator=and routes). See
+        SearchEngine.search_phrase for the slow-phrase plan."""
+        return self.engine.search_phrase(
+            phrase, k=size, offset=from_, filters=filters,
+            as_pandas=as_pandas,
+        )
+
+    def search_fuzzy(
+        self,
+        term: str,
+        size: int = 100,
+        from_: int = 0,
+        max_expansions: int | None = 50,
+        filters: dict | None = None,
+        as_pandas: bool = False,
+    ):
+        """Single-token fuzzy match (ES fuzziness analogue): distance-<=1
+        vocabulary expansion scored disjunctively; ``max_expansions``
+        mirrors ES's default cap of 50 variants (most-frequent first)."""
+        return self.engine.search_fuzzy(
+            term, k=size, offset=from_, max_expansions=max_expansions,
+            filters=filters, as_pandas=as_pandas,
+        )
+
     def suggest(
         self,
         term: str,

@@ -38,13 +38,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from gofias_spark.analyzer import analyze_query
+from gofias_spark.analyzer import analyze_query, tokenize_text
 from gofias_spark.config import AnalyzerConfig, BM25Params
 from gofias_spark.index.store import IndexStore
 from gofias_spark.query import kernel as K
 from gofias_spark.query.serve import ServeCache, state_token
 
 RESULT_SCHEMA = "doc_id long, score double"
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact levenshtein(a, b) <= 1 in one linear scan (the only distance
+    the deletion-neighborhood candidates can reach, so no DP table)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    if i == la:
+        return True  # a is a prefix of b (equal, or one trailing insert)
+    if la == lb:
+        return a[i + 1 :] == b[i + 1 :]  # one substitution
+    return a[i:] == b[i + 1 :]  # one insertion into a
 
 
 _RANGE_OPS = {
@@ -179,6 +197,8 @@ class SearchEngine:
         self._tombstones = self._read_tombstones()
         self._stats = self._build_stats()
         self._stats_cache: dict[str, int] | None = None
+        self._fuzzy_map: dict[str, list[str]] | None = None
+        self._fuzzy_map_token: str | None = None
         self._meta_slim = self.doc_meta.select(
             "doc_id", "repo", "path", "commit", "lang", "sha256"
         )
@@ -601,6 +621,223 @@ class SearchEngine:
             .iloc[offset : offset + k]
         )
         return self._attach_meta(topk_pdf, with_meta, as_pandas)
+
+    # -- phrase (slow-phrase: index candidates + stored-content verify) ----
+
+    @staticmethod
+    def _phrase_pattern(seq: list[str], dialect: str = "java") -> str:
+        """Token-adjacency regex over ``lower(content)``. The analyzer
+        tokenizes on ``\\w+`` runs, so two tokens are adjacent in the token
+        stream iff only non-word characters separate them in the text.
+        ``(?U)`` keeps Java's ``\\W`` aligned with the Python tokenizer's
+        unicode ``\\w``; the ``re2`` dialect (DuckDB oracles) spells the
+        ASCII class out — identical semantics on ASCII corpora."""
+        if dialect == "java":
+            b, gap, flags = r"\W", r"\W+", "(?s)(?U)"
+        else:  # re2
+            b, gap, flags = "[^a-z0-9_]", "[^a-z0-9_]+", ""
+        return f"{flags}(^|{b}){gap.join(seq)}({b}|$)"
+
+    def search_phrase(
+        self,
+        query: str,
+        k: int = 10,
+        offset: int = 0,
+        filters: dict | None = None,
+        with_meta: bool = True,
+        as_pandas: bool = False,
+    ):
+        """Exact phrase top-k (ES ``match_phrase`` analogue — an extension
+        beyond the reference, which only issues operator=and matches,
+        elasticAddressRepository.go:483).
+
+        The index stores no positions, so this is the classic *slow phrase*
+        plan: (1) conjunctive candidates from the postings — every phrase
+        term must match, so candidate volume is bounded by the rarest
+        term's df; (2) adjacency verification against the stored content
+        with a JVM regex (``rlike`` — whole-stage codegen, no Python);
+        (3) BM25 over the phrase terms ranks the survivors (score = the
+        conjunctive sum; verification only filters). The candidate side is
+        broadcast into the doc_meta scan when the rarest term is selective,
+        so verification is a broadcast semi-join, not a shuffle. Scoring
+        runs in all-matches mode (topn=None): verification may drop any
+        candidate, so a pre-verify top-k cut would be unsound."""
+        self._validate_filters(filters)
+        if filters_impossible(filters):
+            return self._empty_result(with_meta, as_pdf=as_pandas)
+        if self.analyzer.mode != "standard":
+            raise ValueError(
+                "search_phrase requires a standard-analyzer index; "
+                f"this index uses mode={self.analyzer.mode!r}"
+            )
+        seq = tokenize_text(
+            query,
+            AnalyzerConfig(
+                mode="standard", token_pattern=self.analyzer.token_pattern
+            ),
+        )
+        if not seq:
+            return self._empty_result(with_meta, as_pdf=as_pandas)
+        qterms = list(dict.fromkeys(seq))
+        dfs = self._term_dfs(qterms)
+        if any(dfs[t] == 0 for t in qterms):
+            return self._empty_result(with_meta, as_pdf=as_pandas)
+        idf = {t: self._idf(dfs[t]) for t in qterms}
+        params = dict(
+            qterms=qterms,
+            idf=idf,
+            avgdl=self.avgdl,
+            k1=self.bm25.k1,
+            b=self.bm25.b,
+            topn=None,
+        )
+        blocks = self.postings.filter(F.col("term").isin(qterms))
+        scored = self._scored_frame(blocks, K.score_and, params, filters)
+        if min(dfs[t] for t in qterms) <= 1_000_000:
+            scored = F.broadcast(scored)
+        pat = self._phrase_pattern(seq)
+        content = self.doc_meta.select(
+            "doc_id", F.lower(F.col("content")).alias("_content_lc")
+        )
+        verified = (
+            content.join(scored, "doc_id")
+            .filter(F.col("_content_lc").rlike(pat))
+            .drop("_content_lc")
+        )
+        topk_pdf = (
+            verified.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(offset + k)
+            .toPandas()
+            .iloc[offset : offset + k]
+        )
+        return self._attach_meta(topk_pdf, with_meta, as_pandas)
+
+    # -- fuzzy (deletion-neighborhood term expansion) -----------------------
+
+    def fuzzy_terms(
+        self,
+        term: str,
+        max_dist: int = 1,
+        max_expansions: int | None = None,
+    ) -> list[str]:
+        """Vocabulary terms within levenshtein distance ``max_dist`` of
+        ``term``, most-frequent first (df desc, term asc).
+
+        SymSpell-style candidate generation: for ``max_dist=1`` two strings
+        within edit distance 1 always share a member of each other's
+        {self} ∪ {single-deletions} set, so candidates come from an
+        equi-join on deletion keys — vocabulary-sized work, never
+        corpus-sized. The vocab side explodes its deletion keys with pure
+        JVM expressions (transform/sequence/substr) behind a length-window
+        pushdown; the query side is a broadcast of ≤ len(term)+1 keys;
+        ``F.levenshtein`` verifies exactly. When the warm driver stats dict
+        is resident and small, a lazily built driver-side deletion map
+        answers without a Spark job (suggest-tier latency)."""
+        if max_dist != 1:
+            raise NotImplementedError(
+                "deletion-neighborhood expansion supports max_dist=1"
+            )
+        t = term.lower()
+        if not t:
+            return []
+        qvars = {t} | {t[:i] + t[i + 1 :] for i in range(len(t))}
+        fmap = self._fuzzy_deletion_map()
+        if fmap is not None:
+            cands: set[str] = set()
+            for v in qvars:
+                cands.update(fmap.get(v, ()))
+            out = [
+                (c, self._stats_cache.get(c, 0))
+                for c in cands
+                if _lev_le1(c, t)
+            ]
+        else:
+            dels = F.transform(
+                F.sequence(F.lit(1), F.length("term")),
+                lambda i: F.concat(
+                    F.col("term").substr(F.lit(1), i - F.lit(1)),
+                    F.col("term").substr(i + F.lit(1), F.length("term")),
+                ),
+            )
+            vdf = self.spark.createDataFrame(
+                [(v,) for v in sorted(qvars)], "dkey string"
+            )
+            rows = (
+                self._stats.filter(
+                    F.length("term").between(len(t) - 1, len(t) + 1)
+                )
+                .withColumn(
+                    "dkey",
+                    F.explode(
+                        F.array_union(F.array(F.col("term")), dels)
+                    ),
+                )
+                .join(F.broadcast(vdf), "dkey")
+                .filter(F.levenshtein(F.col("term"), F.lit(t)) <= max_dist)
+                .select("term", "df")
+                .distinct()
+                .collect()
+            )
+            out = [(r["term"], int(r["df"])) for r in rows]
+        out.sort(key=lambda p: (-p[1], p[0]))
+        terms = [c for c, _ in out]
+        return terms[:max_expansions] if max_expansions else terms
+
+    def _fuzzy_deletion_map(self) -> dict | None:
+        """Driver-side deletion-key -> [vocab terms] map, built lazily from
+        the warm stats dict (bounded at 200k terms — beyond that the Spark
+        join path is the right plan) and invalidated on delta imports via
+        the same state token the serve cache uses."""
+        if self._stats_cache is None or len(self._stats_cache) > 200_000:
+            return None
+        token = self._delta_token()
+        if self._fuzzy_map is None or self._fuzzy_map_token != token:
+            m: dict[str, list[str]] = {}
+            for w in self._stats_cache:
+                for v in {w} | {w[:i] + w[i + 1 :] for i in range(len(w))}:
+                    m.setdefault(v, []).append(w)
+            self._fuzzy_map = m
+            self._fuzzy_map_token = token
+        return self._fuzzy_map
+
+    def search_fuzzy(
+        self,
+        term: str,
+        k: int = 10,
+        offset: int = 0,
+        max_dist: int = 1,
+        max_expansions: int | None = None,
+        filters: dict | None = None,
+        with_meta: bool = True,
+        sort_by: list[tuple[str, str]] | None = None,
+        as_pandas: bool = False,
+    ):
+        """Single-token fuzzy match (ES ``fuzziness`` analogue): expand the
+        token to its distance-≤1 vocabulary neighborhood, then score as a
+        disjunctive match — each matched variant contributes its own BM25
+        with its own idf (Lucene's per-term 'blended' behavior). Reuses
+        ``search()``, so the serve-tier / filter / sort routing all apply
+        unchanged."""
+        toks = analyze_query(term, self.analyzer)
+        if len(toks) != 1:
+            raise ValueError(
+                f"search_fuzzy expects a single token, got {toks!r}"
+            )
+        variants = self.fuzzy_terms(toks[0], max_dist, max_expansions)
+        if not variants:
+            return self._empty_result(
+                with_meta, sort_by=sort_by, as_pdf=as_pandas
+            )
+        return self.search(
+            " ".join(variants),
+            k=k,
+            offset=offset,
+            mode="or",
+            filters=filters,
+            with_meta=with_meta,
+            sort_by=sort_by,
+            as_pandas=as_pandas,
+        )
 
     def _pdf_df(self, pdf: pd.DataFrame, schema) -> DataFrame:
         """Small-result materialization: pyarrow Table -> DataFrame halves

@@ -22,6 +22,9 @@ into ES `range` queries per filtered route, addressHandler.go:140-165):
     lang=..&repo=..&path_prefix=..      equality / prefix filters
     <field>.gte= .gt= .lte= .lt= .neq=  range predicates (F4), e.g.
                                         doclen.gte=100&doclen.lt=500
+    match=and|phrase|fuzzy              match mode on /address/term
+                                        (default and; phrase/fuzzy are
+                                        extensions beyond the reference)
     sort=field[:asc|desc],...           attribute-first composite sort (O1);
                                         `_score` names the BM25 score
 
@@ -183,16 +186,45 @@ def make_handler(api: FulltextAPI):
                     self._json(api.version())
                 elif url.path == "/api/v1/address/term":
                     size, from_ = _page(q, default_size=100)
+                    match = q.get("match", ["and"])[0]
+                    sort_by = _sort_from_query(q)
                     # serving fast path: pandas straight to JSON — no
                     # Spark materialization round trip per request
-                    pdf = api.search_by_term(
-                        _term(q),
-                        size=size,
-                        from_=from_,
-                        filters=_filters_from_query(q),
-                        sort_by=_sort_from_query(q),
-                        as_pandas=True,
-                    )
+                    if match == "phrase":
+                        if sort_by:
+                            raise BadRequest(
+                                "match=phrase does not support sort="
+                            )
+                        pdf = api.search_phrase(
+                            _term(q), size=size, from_=from_,
+                            filters=_filters_from_query(q), as_pandas=True,
+                        )
+                    elif match == "fuzzy":
+                        if sort_by:
+                            raise BadRequest(
+                                "match=fuzzy does not support sort="
+                            )
+                        try:
+                            pdf = api.search_fuzzy(
+                                _term(q), size=size, from_=from_,
+                                filters=_filters_from_query(q),
+                                as_pandas=True,
+                            )
+                        except ValueError as exc:  # multi-token term
+                            raise BadRequest(str(exc)) from exc
+                    elif match == "and":
+                        pdf = api.search_by_term(
+                            _term(q),
+                            size=size,
+                            from_=from_,
+                            filters=_filters_from_query(q),
+                            sort_by=sort_by,
+                            as_pandas=True,
+                        )
+                    else:
+                        raise BadRequest(
+                            "match must be one of and|phrase|fuzzy"
+                        )
                     self._json({"items": _items(pdf)})
                 elif url.path == "/api/v1/suggests":
                     size, _ = _page(q, default_size=10)

@@ -219,3 +219,41 @@ def test_string_field_range_operands_stay_strings(gateway):
     # unknown sort field is malformed input (400), same contract as an
     # unknown filter field — not an engine 500
     assert _get_status(base, "/api/v1/address/term?term=x&sort=bogus:asc") == 400
+
+
+def test_match_phrase_and_fuzzy_routes(gateway):
+    """match=phrase / match=fuzzy on /address/term (extensions beyond the
+    reference's operator=and routes) round-trip through the gateway and
+    agree with the API facade."""
+    api, base = gateway
+
+    status, res = _get(
+        base,
+        "/api/v1/address/term?term=common_util+helper&match=phrase&size=5",
+    )
+    assert status == 200 and len(res["items"]) == 5
+    direct = api.search_phrase("common_util helper", size=5).collect()
+    assert [i["doc_id"] for i in res["items"]] == [
+        r["doc_id"] for r in direct
+    ]
+    # phrase docs really contain the adjacency (every even synth doc has
+    # the literal line "common_util helper(common_util, 1)")
+    assert all(i["doc_id"] % 2 == 0 for i in res["items"])
+
+    status, res = _get(
+        base, "/api/v1/address/term?term=common_utik&match=fuzzy&size=5"
+    )
+    assert status == 200 and len(res["items"]) == 5
+    direct = api.search_fuzzy("common_utik", size=5).collect()
+    assert [i["doc_id"] for i in res["items"]] == [
+        r["doc_id"] for r in direct
+    ]
+
+    # contract errors are 400s, not 500s
+    assert _get_status(base, "/api/v1/address/term?term=x&match=bogus") == 400
+    assert _get_status(
+        base, "/api/v1/address/term?term=a+b&match=fuzzy"
+    ) == 400
+    assert _get_status(
+        base, "/api/v1/address/term?term=a+b&match=phrase&sort=lang:asc"
+    ) == 400
