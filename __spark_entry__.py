@@ -175,6 +175,13 @@ def _q_ft_fuzzy(spark, sf):
     return _ft(_engine(spark, sf).search_fuzzy("fash", k=10))
 
 
+def _q_ft_wildcard(spark, sf):
+    """Wildcard term query (ES wildcard analogue): 's?a*' expands against
+    the term dictionary to {scan, small, spark} on this corpus, scored as
+    a disjunctive match with per-variant idf."""
+    return _ft(_engine(spark, sf).search_wildcard("s?a*", k=10))
+
+
 def _q_ft_paging(spark, sf):
     return _ft(_engine(spark, sf).search("data query", k=10, offset=5))
 
@@ -647,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_paging": _q_ft_paging,
         "ft_phrase_top10": _q_ft_phrase,
         "ft_fuzzy_top10": _q_ft_fuzzy,
+        "ft_wildcard_top10": _q_ft_wildcard,
         "ft_count": _q_ft_count,
         "ft_prefix_top10": _q_ft_prefix,
         "ft_infix_top10": _q_ft_infix,
@@ -709,12 +717,19 @@ def _bm25_sql(
     sort_lang_first: bool = False,
     phrase: list[str] | None = None,
     fuzzy: str | None = None,
+    wildcard: str | None = None,
 ) -> str:
     if fuzzy is not None:
         # term set = the distance-<=1 vocabulary neighborhood, OR-scored
         tpred = (
             "term IN (SELECT DISTINCT term FROM tok "
             f"WHERE levenshtein(term, '{fuzzy}') <= 1)"
+        )
+    elif wildcard is not None:
+        rx = SearchEngine._wildcard_regex(wildcard)
+        tpred = (
+            "term IN (SELECT DISTINCT term FROM tok "
+            f"WHERE regexp_matches(term, '{rx}'))"
         )
     else:
         tpred = "term IN (" + ", ".join(f"'{t}'" for t in terms) + ")"
@@ -874,6 +889,9 @@ def oracle_sql() -> dict[str, str]:
             ["table", "scan"], 10, phrase=["table", "scan"]
         ),
         "ft_fuzzy_top10": _bm25_sql([], 10, mode="or", fuzzy="fash"),
+        "ft_wildcard_top10": _bm25_sql(
+            [], 10, mode="or", wildcard="s?a*"
+        ),
         "ft_count": f"""
 WITH tok AS ({TOK}),
 m AS (SELECT doc_id, count(DISTINCT term) AS nt FROM tok

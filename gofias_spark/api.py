@@ -97,6 +97,24 @@ class FulltextAPI:
             filters=filters, as_pandas=as_pandas,
         )
 
+    def search_wildcard(
+        self,
+        pattern: str,
+        size: int = 100,
+        from_: int = 0,
+        max_expansions: int | None = 50,
+        filters: dict | None = None,
+        as_pandas: bool = False,
+    ):
+        """Wildcard term query (ES ``wildcard`` analogue): ``*``/``?``
+        pattern expanded against the term dictionary (vocabulary-sized
+        scan, capped at ``max_expansions`` most-frequent variants), scored
+        disjunctively."""
+        return self.engine.search_wildcard(
+            pattern, k=size, offset=from_, max_expansions=max_expansions,
+            filters=filters, as_pandas=as_pandas,
+        )
+
     def suggest(
         self,
         term: str,

@@ -676,12 +676,29 @@ class SearchEngine:
                 mode="standard", token_pattern=self.analyzer.token_pattern
             ),
         )
-        if not seq:
+        verified = self._phrase_frame(seq, filters)
+        if verified is None:
             return self._empty_result(with_meta, as_pdf=as_pandas)
+        topk_pdf = (
+            verified.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(offset + k)
+            .toPandas()
+            .iloc[offset : offset + k]
+        )
+        return self._attach_meta(topk_pdf, with_meta, as_pandas)
+
+    def _phrase_frame(
+        self, seq: list[str], filters: dict | None
+    ) -> DataFrame | None:
+        """Lazy (doc_id, score) frame of verified phrase matches, or None
+        when a phrase term is absent from the vocabulary (short-circuit —
+        no job). Split from search_phrase so plan tests can assert the
+        shape: conjunctive scoring, broadcast of the scored side into the
+        doc_meta scan, JVM rlike verify."""
         qterms = list(dict.fromkeys(seq))
         dfs = self._term_dfs(qterms)
         if any(dfs[t] == 0 for t in qterms):
-            return self._empty_result(with_meta, as_pdf=as_pandas)
+            return None
         idf = {t: self._idf(dfs[t]) for t in qterms}
         params = dict(
             qterms=qterms,
@@ -699,18 +716,11 @@ class SearchEngine:
         content = self.doc_meta.select(
             "doc_id", F.lower(F.col("content")).alias("_content_lc")
         )
-        verified = (
+        return (
             content.join(scored, "doc_id")
             .filter(F.col("_content_lc").rlike(pat))
             .drop("_content_lc")
         )
-        topk_pdf = (
-            verified.orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(offset + k)
-            .toPandas()
-            .iloc[offset : offset + k]
-        )
-        return self._attach_meta(topk_pdf, with_meta, as_pandas)
 
     # -- fuzzy (deletion-neighborhood term expansion) -----------------------
 
@@ -782,6 +792,89 @@ class SearchEngine:
         out.sort(key=lambda p: (-p[1], p[0]))
         terms = [c for c, _ in out]
         return terms[:max_expansions] if max_expansions else terms
+
+    # -- wildcard (term-dictionary expansion) -------------------------------
+
+    @staticmethod
+    def _wildcard_regex(pattern: str) -> str:
+        """ES wildcard pattern -> anchored regex: ``*`` = any run, ``?`` =
+        one char, everything else literal (regex metachars escaped).
+        Anchored (^...$) so Java rlike's find semantics match DuckDB's
+        regexp_matches on the same string."""
+        import re as _re
+
+        parts = []
+        for ch in pattern:
+            if ch == "*":
+                parts.append(".*")
+            elif ch == "?":
+                parts.append(".")
+            else:
+                parts.append(_re.escape(ch))
+        return "^" + "".join(parts) + "$"
+
+    def wildcard_terms(
+        self, pattern: str, max_expansions: int | None = None
+    ) -> list[str]:
+        """Vocabulary terms matching an ES-style wildcard pattern
+        (``*``/``?``), most-frequent first (df desc, term asc).
+
+        The scan is over the (term, df) stats table — vocabulary-sized,
+        never corpus-sized — exactly how Lucene rewrites wildcard queries
+        against the term dictionary (leading wildcards scan the whole
+        vocabulary there too). Driver fast path when the warm stats dict
+        is resident; Spark ``rlike`` filter otherwise."""
+        rx = self._wildcard_regex(pattern.lower())
+        if self._stats_cache is not None:
+            import re as _re
+
+            crx = _re.compile(rx)
+            out = [
+                (t, n) for t, n in self._stats_cache.items() if crx.match(t)
+            ]
+        else:
+            rows = (
+                self._stats.filter(F.col("term").rlike(rx))
+                .select("term", "df")
+                .collect()
+            )
+            out = [(r["term"], int(r["df"])) for r in rows]
+        out.sort(key=lambda p: (-p[1], p[0]))
+        terms = [t for t, _ in out]
+        return terms[:max_expansions] if max_expansions else terms
+
+    def search_wildcard(
+        self,
+        pattern: str,
+        k: int = 10,
+        offset: int = 0,
+        max_expansions: int | None = None,
+        filters: dict | None = None,
+        with_meta: bool = True,
+        sort_by: list[tuple[str, str]] | None = None,
+        as_pandas: bool = False,
+    ):
+        """Wildcard term query (ES ``wildcard`` analogue): expand the
+        pattern against the term dictionary, then score as a disjunctive
+        match with per-variant idf. (ES scores wildcard matches
+        constant-score by default; BM25-OR is this engine's deliberate
+        choice, consistent with search_fuzzy.) Reuses ``search()``, so
+        serve-tier / filter / sort routing apply unchanged."""
+        variants = self.wildcard_terms(pattern, max_expansions)
+        if not variants:
+            return self._empty_result(
+                with_meta, sort_by=sort_by, as_pdf=as_pandas
+            )
+        return self.search(
+            " ".join(variants),
+            k=k,
+            offset=offset,
+            mode="or",
+            filters=filters,
+            with_meta=with_meta,
+            sort_by=sort_by,
+            as_pandas=as_pandas,
+        )
 
     def _fuzzy_deletion_map(self) -> dict | None:
         """Driver-side deletion-key -> [vocab terms] map, built lazily from

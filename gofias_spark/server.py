@@ -22,8 +22,8 @@ into ES `range` queries per filtered route, addressHandler.go:140-165):
     lang=..&repo=..&path_prefix=..      equality / prefix filters
     <field>.gte= .gt= .lte= .lt= .neq=  range predicates (F4), e.g.
                                         doclen.gte=100&doclen.lt=500
-    match=and|phrase|fuzzy              match mode on /address/term
-                                        (default and; phrase/fuzzy are
+    match=and|phrase|fuzzy|wildcard     match mode on /address/term
+                                        (default and; the others are
                                         extensions beyond the reference)
     sort=field[:asc|desc],...           attribute-first composite sort (O1);
                                         `_score` names the BM25 score
@@ -212,6 +212,15 @@ def make_handler(api: FulltextAPI):
                             )
                         except ValueError as exc:  # multi-token term
                             raise BadRequest(str(exc)) from exc
+                    elif match == "wildcard":
+                        if sort_by:
+                            raise BadRequest(
+                                "match=wildcard does not support sort="
+                            )
+                        pdf = api.search_wildcard(
+                            _term(q), size=size, from_=from_,
+                            filters=_filters_from_query(q), as_pandas=True,
+                        )
                     elif match == "and":
                         pdf = api.search_by_term(
                             _term(q),
@@ -223,7 +232,7 @@ def make_handler(api: FulltextAPI):
                         )
                     else:
                         raise BadRequest(
-                            "match must be one of and|phrase|fuzzy"
+                            "match must be one of and|phrase|fuzzy|wildcard"
                         )
                     self._json({"items": _items(pdf)})
                 elif url.path == "/api/v1/suggests":

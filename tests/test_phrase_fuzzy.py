@@ -170,3 +170,53 @@ def test_search_fuzzy_is_disjunctive_expansion(eng):
 def test_search_fuzzy_multi_token_raises(eng):
     with pytest.raises(ValueError, match="single token"):
         eng.search_fuzzy("alpha beta")
+
+
+# -- wildcard -----------------------------------------------------------------
+
+
+def test_wildcard_terms_both_paths_agree(eng):
+    # vocab: alpha alphax beta gamma delta x
+    for pat in ("*a", "a*", "?lpha*", "g?mma", "*", "z*", "x"):
+        driver = eng.wildcard_terms(pat)
+        saved = eng._stats_cache
+        try:
+            eng._stats_cache = None  # force the Spark rlike path
+            dist = eng.wildcard_terms(pat)
+        finally:
+            eng._stats_cache = saved
+        assert driver == dist, pat
+    assert eng.wildcard_terms("alpha*") == ["alpha", "alphax"]
+    assert eng.wildcard_terms("?eta") == ["beta"]
+    assert eng.wildcard_terms("*et*") == ["beta"]
+    assert set(eng.wildcard_terms("*")) == {
+        "alpha", "alphax", "beta", "gamma", "delta", "x"
+    }
+
+
+def test_wildcard_literal_is_exact_lookup(eng):
+    assert eng.wildcard_terms("beta") == ["beta"]
+    assert eng.wildcard_terms("bet") == []  # no partial match w/o wildcard
+
+
+def test_wildcard_regex_metachars_are_literal(eng):
+    # '.' must not act as a regex any-char
+    assert eng.wildcard_terms("bet.") == []
+    assert eng.wildcard_terms("b.ta") == []
+
+
+def test_search_wildcard_is_disjunctive_expansion(eng):
+    wc = eng.search_wildcard("alph*", k=20).collect()
+    ored = eng.search("alpha alphax", k=20, mode="or").collect()
+    assert [(r["path"], r["score"]) for r in wc] == [
+        (r["path"], r["score"]) for r in ored
+    ]
+    assert eng.search_wildcard("zz*").count() == 0
+
+
+def test_search_wildcard_max_expansions(eng):
+    top1 = eng.wildcard_terms("alph*", max_expansions=1)
+    assert len(top1) == 1
+    wc = eng.search_wildcard("alph*", k=20, max_expansions=1).collect()
+    direct = eng.search(top1[0], k=20, mode="or").collect()
+    assert [r["path"] for r in wc] == [r["path"] for r in direct]

@@ -105,3 +105,15 @@ def test_search_many_filtered_uses_cogroup(engine):
     df = engine.search_many(["common_util"], k=5, filters={"lang": "py"})
     plan = C.physical_plan(df)
     assert "FlatMapCoGroupsInPandas" in plan, plan[:2000]
+
+
+def test_phrase_verify_is_broadcast_join(engine):
+    """The phrase verify step must broadcast the (small, rarest-df-bounded)
+    scored candidate side into the doc_meta scan — a shuffle join here
+    would move the whole doc store per phrase query at scale. The
+    adjacency check must be a JVM RLIKE (codegen), not a Python UDF."""
+    df = engine._phrase_frame(["common_util", "helper"], None)
+    plan = C.physical_plan(df)
+    assert C.uses_broadcast_join(df), plan[:2000]
+    assert "RLIKE" in plan or "rlike" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan, plan[:2000]

@@ -257,3 +257,18 @@ def test_match_phrase_and_fuzzy_routes(gateway):
     assert _get_status(
         base, "/api/v1/address/term?term=a+b&match=phrase&sort=lang:asc"
     ) == 400
+
+
+def test_match_wildcard_route(gateway):
+    api, base = gateway
+    status, res = _get(
+        base, "/api/v1/address/term?term=common_*&match=wildcard&size=5"
+    )
+    assert status == 200 and len(res["items"]) == 5
+    direct = api.search_wildcard("common_*", size=5).collect()
+    assert [i["doc_id"] for i in res["items"]] == [
+        r["doc_id"] for r in direct
+    ]
+    assert _get_status(
+        base, "/api/v1/address/term?term=x*&match=wildcard&sort=lang:asc"
+    ) == 400
