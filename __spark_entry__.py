@@ -31,8 +31,9 @@ from gofias_spark.operators import textstats as TS
 from gofias_spark.query.engine import SearchEngine
 from gofias_spark.query.naive import naive_bm25, tokens_col
 
-FORMAT_VERSION = "f3"  # bump to invalidate cached /tmp entry indexes when
-                       # the on-disk index format changes (store v2 in r2)
+FORMAT_VERSION = "f4"  # bump to invalidate cached /tmp entry indexes when
+                       # the on-disk index format changes (f4: positional
+                       # sidecar on the standard-analyzer entry index)
 K1, B = 1.2, 0.75
 _ENGINES: dict = {}
 
@@ -69,7 +70,13 @@ def _engine(spark: SparkSession, sf_dir: str, mode: str = "standard") -> SearchE
         "ngram": AnalyzerConfig(mode="ngram", min_gram=1, max_gram=15),
     }
     analyzer = analyzers[mode]
-    cfg = IndexConfig(n_buckets=4, block_size=128, analyzer=analyzer)
+    # the standard engine carries the positional sidecar so ft_phrase_top10
+    # exercises the FAST phrase path against the DuckDB oracle (the
+    # content-verify fallback is equivalence-gated in tests/test_positions.py)
+    cfg = IndexConfig(
+        n_buckets=4, block_size=128, analyzer=analyzer,
+        positions=(mode == "standard"),
+    )
     store = IndexStore(root)
     try:
         if not store.exists():

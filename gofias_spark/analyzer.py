@@ -98,7 +98,8 @@ _RE2_NONWORD = r"[^\p{L}\p{Nd}\p{Nl}\p{No}_]+"
 
 
 def term_frequencies_coded(
-    doc_ids: np.ndarray, texts, cfg: AnalyzerConfig
+    doc_ids: np.ndarray, texts, cfg: AnalyzerConfig,
+    with_positions: bool = False,
 ) -> dict:
     """Arrow-native (term, doc_id, tf, dl) extraction for one partition.
 
@@ -107,6 +108,11 @@ def term_frequencies_coded(
        "uniq_terms": pa.Array[str] (sorted unique terms; term_codes index it),
        "doc_id": int64[N], "tf": uint64[N], "dl": uint64[N],
        "doc_dl": int64[n_docs] (per-input-doc analyzed length)}
+
+    ``with_positions=True`` (standard mode only) adds "positions": the flat
+    int64 token-index stream, concatenated per (term, doc) posting in the
+    returned posting order, ascending within each posting — the input of
+    the positional sidecar (codec.encode_positions_stream).
 
     Why this exists: the pandas path (``term_frequencies``) materializes every
     token as a Python str — ~2M objects / >1 GB fresh allocations per 15k-doc
@@ -123,6 +129,11 @@ def term_frequencies_coded(
     cfg.validate()
     if cfg.token_pattern != r"\w+":
         raise ValueError("coded path supports the \\w+ token pattern only")
+    if with_positions and cfg.mode != "standard":
+        raise ValueError(
+            "positions require mode='standard' (gram expansion re-points "
+            "the token stream, so gram positions would be meaningless)"
+        )
     arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(
         texts, type=pa.large_string(), from_pandas=True
     )
@@ -215,7 +226,7 @@ def term_frequencies_coded(
     term_codes = ukey // n_docs
     d = ukey % n_docs
     dl_by_rank = doc_dl[perm] if perm is not None else doc_dl
-    return {
+    out = {
         "term_codes": term_codes,
         "uniq_terms": uniq_terms,
         "doc_id": ids_sorted[d],
@@ -223,6 +234,22 @@ def term_frequencies_coded(
         "dl": dl_by_rank[d].astype(np.uint64),
         "doc_dl": doc_dl,  # aligned with the INPUT row order (positions)
     }
+    if with_positions:
+        # token index within each doc's token stream (standard mode: the
+        # gram branch above re-points `parent`, so positions are gated to
+        # mode == "standard" at entry). `parent` is non-decreasing (tokens
+        # flatten in row order), so within-(term,doc) original order is
+        # ascending position — a STABLE argsort of the group key therefore
+        # yields the flat positions stream in exactly the (term asc,
+        # doc_id-rank asc) group order of np.unique(key).
+        tok_per_doc = np.bincount(parent, minlength=n_docs)
+        grp_start = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(tok_per_doc[:-1], out=grp_start[1:])
+        pos_in_doc = (
+            np.arange(parent.size, dtype=np.int64) - grp_start[parent]
+        )
+        out["positions"] = pos_in_doc[np.argsort(key, kind="stable")]
+    return out
 
 
 def analyze_query(query: str, cfg: AnalyzerConfig | None = None) -> list[str]:

@@ -97,3 +97,7 @@ class IndexConfig:
     block_size: int = 128
     analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
     bm25: BM25Params = field(default_factory=BM25Params)
+    # opt-in positional sidecar (fast phrase verification without touching
+    # the doc store): a positions table block-aligned with the postings.
+    # Standard analyzer only; costs ~1-2 bytes/token of extra index.
+    positions: bool = False

@@ -63,7 +63,10 @@ DOC_META_COLS = [
 
 
 def _fused_encode_factory(
-    cfg: IndexConfig, staging_meta_dir: str, staging_stats_dir: str | None = None
+    cfg: IndexConfig,
+    staging_meta_dir: str,
+    staging_stats_dir: str | None = None,
+    staging_pos_dir: str | None = None,
 ):
     """applyInArrow kernel: one pass over each doc_part group produces BOTH
     outputs — posting blocks (returned to Spark) and the doc_meta parquet
@@ -120,10 +123,18 @@ def _fused_encode_factory(
             content = content.combine_chunks()
 
         try:
-            res = term_frequencies_coded(ids, content, analyzer)
+            res = term_frequencies_coded(
+                ids, content, analyzer,
+                with_positions=staging_pos_dir is not None,
+            )
             doc_dl = res["doc_dl"][: len(ids)]
             coded = True
         except ValueError:
+            if staging_pos_dir is not None:
+                # the positions sidecar exists only on the coded path
+                # (build_segment validates this up front) — never silently
+                # build a positions-less segment the manifest claims has one
+                raise
             import pandas as pd
 
             texts = content.to_pandas()
@@ -169,6 +180,55 @@ def _fused_encode_factory(
             term_col = pc.take(
                 res["uniq_terms"], pa.array(cols["term"], type=pa.int64())
             )
+            if staging_pos_dir is not None:
+                # positional sidecar: block-aligned with the postings rows
+                # (identical run-detection/block split in the codec),
+                # self-contained (docs/tfs repeated) so phrase verification
+                # reads ONE table and never touches the doc store
+                from gofias_spark.index.codec import encode_positions_stream
+
+                pstream, pbounds = encode_positions_stream(
+                    res["term_codes"], res["tf"], res["positions"],
+                    block_size,
+                )
+                if pbounds[-1] > np.iinfo(np.int32).max:
+                    raise ValueError(
+                        "positions stream > 2 GiB in one partition; "
+                        "raise n_buckets"
+                    )
+                poss_col = pa.Array.from_buffers(
+                    pa.binary(),
+                    len(pbounds) - 1,
+                    [
+                        None,
+                        pa.py_buffer(pbounds.astype(np.int32).tobytes()),
+                        pa.py_buffer(pstream),
+                    ],
+                )
+                pos_tbl = pa.table(
+                    {
+                        "term": term_col,
+                        "block_id": pa.array(
+                            np.asarray(cols["block_id"], dtype=np.int32),
+                            type=pa.int32(),
+                        ),
+                        "n": pa.array(
+                            np.asarray(cols["n"], dtype=np.int32),
+                            type=pa.int32(),
+                        ),
+                        "base": pa.array(cols["base"], type=pa.int64()),
+                        "last": pa.array(cols["last"], type=pa.int64()),
+                        "docs": cols["docs"],
+                        "tfs": cols["tfs"],
+                        "poss": poss_col,
+                    }
+                )
+                pdir = os.path.join(staging_pos_dir, f"doc_part={doc_part}")
+                os.makedirs(pdir, exist_ok=True)
+                ptmp = os.path.join(pdir, f".data.parquet.tmp{os.getpid()}")
+                pq.write_table(pos_tbl, ptmp, compression="zstd",
+                               compression_level=1)
+                os.replace(ptmp, os.path.join(pdir, "data.parquet"))
         else:
             if len(tf) == 0:
                 _write_part_stats(part_dir, doc_part, 0, ids, doc_dl)
@@ -480,6 +540,21 @@ def build_segment(
     hook for resume tests: abort after committing that many partitions.
     """
     cfg = cfg or IndexConfig()
+    if cfg.positions:
+        if cfg.analyzer.mode != "standard":
+            raise ValueError(
+                "positions=True requires the standard analyzer "
+                f"(got mode={cfg.analyzer.mode!r})"
+            )
+        if cfg.analyzer.token_pattern != r"\w+":
+            raise ValueError(
+                "positions=True requires the coded \\w+ token pattern"
+            )
+        if not shared_staging_fs:
+            raise ValueError(
+                "positions=True is not yet supported by the two-pass "
+                "build; use shared_staging_fs=True"
+            )
     store = IndexStore(index_root)
     manifest = store.read_manifest()
     if seg_id is None:
@@ -505,6 +580,8 @@ def build_segment(
     if shared_staging_fs:
         (staging / "doc_meta").mkdir(parents=True, exist_ok=True)
         (staging / "term_stats").mkdir(parents=True, exist_ok=True)
+        if cfg.positions:
+            (staging / "positions").mkdir(parents=True, exist_ok=True)
         blocks = (
             todo.select(
                 "doc_part", "repo", "path", "commit", "lang", "content",
@@ -521,7 +598,10 @@ def build_segment(
             .groupBy("doc_part")
             .applyInArrow(
                 _fused_encode_factory(
-                    cfg, str(staging / "doc_meta"), str(staging / "term_stats")
+                    cfg,
+                    str(staging / "doc_meta"),
+                    str(staging / "term_stats"),
+                    str(staging / "positions") if cfg.positions else None,
                 ),
                 schema=BLOCK_SCHEMA,
             )
@@ -570,6 +650,8 @@ def build_segment(
     )
     elapsed = time.time() - t0
     store.promote_partition_dirs(staging, seg_id, "term_stats")
+    if cfg.positions:
+        store.promote_partition_dirs(staging, seg_id, "positions")
     moved_meta = store.promote_partition_dirs(staging, seg_id, "doc_meta")
     n_done = 0
     # promote postings per-partition so fault injection leaves a clean prefix;
@@ -647,6 +729,7 @@ def build_segment(
     manifest["config"]["n_buckets"] = cfg.n_buckets
     manifest["config"].pop("docs_per_part", None)
     manifest["config"]["block_size"] = cfg.block_size
+    manifest["config"]["positions"] = bool(cfg.positions)
     store.write_manifest(manifest)
     store.cleanup_staging()
     return manifest

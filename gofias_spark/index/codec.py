@@ -333,3 +333,81 @@ def decode_blocks_concat(
     corr = np.asarray(bases, dtype=np.int64) - before
     ids = total + np.repeat(corr, ns)
     return ids, tf, dl
+
+
+# ---------------------------------------------------------------------------
+# positional sidecar (opt-in, IndexConfig.positions=True)
+#
+# The positions table is SELF-CONTAINED and block-aligned with the postings
+# table: rows carry the same (term, block_id, n, base, last, docs, tfs) the
+# postings row does plus ``poss`` — the token positions of every posting in
+# the block, per-posting delta-encoded (first position absolute, then gaps),
+# varbyte-compressed. tf doubles as the per-posting position count, so the
+# decode needs no extra length stream. Block boundaries are computed with
+# the IDENTICAL run-detection as encode_blocks_batch, so the two tables'
+# rows correspond 1:1 (tested in test_positions.py).
+
+
+def encode_positions_stream(
+    terms: np.ndarray,
+    tfs: np.ndarray,
+    positions: np.ndarray,
+    block_size: int,
+):
+    """Positions of a partition's postings -> per-block byte ranges.
+
+    ``terms``/``tfs`` are per-POSTING (sorted by term, doc_id — the same
+    arrays fed to encode_blocks_batch); ``positions`` is the flat
+    concatenation of each posting's ascending token positions (len ==
+    tfs.sum()). Returns (stream bytes, boundary offsets int64[nb+1]) in
+    encode_blocks_batch block order."""
+    n = np.asarray(terms).shape[0]
+    tf = np.ascontiguousarray(tfs, dtype=np.int64)
+    pos = np.ascontiguousarray(positions, dtype=np.int64)
+    if n == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    # per-posting gap encoding: first position absolute, then diffs
+    p_starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(tf[:-1], out=p_starts[1:])
+    gaps = np.empty(pos.size, dtype=np.int64)
+    if pos.size:
+        gaps[0] = pos[0]
+        gaps[1:] = pos[1:] - pos[:-1]
+        gaps[p_starts] = pos[p_starts]
+    if pos.size and gaps.min() < 0:
+        raise ValueError("positions must be ascending within each posting")
+    gaps_u = gaps.astype(np.uint64)
+    sz = _varbyte_sizes(gaps_u)
+    stream = varbyte_encode(gaps_u, _sizes=sz)
+    byte_off = np.zeros(pos.size + 1, dtype=np.int64)
+    np.cumsum(sz, out=byte_off[1:])
+    # block boundaries: identical computation to encode_blocks_batch
+    terms_arr = np.asarray(terms)
+    term_starts = np.flatnonzero(np.r_[True, terms_arr[1:] != terms_arr[:-1]])
+    term_of = np.zeros(n, dtype=np.int64)
+    term_of[term_starts[1:]] = 1
+    term_of = np.cumsum(term_of)
+    p = np.arange(n, dtype=np.int64) - term_starts[term_of]
+    block_starts = np.flatnonzero(p % block_size == 0)
+    # a block's positions span [pos_start(first posting), pos_start(next
+    # block's first posting)) in the token stream -> byte offsets
+    tok_bounds = np.append(p_starts[block_starts], pos.size)
+    return stream, byte_off[tok_bounds]
+
+
+def decode_block_positions(
+    poss: bytes, tf: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """One block's ``poss`` bytes + its tf array -> (flat absolute
+    positions, per-posting start offsets int64[n]). Posting i's positions
+    are ``flat[starts[i] : starts[i] + tf[i]]``, ascending."""
+    tf = np.asarray(tf, dtype=np.int64)
+    gaps = varbyte_decode(poss).astype(np.int64)
+    starts = np.zeros(tf.size, dtype=np.int64)
+    np.cumsum(tf[:-1], out=starts[1:])
+    cs = np.cumsum(gaps)
+    # rebase each posting's cumsum so its first element is the stored
+    # absolute first position
+    before = np.where(starts > 0, cs[starts - 1], 0)
+    flat = cs - np.repeat(before, tf)
+    return flat, starts

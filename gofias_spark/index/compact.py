@@ -30,6 +30,7 @@ def compact(
         n_buckets=manifest["config"]["n_buckets"],
         block_size=manifest["config"]["block_size"],
         analyzer=AnalyzerConfig(**manifest["config"]["analyzer"]),
+        positions=manifest["config"].get("positions", False),
     )
     old_segments = list(manifest["segments"])
     tomb_files = list(manifest["tombstones"]["files"])

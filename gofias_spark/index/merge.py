@@ -97,6 +97,7 @@ def apply_delta(
         n_buckets=manifest["config"]["n_buckets"],
         block_size=manifest["config"]["block_size"],
         analyzer=AnalyzerConfig(**manifest["config"]["analyzer"]),
+        positions=manifest["config"].get("positions", False),
     )
     analyzer = cfg.analyzer
 

@@ -47,6 +47,58 @@ from gofias_spark.query.serve import ServeCache, state_token
 RESULT_SCHEMA = "doc_id long, score double"
 
 
+def _phrase_position_kernel(seq: list[str]):
+    """applyInPandas kernel over one doc_part of the positional sidecar:
+    decode the phrase terms' position blocks, emit the doc_ids where the
+    token sequence ``seq`` occurs consecutively. Runs on the sidecar's own
+    doc_part partitioning (all of a doc's terms live in one doc_part), so
+    the grouping shuffles only position blocks of the query's terms."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from gofias_spark.index.codec import (
+            decode_block_positions,
+            delta_decode,
+            varbyte_decode,
+        )
+
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        if len(pdf) == 0:
+            return empty
+        per_term: dict[str, dict[int, np.ndarray]] = {}
+        for t, g in pdf.groupby("term", sort=False):
+            docs_map: dict[int, np.ndarray] = {}
+            for row in g.itertuples(index=False):
+                ids = delta_decode(varbyte_decode(row.docs), int(row.base))
+                tf = varbyte_decode(row.tfs).astype(np.int64)
+                flat, starts = decode_block_positions(row.poss, tf)
+                for i in range(ids.size):
+                    docs_map[int(ids[i])] = flat[
+                        starts[i] : starts[i] + tf[i]
+                    ]
+            per_term[t] = docs_map
+        uniq = list(dict.fromkeys(seq))
+        if any(t not in per_term for t in uniq):
+            return empty
+        uniq.sort(key=lambda t: len(per_term[t]))  # rarest first
+        cand: set[int] = set(per_term[uniq[0]])
+        for t in uniq[1:]:
+            cand &= per_term[t].keys()
+        out = []
+        for d in cand:
+            p = per_term[seq[0]][d]
+            for j, t in enumerate(seq[1:], 1):
+                p = p[np.isin(p + j, per_term[t][d], assume_unique=True)]
+                if p.size == 0:
+                    break
+            else:
+                out.append(d)
+        return pd.DataFrame(
+            {"doc_id": np.array(sorted(out), dtype=np.int64)}
+        )
+
+    return kernel
+
+
 def _lev_le1(a: str, b: str) -> bool:
     """Exact levenshtein(a, b) <= 1 in one linear scan (the only distance
     the deletion-neighborhood candidates can reach, so no DP table)."""
@@ -199,6 +251,7 @@ class SearchEngine:
         self._stats_cache: dict[str, int] | None = None
         self._fuzzy_map: dict[str, list[str]] | None = None
         self._fuzzy_map_token: str | None = None
+        self._positions = self._load_positions()
         self._meta_slim = self.doc_meta.select(
             "doc_id", "repo", "path", "commit", "lang", "sha256"
         )
@@ -279,6 +332,42 @@ class SearchEngine:
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    def _load_positions(self) -> DataFrame | None:
+        """Positional-sidecar union across live segments, or None when the
+        index wasn't built with positions — or when ANY live segment with
+        postings lacks them (mixed lineage after a pre-positions delta):
+        phrase queries then fall back to the content-verify slow path,
+        which is always correct."""
+        if not self.manifest.get("config", {}).get("positions"):
+            return None
+        any_pos = False
+        for s in self._seg_ids:
+            pos_dir = self.store.seg_dir(s) / "positions"
+            has_pos = pos_dir.exists() and any(
+                pos_dir.glob("doc_part=*/*.parquet")
+            )
+            any_pos = any_pos or has_pos
+            if not has_pos and any(
+                (self.store.seg_dir(s) / "postings").glob(
+                    "doc_part=*/*.parquet"
+                )
+            ):
+                return None
+        if not any_pos:  # empty index: nothing to read (and nothing to match)
+            return None
+        dfs = []
+        for s in self._seg_ids:
+            pos_dir = self.store.seg_dir(s) / "positions"
+            if pos_dir.exists() and any(pos_dir.glob("doc_part=*/*.parquet")):
+                df = self.spark.read.parquet(str(pos_dir))
+                dfs.append(
+                    df.withColumn("doc_part", F.col("doc_part").cast("long"))
+                )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
         return out
 
     def _read_tombstones(self) -> DataFrame | None:
@@ -710,6 +799,19 @@ class SearchEngine:
         )
         blocks = self.postings.filter(F.col("term").isin(qterms))
         scored = self._scored_frame(blocks, K.score_and, params, filters)
+        if self._positions is not None:
+            # fast phrase: adjacency from the positional sidecar — reads
+            # only the phrase terms' position blocks (postings-sized),
+            # never the doc store. At 100 TB that's the difference between
+            # MBs and the whole corpus per phrase query.
+            matched = (
+                self._positions.filter(F.col("term").isin(qterms))
+                .groupby("doc_part")
+                .applyInPandas(
+                    _phrase_position_kernel(seq), schema="doc_id long"
+                )
+            )
+            return scored.join(F.broadcast(matched), "doc_id")
         if min(dfs[t] for t in qterms) <= 1_000_000:
             scored = F.broadcast(scored)
         pat = self._phrase_pattern(seq)

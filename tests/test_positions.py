@@ -1,0 +1,210 @@
+"""Positional sidecar (IndexConfig.positions=True): block-aligned positions
+table, fast phrase verification without touching the doc store, and full
+equivalence with the content-verify slow path."""
+
+import numpy as np
+import pytest
+
+from gofias_spark.config import AnalyzerConfig, IndexConfig
+from gofias_spark.index.build import build_segment
+from gofias_spark.index.codec import (
+    decode_block_positions,
+    encode_blocks_batch,
+    encode_positions_stream,
+)
+from gofias_spark.index.merge import apply_delta
+from gofias_spark.plans import checks as C
+from gofias_spark.query.engine import SearchEngine
+
+DOCS = [
+    ("d0", "alpha beta gamma"),
+    ("d1", "x alpha beta"),
+    ("d2", "alpha, beta!"),
+    ("d3", "alpha x beta"),
+    ("d4", "beta alpha"),
+    ("d5", "ALPHA Beta"),
+    ("d6", "alphax beta"),
+    ("d7", "alpha\nbeta"),
+    ("d8", "alpha alpha beta"),
+    ("d9", "gamma delta"),
+    ("d10", "beta beta beta"),
+]
+SCHEMA = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        [("r", p, "c", "en", t) for p, t in rows], SCHEMA
+    )
+
+
+@pytest.fixture(scope="module")
+def engines(spark, tmp_path_factory):
+    """(positional engine, content-verify engine) over identical docs."""
+    root_pos = str(tmp_path_factory.mktemp("posidx"))
+    root_slow = str(tmp_path_factory.mktemp("slowidx"))
+    build_segment(
+        spark, _docs_df(spark, DOCS), root_pos,
+        IndexConfig(n_buckets=2, block_size=4, positions=True),
+    )
+    build_segment(
+        spark, _docs_df(spark, DOCS), root_slow,
+        IndexConfig(n_buckets=2, block_size=4),
+    )
+    ep = SearchEngine(spark, root_pos)
+    ep.warm()
+    es = SearchEngine(spark, root_slow)
+    es.warm()
+    assert ep._positions is not None
+    assert es._positions is None
+    return ep, es
+
+
+def _rows(df):
+    return sorted(
+        (r["path"], round(r["score"], 9)) for r in df.collect()
+    )
+
+
+PHRASES = [
+    "alpha beta",
+    "alpha beta gamma",
+    "beta",
+    "beta beta",
+    "beta beta beta",
+    "gamma alpha",        # wrong order anywhere -> empty
+    "alpha zzzz",         # missing term
+    "x alpha",
+    "gamma delta",
+]
+
+
+@pytest.mark.parametrize("q", PHRASES, ids=str)
+def test_positional_equals_content_verify(engines, q):
+    ep, es = engines
+    assert _rows(ep.search_phrase(q, k=20)) == _rows(es.search_phrase(q, k=20))
+
+
+def test_positional_with_filters_and_paging(engines):
+    ep, es = engines
+    f = {"doclen": {"lte": 2}}
+    assert _rows(ep.search_phrase("alpha beta", filters=f)) == _rows(
+        es.search_phrase("alpha beta", filters=f)
+    )
+    a = ep.search_phrase("alpha beta", k=2, offset=2).collect()
+    b = es.search_phrase("alpha beta", k=2, offset=2).collect()
+    assert [r["path"] for r in a] == [r["path"] for r in b]
+
+
+def test_positional_plan_never_reads_content(engines):
+    """The fast-phrase plan must contain the positional kernel and NO
+    content regex / doc_meta content column — that's the whole point: a
+    phrase query reads position blocks (MBs), not the doc store (the
+    corpus)."""
+    ep, _ = engines
+    df = ep._phrase_frame(["alpha", "beta"], None)
+    plan = C.physical_plan(df)
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+    assert "RLIKE" not in plan and "rlike" not in plan, plan[:2000]
+    assert "content" not in C.scan_read_schema(df), C.scan_read_schema(df)
+
+
+def test_positions_block_alignment():
+    """The positions stream's block boundaries must match
+    encode_blocks_batch exactly for shared (terms, tfs) input."""
+    rng = np.random.default_rng(3)
+    terms, docs, tfs, pos = [], [], [], []
+    for t in ("a", "b", "c", "dd"):
+        ds = np.sort(rng.choice(np.arange(1, 200), 37, replace=False))
+        for d in ds:
+            k = int(rng.integers(1, 6))
+            terms.append(t)
+            docs.append(int(d))
+            tfs.append(k)
+            pos.append(np.sort(rng.choice(np.arange(50), k, replace=False)))
+    terms = np.array(terms)
+    tfs_a = np.array(tfs)
+    flat = np.concatenate(pos)
+    for bs in (1, 3, 16, 128):
+        blocks = encode_blocks_batch(
+            terms, np.array(docs), tfs_a.astype(np.uint64),
+            np.ones_like(tfs_a, dtype=np.uint64), bs,
+        )
+        stream, bounds = encode_positions_stream(terms, tfs_a, flat, bs)
+        assert len(bounds) - 1 == len(blocks["n"])
+        # decode every block and compare to the source positions
+        pi = 0
+        for j in range(len(blocks["n"])):
+            nblk = int(blocks["n"][j])
+            fl, st = decode_block_positions(
+                stream[bounds[j] : bounds[j + 1]], tfs_a[pi : pi + nblk]
+            )
+            for i in range(nblk):
+                got = fl[st[i] : st[i] + tfs_a[pi + i]]
+                assert np.array_equal(got, pos[pi + i])
+            pi += nblk
+        assert pi == len(tfs)
+
+
+def test_positions_survive_delta(spark, tmp_path_factory):
+    """apply_delta on a positional index keeps the new segment positional
+    (cfg reconstructed from the manifest) — phrase results reflect the
+    delta and still verify via positions."""
+    root = str(tmp_path_factory.mktemp("posdelta"))
+    build_segment(
+        spark, _docs_df(spark, DOCS), root,
+        IndexConfig(n_buckets=2, block_size=4, positions=True),
+    )
+    ups = _docs_df(spark, [("dnew", "zeta alpha beta zeta")])
+    dels = spark.createDataFrame([("r", "d0")], "repo string, path string")
+    apply_delta(spark, root, upserts=ups, deletes=dels)
+    eng = SearchEngine(spark, root)
+    eng.warm()
+    assert eng._positions is not None  # delta segment carries positions too
+    got = {r["path"] for r in eng.search_phrase("alpha beta", k=20).collect()}
+    assert "dnew" in got and "d0" not in got
+    assert got == {"d1", "d2", "d5", "d7", "d8", "dnew"}
+
+
+def test_mixed_lineage_falls_back_to_content_verify(
+    spark, tmp_path_factory
+):
+    """A segment built WITHOUT positions into a positional index (e.g. a
+    pre-positions writer) must force the content-verify fallback — never a
+    silently-partial positional answer."""
+    root = str(tmp_path_factory.mktemp("posmixed"))
+    build_segment(
+        spark, _docs_df(spark, DOCS[:5]), root,
+        IndexConfig(n_buckets=2, block_size=4, positions=True),
+    )
+    build_segment(
+        spark, _docs_df(spark, DOCS[5:]), root,
+        IndexConfig(n_buckets=2, block_size=4, positions=False),
+    )
+    eng = SearchEngine(spark, root)
+    eng.warm()
+    assert eng._positions is None
+    got = {r["path"] for r in eng.search_phrase("alpha beta", k=20).collect()}
+    assert got == {"d0", "d1", "d2", "d5", "d7", "d8"}
+
+
+def test_positions_config_validation(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("posbad"))
+    with pytest.raises(ValueError, match="standard"):
+        build_segment(
+            spark, _docs_df(spark, DOCS[:2]), root,
+            IndexConfig(
+                positions=True,
+                analyzer=AnalyzerConfig(
+                    mode="edge_ngram", min_gram=1, max_gram=5
+                ),
+            ),
+        )
+    with pytest.raises(ValueError, match="two-pass"):
+        build_segment(
+            spark, _docs_df(spark, DOCS[:2]), root,
+            IndexConfig(positions=True),
+            shared_staging_fs=False,
+        )
