@@ -83,6 +83,30 @@ def main() -> None:
         print("not promotable", flush=True)
         sys.exit(1)
 
+    # Measure from an immutable snapshot of HEAD, not the working tree:
+    # run_scaling's per-level workers import gofias_spark at process start,
+    # so editing the package while a run is in flight crashes the attempt
+    # (2026-08-18 attempt 1, annotated in the log). git-archive HEAD is
+    # cheap (~pure-python package) and pins exactly what a promoted
+    # artifact measured.
+    snap = f"/tmp/gofias_scaling_snapshot_{os.getpid()}"
+    os.makedirs(snap, exist_ok=True)
+    tar = subprocess.run(
+        f"git -C {REPO} archive HEAD | tar -x -C {snap}",
+        shell=True, capture_output=True, text=True,
+    )
+    if tar.returncode != 0:
+        print(f"snapshot failed ({tar.stderr.strip()}); "
+              "measuring from the working tree", flush=True)
+        shutil.rmtree(snap, ignore_errors=True)
+        snap = REPO
+    else:
+        head = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        print(f"measuring snapshot of {head} at {snap}", flush=True)
+
     deadline = time.time() + args.max_hours * 3600
     best: tuple[float, str] | None = None  # (normalized eff, path)
     attempt = 0
@@ -115,7 +139,7 @@ def main() -> None:
         # and its control bracket)
         r = subprocess.run(
             [sys.executable,
-             os.path.join(REPO, "scripts", "run_scaling.py"),
+             os.path.join(snap, "scripts", "run_scaling.py"),
              "--docs", str(args.docs), "--reps", str(args.reps),
              "--out", cand_path],
             capture_output=True, text=True,
