@@ -31,9 +31,9 @@ from gofias_spark.operators import textstats as TS
 from gofias_spark.query.engine import SearchEngine
 from gofias_spark.query.naive import naive_bm25, tokens_col
 
-FORMAT_VERSION = "f4"  # bump to invalidate cached /tmp entry indexes when
-                       # the on-disk index format changes (f4: positional
-                       # sidecar on the standard-analyzer entry index)
+FORMAT_VERSION = "f5"  # bump to invalidate cached /tmp entry indexes when
+                       # the on-disk index format changes (f5: positional
+                       # sidecar carries dls for one-pass phrase scoring)
 K1, B = 1.2, 0.75
 _ENGINES: dict = {}
 

@@ -148,6 +148,38 @@ def _run_bench(sf_dir: str, cpus: int, sf: float, run_control) -> None:
         repeat=1,
     )
 
+    # r3 query extensions: slow-phrase (content verify) on the main index,
+    # fuzzy + wildcard expansion, and FAST phrase on a positional index
+    # (built un-timed so the headline index_build stays comparable across
+    # rounds; its build time is reported separately)
+    bench(
+        "ft_phrase_slow_top10",
+        lambda: engine.search_phrase("table scan", k=10).collect(),
+    )
+    bench(
+        "ft_fuzzy_top10",
+        lambda: engine.search_fuzzy("fash", k=10).collect(),
+    )
+    bench(
+        "ft_wildcard_top10",
+        lambda: engine.search_wildcard("s?a*", k=10).collect(),
+    )
+    proot = tempfile.mkdtemp(prefix="gofias_bench_pos_")
+    t0 = time.perf_counter()
+    build_segment(
+        spark, docs, proot,
+        IndexConfig(n_buckets=n_buckets, block_size=128, positions=True),
+    )
+    timings["index_build_positions"] = time.perf_counter() - t0
+    pengine = SearchEngine(spark, proot)
+    pengine.warm()
+    bench(
+        "ft_phrase_pos_top10",
+        lambda: pengine.search_phrase("table scan", k=10).collect(),
+    )
+    pengine.close()
+    shutil.rmtree(proot, ignore_errors=True)
+
     # sf1-equivalent row (round-1 item #10): the parquet testdata tops out
     # at sf0.1 (5k docs), where second-scale noise dominates round-to-round
     # comparisons. Synthesize the deterministic 10x corpus (50k docs — same
@@ -188,8 +220,16 @@ def _run_bench(sf_dir: str, cpus: int, sf: float, run_control) -> None:
 
     # naive_bm25 is the DIFFERENTIAL CHECK (index-free DataFrame scorer, by
     # design ~10-100x slower than the indexed engine): report it separately
-    # so the headline value reflects the engine, not the semantics oracle
-    total = sum(v for k, v in timings.items() if k != "naive_bm25")
+    # so the headline value reflects the engine, not the semantics oracle.
+    # The headline `value` sums a FIXED core set (the r2 suite) so adding
+    # new timings in later rounds never shifts round-over-round comparisons;
+    # extension timings ride along in `queries`.
+    core = (
+        "index_build", "ft_and_top10", "ft_or_top10", "ft_filter_top10",
+        "ft_count", "ft_sort_top10", "dedup_exact", "sim_cosine_top10",
+        "text_quality",
+    )
+    total = sum(timings[k] for k in core if k in timings)
     out = {
         "metric": "index_build_plus_query_suite",
         "value": round(total, 3),

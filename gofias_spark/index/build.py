@@ -220,6 +220,7 @@ def _fused_encode_factory(
                         "last": pa.array(cols["last"], type=pa.int64()),
                         "docs": cols["docs"],
                         "tfs": cols["tfs"],
+                        "dls": cols["dls"],
                         "poss": poss_col,
                     }
                 )

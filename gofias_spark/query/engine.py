@@ -47,12 +47,21 @@ from gofias_spark.query.serve import ServeCache, state_token
 RESULT_SCHEMA = "doc_id long, score double"
 
 
-def _phrase_position_kernel(seq: list[str]):
+def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
+                            excluded_bc=None):
     """applyInPandas kernel over one doc_part of the positional sidecar:
-    decode the phrase terms' position blocks, emit the doc_ids where the
+    decode the phrase terms' position blocks, find the doc_ids where the
     token sequence ``seq`` occurs consecutively. Runs on the sidecar's own
     doc_part partitioning (all of a doc's terms live in one doc_part), so
-    the grouping shuffles only position blocks of the query's terms."""
+    the grouping shuffles only position blocks of the query's terms.
+
+    With ``score_params`` ({idf, avgdl, k1, b}) the kernel ALSO scores the
+    survivors from the dls it already decoded and emits (doc_id, score) —
+    the one-pass phrase plan: a phrase query then runs a single scan of
+    the positions table, no separate scoring stage and no join.
+    ``excluded_bc`` is the tombstone doc_id broadcast. Without score_params
+    it emits doc_id only (the verify half of the two-stage filtered
+    plan)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         from gofias_spark.index.codec import (
@@ -61,40 +70,92 @@ def _phrase_position_kernel(seq: list[str]):
             varbyte_decode,
         )
 
-        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        if score_params is not None:
+            empty = pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        else:
+            empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
         if len(pdf) == 0:
             return empty
-        per_term: dict[str, dict[int, np.ndarray]] = {}
-        for t, g in pdf.groupby("term", sort=False):
-            docs_map: dict[int, np.ndarray] = {}
-            for row in g.itertuples(index=False):
-                ids = delta_decode(varbyte_decode(row.docs), int(row.base))
-                tf = varbyte_decode(row.tfs).astype(np.int64)
-                flat, starts = decode_block_positions(row.poss, tf)
-                for i in range(ids.size):
-                    docs_map[int(ids[i])] = flat[
-                        starts[i] : starts[i] + tf[i]
-                    ]
-            per_term[t] = docs_map
         uniq = list(dict.fromkeys(seq))
+        # decode each term's blocks into flat sorted arrays (blocks are
+        # doc-ascending within a term once ordered by block_id)
+        per_term: dict[str, tuple] = {}
+        for t, g in pdf.groupby("term", sort=False):
+            g = g.sort_values("block_id", kind="mergesort")
+            ids = np.concatenate(
+                [
+                    delta_decode(varbyte_decode(d), int(b))
+                    for d, b in zip(g["docs"], g["base"])
+                ]
+            )
+            tf = varbyte_decode(b"".join(g["tfs"])).astype(np.int64)
+            flat, starts = decode_block_positions(b"".join(g["poss"]), tf)
+            dl = (
+                varbyte_decode(b"".join(g["dls"])).astype(np.float64)
+                if score_params is not None
+                else None
+            )
+            per_term[t] = (ids, tf, flat, starts, dl)
         if any(t not in per_term for t in uniq):
             return empty
-        uniq.sort(key=lambda t: len(per_term[t]))  # rarest first
-        cand: set[int] = set(per_term[uniq[0]])
-        for t in uniq[1:]:
-            cand &= per_term[t].keys()
-        out = []
-        for d in cand:
-            p = per_term[seq[0]][d]
+        # conjunctive candidates, rarest term first (score_and's shape)
+        order = sorted(uniq, key=lambda t: per_term[t][0].size)
+        cand = per_term[order[0]][0]
+        excluded = excluded_bc.value if excluded_bc is not None else None
+        if excluded is not None and cand.size:
+            cand = cand[
+                ~np.isin(cand, excluded, assume_unique=True)
+            ]
+        for t in order[1:]:
+            if cand.size == 0:
+                return empty
+            ids = per_term[t][0]
+            pos = np.searchsorted(ids, cand)
+            pos_c = np.minimum(pos, ids.size - 1)
+            cand = cand[ids[pos_c] == cand]
+        if cand.size == 0:
+            return empty
+        # adjacency verify per candidate (candidate sets are small: bounded
+        # by the rarest term's df in this partition)
+        idx = {
+            t: np.searchsorted(per_term[t][0], cand) for t in uniq
+        }
+        keep = np.zeros(cand.size, dtype=bool)
+        for c in range(cand.size):
+            ids0, tf0, flat0, starts0, _ = per_term[seq[0]]
+            i0 = idx[seq[0]][c]
+            p = flat0[starts0[i0] : starts0[i0] + tf0[i0]]
             for j, t in enumerate(seq[1:], 1):
-                p = p[np.isin(p + j, per_term[t][d], assume_unique=True)]
+                ids_t, tf_t, flat_t, starts_t, _ = per_term[t]
+                i_t = idx[t][c]
+                pt = flat_t[starts_t[i_t] : starts_t[i_t] + tf_t[i_t]]
+                p = p[np.isin(p + j, pt, assume_unique=True)]
                 if p.size == 0:
                     break
             else:
-                out.append(d)
-        return pd.DataFrame(
-            {"doc_id": np.array(sorted(out), dtype=np.int64)}
-        )
+                keep[c] = True
+        verified = cand[keep]
+        if score_params is None:
+            return pd.DataFrame({"doc_id": verified})
+        if verified.size == 0:
+            return empty
+        idf, avgdl = score_params["idf"], score_params["avgdl"]
+        k1, b = score_params["k1"], score_params["b"]
+        scores = np.zeros(verified.size, dtype=np.float64)
+        for t in uniq:  # oracle summation order (first occurrence)
+            ids_t, tf_t, _, _, dl_t = per_term[t]
+            p = np.searchsorted(ids_t, verified)
+            # the exact arithmetic the scoring kernels use (rank-identity
+            # is defined at rtol 1e-9 — same helper, same float ops)
+            scores += K._bm25_contrib(
+                tf_t[p].astype(np.float64), dl_t[p], idf[t], k1, b, avgdl
+            )
+        return pd.DataFrame({"doc_id": verified, "score": scores})
 
     return kernel
 
@@ -797,21 +858,40 @@ class SearchEngine:
             b=self.bm25.b,
             topn=None,
         )
-        blocks = self.postings.filter(F.col("term").isin(qterms))
-        scored = self._scored_frame(blocks, K.score_and, params, filters)
         if self._positions is not None:
-            # fast phrase: adjacency from the positional sidecar — reads
-            # only the phrase terms' position blocks (postings-sized),
-            # never the doc store. At 100 TB that's the difference between
-            # MBs and the whole corpus per phrase query.
-            matched = (
-                self._positions.filter(F.col("term").isin(qterms))
-                .groupby("doc_part")
-                .applyInPandas(
-                    _phrase_position_kernel(seq), schema="doc_id long"
+            # fast phrase: candidates, adjacency AND scores from the
+            # positional sidecar — ONE scan of the phrase terms' position
+            # blocks (postings-sized), never the doc store. At 100 TB
+            # that's the difference between MBs and the whole corpus per
+            # phrase query.
+            pos = self._positions.filter(F.col("term").isin(qterms))
+            one_pass = (
+                "dls" in self._positions.columns
+                and filters is None
+                and (self._tombstones is None or self._tomb_bc is not None)
+            )
+            if one_pass:
+                score_params = dict(
+                    idf=idf, avgdl=self.avgdl, k1=self.bm25.k1,
+                    b=self.bm25.b,
                 )
+                return pos.groupby("doc_part").applyInPandas(
+                    _phrase_position_kernel(
+                        seq, score_params, excluded_bc=self._tomb_bc
+                    ),
+                    schema=RESULT_SCHEMA,
+                )
+            # filtered (or non-broadcastable-tombstone, or pre-dls sidecar)
+            # two-stage: scored candidates via the filter-aware cogroup,
+            # adjacency from positions, broadcast join
+            blocks = self.postings.filter(F.col("term").isin(qterms))
+            scored = self._scored_frame(blocks, K.score_and, params, filters)
+            matched = pos.groupby("doc_part").applyInPandas(
+                _phrase_position_kernel(seq), schema="doc_id long"
             )
             return scored.join(F.broadcast(matched), "doc_id")
+        blocks = self.postings.filter(F.col("term").isin(qterms))
+        scored = self._scored_frame(blocks, K.score_and, params, filters)
         if min(dfs[t] for t in qterms) <= 1_000_000:
             scored = F.broadcast(scored)
         pat = self._phrase_pattern(seq)
