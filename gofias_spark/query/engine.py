@@ -48,7 +48,7 @@ RESULT_SCHEMA = "doc_id long, score double"
 
 
 def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
-                            excluded_bc=None):
+                            excluded_bc=None, allowed: np.ndarray | None = None):
     """applyInPandas kernel over one doc_part of the positional sidecar:
     decode the phrase terms' position blocks, find the doc_ids where the
     token sequence ``seq`` occurs consecutively. Runs on the sidecar's own
@@ -59,9 +59,15 @@ def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
     survivors from the dls it already decoded and emits (doc_id, score) —
     the one-pass phrase plan: a phrase query then runs a single scan of
     the positions table, no separate scoring stage and no join.
-    ``excluded_bc`` is the tombstone doc_id broadcast. Without score_params
+    ``excluded_bc`` is the tombstone doc_id broadcast (or a plain sorted
+    array on the driver-side call path); ``allowed`` is a sorted
+    allowed-doc_id array (the local filtered path). Without score_params
     it emits doc_id only (the verify half of the two-stage filtered
-    plan)."""
+    plan). The same kernel serves three callers: the distributed
+    groupby(doc_part) plan, and the driver-side searcher which calls it
+    directly on the resident sidecar frame (multi-doc_part input — the
+    (doc_part, block_id) sort keeps per-term doc_ids ascending because
+    doc_id embeds doc_part in its high bits)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         from gofias_spark.index.codec import (
@@ -86,7 +92,10 @@ def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
         # doc-ascending within a term once ordered by block_id)
         per_term: dict[str, tuple] = {}
         for t, g in pdf.groupby("term", sort=False):
-            g = g.sort_values("block_id", kind="mergesort")
+            g = g.sort_values(
+                [c for c in ("doc_part", "block_id") if c in g.columns],
+                kind="mergesort",
+            )
             ids = np.concatenate(
                 [
                     delta_decode(varbyte_decode(d), int(b))
@@ -106,11 +115,13 @@ def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
         # conjunctive candidates, rarest term first (score_and's shape)
         order = sorted(uniq, key=lambda t: per_term[t][0].size)
         cand = per_term[order[0]][0]
-        excluded = excluded_bc.value if excluded_bc is not None else None
+        excluded = getattr(excluded_bc, "value", excluded_bc)
         if excluded is not None and cand.size:
             cand = cand[
                 ~np.isin(cand, excluded, assume_unique=True)
             ]
+        if allowed is not None and cand.size:
+            cand = cand[np.isin(cand, allowed, assume_unique=True)]
         for t in order[1:]:
             if cand.size == 0:
                 return empty
@@ -296,6 +307,7 @@ class SearchEngine:
         self._local_blocks: pd.DataFrame | None = None
         self._local_meta: pd.DataFrame | None = None
         self._local_tombs: np.ndarray | None = None
+        self._local_positions: pd.DataFrame | None = None
         tomb = self.manifest.get("tombstones", {"n_docs": 0, "sum_dl": 0})
         self.n_docs = sum(m.n_docs for m in self._seg_metas.values()) - tomb[
             "n_docs"
@@ -505,6 +517,12 @@ class SearchEngine:
                 if self._tombstones is not None
                 else None
             )
+            if self._positions is not None:
+                # positions rows == posting rows, so the same
+                # local_max_blocks budget covers the sidecar: phrase
+                # queries on a small index run entirely driver-side (the
+                # same one-pass kernel, no Spark job)
+                self._local_positions = self._positions.toPandas()
 
     def _build_serve(self, n_blocks: int) -> None:
         """Materialize the term-bucketed serve cache (idempotent per index
@@ -826,6 +844,51 @@ class SearchEngine:
                 mode="standard", token_pattern=self.analyzer.token_pattern
             ),
         )
+        qterms = list(dict.fromkeys(seq))
+        dfs = self._term_dfs(qterms)
+        if any(dfs[t] == 0 for t in qterms):
+            return self._empty_result(with_meta, as_pdf=as_pandas)
+        if (
+            self._local_positions is not None
+            and "dls" in self._local_positions.columns
+        ):
+            # driver-side searcher: the resident sidecar answers phrase
+            # queries (filters included via the local allowed mask) with
+            # zero Spark jobs — same kernel, suggest-tier latency
+            allowed, excl = self._local_masks(filters)
+            sub = self._local_positions[
+                self._local_positions["term"].isin(qterms)
+            ]
+            res = _phrase_position_kernel(
+                seq,
+                dict(idf={t: self._idf(dfs[t]) for t in qterms},
+                     avgdl=self.avgdl, k1=self.bm25.k1, b=self.bm25.b),
+                excluded_bc=excl,
+                allowed=allowed,
+            )(sub)
+            r = res.sort_values(
+                ["score", "doc_id"], ascending=[False, True],
+                kind="mergesort",
+            ).iloc[offset : offset + k]
+            # finish exactly like _local_search: the resident meta frame
+            # supplies display columns, so the whole query is job-free
+            if len(r) == 0:
+                return self._empty_result(with_meta, as_pdf=as_pandas)
+            if not with_meta:
+                return r if as_pandas else self._pdf_df(r, RESULT_SCHEMA)
+            out = r.merge(
+                self._local_meta.reset_index(drop=True),
+                on="doc_id", how="left",
+            )[self.DISPLAY_COLS]
+            if as_pandas:
+                return out
+            return self._pdf_df(
+                out,
+                (
+                    "doc_id long, score double, repo string, path string, "
+                    "commit string, lang string, sha256 string"
+                ),
+            )
         verified = self._phrase_frame(seq, filters)
         if verified is None:
             return self._empty_result(with_meta, as_pdf=as_pandas)
@@ -1898,4 +1961,5 @@ class SearchEngine:
             self._tomb_bc = None
         self._local_blocks = None
         self._local_meta = None
+        self._local_positions = None
         self._stats_cache = None

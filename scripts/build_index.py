@@ -45,6 +45,9 @@ def main() -> None:
     ap.add_argument("--max-gram", type=int, default=40)
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--block-size", type=int, default=128)
+    ap.add_argument("--positions", action="store_true",
+                    help="build the positional sidecar (fast phrase "
+                         "queries; standard analyzer only)")
     args = ap.parse_args()
 
     spark = get_spark("gofias_build")
@@ -64,6 +67,7 @@ def main() -> None:
         analyzer=AnalyzerConfig(
             mode=args.analyzer, min_gram=args.min_gram, max_gram=args.max_gram
         ),
+        positions=args.positions,
     )
     manifest = build_segment(spark, docs, args.index, cfg)
     print(

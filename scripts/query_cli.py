@@ -67,6 +67,11 @@ def main() -> None:
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--offset", type=int, default=0)
     s.add_argument("--mode", default="and", choices=["and", "or"])
+    s.add_argument(
+        "--match", default=None, choices=["phrase", "fuzzy", "wildcard"],
+        help="r3 extensions: exact-phrase / edit-distance-1 / */? pattern "
+             "matching (default: plain --mode match)",
+    )
     s.add_argument("--filter", action="append")
     s.add_argument(
         "--sort", default=None,
@@ -90,14 +95,23 @@ def main() -> None:
     eng = SearchEngine(spark, args.index)
 
     if args.cmd == "search":
-        rows = eng.search(
-            args.query,
-            k=args.k,
-            offset=args.offset,
-            mode=args.mode,
-            filters=_filters(args.filter),
-            sort_by=_sort_by(args.sort),
-        ).collect()
+        common = dict(
+            k=args.k, offset=args.offset, filters=_filters(args.filter)
+        )
+        if args.match == "phrase":
+            res = eng.search_phrase(args.query, **common)
+        elif args.match == "fuzzy":
+            res = eng.search_fuzzy(args.query, **common)
+        elif args.match == "wildcard":
+            res = eng.search_wildcard(args.query, **common)
+        else:
+            res = eng.search(
+                args.query,
+                mode=args.mode,
+                sort_by=_sort_by(args.sort),
+                **common,
+            )
+        rows = res.collect()
         for r in rows:
             print(
                 f"{r['score']:.6f}\t{r['doc_id']}\t{r['repo']}/{r['path']}"

@@ -54,12 +54,15 @@ def engines(spark, tmp_path_factory):
         IndexConfig(n_buckets=2, block_size=4),
     )
     ep = SearchEngine(spark, root_pos)
-    ep.warm()
+    ep.warm()  # small index -> driver-side sidecar (local one-pass)
+    epd = SearchEngine(spark, root_pos)
+    epd.warm(local_max_blocks=0)  # force the distributed one-pass plan
     es = SearchEngine(spark, root_slow)
-    es.warm()
-    assert ep._positions is not None
+    es.warm(local_max_blocks=0)  # content-verify, distributed
+    assert ep._positions is not None and ep._local_positions is not None
+    assert epd._positions is not None and epd._local_positions is None
     assert es._positions is None
-    return ep, es
+    return ep, epd, es
 
 
 def _rows(df):
@@ -82,20 +85,34 @@ PHRASES = [
 
 
 @pytest.mark.parametrize("q", PHRASES, ids=str)
-def test_positional_equals_content_verify(engines, q):
-    ep, es = engines
-    assert _rows(ep.search_phrase(q, k=20)) == _rows(es.search_phrase(q, k=20))
+def test_all_three_phrase_paths_agree(engines, q):
+    ep, epd, es = engines
+    want = _rows(es.search_phrase(q, k=20))
+    assert _rows(ep.search_phrase(q, k=20)) == want    # local one-pass
+    assert _rows(epd.search_phrase(q, k=20)) == want   # distributed one-pass
 
 
 def test_positional_with_filters_and_paging(engines):
-    ep, es = engines
+    ep, epd, es = engines
     f = {"doclen": {"lte": 2}}
-    assert _rows(ep.search_phrase("alpha beta", filters=f)) == _rows(
-        es.search_phrase("alpha beta", filters=f)
-    )
-    a = ep.search_phrase("alpha beta", k=2, offset=2).collect()
+    want = _rows(es.search_phrase("alpha beta", filters=f))
+    assert _rows(ep.search_phrase("alpha beta", filters=f)) == want
+    assert _rows(epd.search_phrase("alpha beta", filters=f)) == want
     b = es.search_phrase("alpha beta", k=2, offset=2).collect()
-    assert [r["path"] for r in a] == [r["path"] for r in b]
+    for eng in (ep, epd):
+        a = eng.search_phrase("alpha beta", k=2, offset=2).collect()
+        assert [r["path"] for r in a] == [r["path"] for r in b]
+
+
+def test_local_phrase_runs_no_spark_job(engines, spark):
+    """The driver-side phrase path must not schedule any Spark job (the
+    serve-tier property: latency independent of cluster/core count)."""
+    ep, _, _ = engines
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    ep.search_phrase("alpha beta", k=5, as_pandas=True)
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after
 
 
 def test_positional_plan_never_reads_content(engines):
@@ -103,7 +120,7 @@ def test_positional_plan_never_reads_content(engines):
     content regex / doc_meta content column — that's the whole point: a
     phrase query reads position blocks (MBs), not the doc store (the
     corpus)."""
-    ep, _ = engines
+    _, ep, _ = engines
     df = ep._phrase_frame(["alpha", "beta"], None)
     plan = C.physical_plan(df)
     assert "FlatMapGroupsInPandas" in plan, plan[:2000]
