@@ -64,6 +64,9 @@ from pyspark.sql import functions as F
 # columns the scoring kernels consume (doc_part is irrelevant driver-side:
 # kernels sort decoded ids globally)
 BLOCK_COLS = ["term", "n", "base", "last", "tf_max", "dl_min", "docs", "tfs", "dls"]
+# positional-sidecar columns served for fast phrase (block-aligned with the
+# postings; ``poss`` = per-posting delta+varbyte token positions)
+POS_COLS = ["term", "n", "base", "docs", "tfs", "dls", "poss"]
 
 
 def _prune_stale(candidates, current: Path, done_name: str) -> None:
@@ -184,6 +187,12 @@ class ServeCache:
         self._meta_ds = (
             pads.dataset(str(meta_dir)) if meta_dir.exists() else None
         )
+        pos_dir = Path(self.path) / "positions"
+        self._pos_ds = (
+            pads.dataset(str(pos_dir), partitioning="hive")
+            if pos_dir.exists()
+            else None
+        )
         bd_dir = Path(self.path) / "build_dfs"
         self._build_dfs_ds = (
             pads.dataset(str(bd_dir)) if bd_dir.exists() else None
@@ -202,6 +211,7 @@ class ServeCache:
         df_threshold: int | None = None,
         excluded_terms: list[str] | None = None,
         build_stats: DataFrame | None = None,
+        positions: DataFrame | None = None,
     ) -> "ServeCache":
         """Write the term-bucketed cache and return a reader over it.
 
@@ -250,6 +260,26 @@ class ServeCache:
             .partitionBy("pid")
             .parquet(str(final / "postings"))
         )
+        if positions is not None:
+            # the positional sidecar rides the same term-bucketed layout:
+            # phrase queries then prune to their terms' pids exactly like
+            # term queries do, and the one-pass kernel runs driver-side
+            (
+                positions.select(*POS_COLS)
+                .withColumn(
+                    "pid",
+                    F.pmod(
+                        F.crc32(F.encode(F.col("term"), "utf-8")),
+                        F.lit(n_buckets),
+                    ).cast("int"),
+                )
+                .repartition(n_buckets, "pid")
+                .sortWithinPartitions("term", "base")
+                .write.mode("overwrite")
+                .option("parquet.block.size", 2 * 1024 * 1024)
+                .partitionBy("pid")
+                .parquet(str(final / "positions"))
+            )
         if doc_meta is not None:
             (
                 doc_meta.repartitionByRange(
@@ -332,6 +362,23 @@ class ServeCache:
         pids = sorted({pid_of(t, self.n_buckets) for t in qterms})
         tbl = self._pads.to_table(
             columns=BLOCK_COLS,
+            filter=pads.field("pid").isin(pids)
+            & pads.field("term").isin(list(qterms)),
+        )
+        return tbl.to_pandas()
+
+    @property
+    def has_positions(self) -> bool:
+        return self._pos_ds is not None
+
+    def fetch_positions(self, qterms: list[str]) -> pd.DataFrame:
+        """Position blocks of ``qterms``, read driver-side via pyarrow —
+        same pid/row-group pruning as ``fetch`` over the positional
+        sidecar (one-pass phrase input; rows per term arrive base-sorted
+        because the build sorts within partitions)."""
+        pids = sorted({pid_of(t, self.n_buckets) for t in qterms})
+        tbl = self._pos_ds.to_table(
+            columns=POS_COLS,
             filter=pads.field("pid").isin(pids)
             & pads.field("term").isin(list(qterms)),
         )

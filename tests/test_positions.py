@@ -55,14 +55,17 @@ def engines(spark, tmp_path_factory):
     )
     ep = SearchEngine(spark, root_pos)
     ep.warm()  # small index -> driver-side sidecar (local one-pass)
-    epd = SearchEngine(spark, root_pos)
+    epd = SearchEngine(spark, root_pos, serve=False)
     epd.warm(local_max_blocks=0)  # force the distributed one-pass plan
-    es = SearchEngine(spark, root_slow)
+    eps = SearchEngine(spark, root_pos)
+    eps.warm(local_max_blocks=0)  # serve tier: term-bucketed sidecar
+    es = SearchEngine(spark, root_slow, serve=False)
     es.warm(local_max_blocks=0)  # content-verify, distributed
     assert ep._positions is not None and ep._local_positions is not None
     assert epd._positions is not None and epd._local_positions is None
+    assert eps._serve is not None and eps._serve.has_positions
     assert es._positions is None
-    return ep, epd, es
+    return ep, epd, eps, es
 
 
 def _rows(df):
@@ -85,34 +88,38 @@ PHRASES = [
 
 
 @pytest.mark.parametrize("q", PHRASES, ids=str)
-def test_all_three_phrase_paths_agree(engines, q):
-    ep, epd, es = engines
+def test_all_four_phrase_paths_agree(engines, q):
+    ep, epd, eps, es = engines
     want = _rows(es.search_phrase(q, k=20))
     assert _rows(ep.search_phrase(q, k=20)) == want    # local one-pass
     assert _rows(epd.search_phrase(q, k=20)) == want   # distributed one-pass
+    assert _rows(eps.search_phrase(q, k=20)) == want   # serve-tier one-pass
 
 
 def test_positional_with_filters_and_paging(engines):
-    ep, epd, es = engines
+    ep, epd, eps, es = engines
     f = {"doclen": {"lte": 2}}
     want = _rows(es.search_phrase("alpha beta", filters=f))
     assert _rows(ep.search_phrase("alpha beta", filters=f)) == want
     assert _rows(epd.search_phrase("alpha beta", filters=f)) == want
+    assert _rows(eps.search_phrase("alpha beta", filters=f)) == want
     b = es.search_phrase("alpha beta", k=2, offset=2).collect()
-    for eng in (ep, epd):
+    for eng in (ep, epd, eps):
         a = eng.search_phrase("alpha beta", k=2, offset=2).collect()
         assert [r["path"] for r in a] == [r["path"] for r in b]
 
 
-def test_local_phrase_runs_no_spark_job(engines, spark):
-    """The driver-side phrase path must not schedule any Spark job (the
+def test_driver_side_phrase_runs_no_spark_job(engines, spark):
+    """Both driver-side phrase paths — the resident local sidecar AND the
+    serve tier's pruned pyarrow read — must schedule zero Spark jobs (the
     serve-tier property: latency independent of cluster/core count)."""
-    ep, _, _ = engines
+    ep, _, eps, _ = engines
     tracker = spark.sparkContext.statusTracker()
-    before = tracker.getJobIdsForGroup(None)
-    ep.search_phrase("alpha beta", k=5, as_pandas=True)
-    after = tracker.getJobIdsForGroup(None)
-    assert before == after
+    for eng in (ep, eps):
+        before = tracker.getJobIdsForGroup(None)
+        eng.search_phrase("alpha beta", k=5, as_pandas=True)
+        after = tracker.getJobIdsForGroup(None)
+        assert before == after, eng
 
 
 def test_positional_plan_never_reads_content(engines):
@@ -120,7 +127,7 @@ def test_positional_plan_never_reads_content(engines):
     content regex / doc_meta content column — that's the whole point: a
     phrase query reads position blocks (MBs), not the doc store (the
     corpus)."""
-    _, ep, _ = engines
+    _, ep, _, _ = engines
     df = ep._phrase_frame(["alpha", "beta"], None)
     plan = C.physical_plan(df)
     assert "FlatMapGroupsInPandas" in plan, plan[:2000]
