@@ -1,0 +1,161 @@
+"""gRPC service facade (S11's proto half, fias.proto:64-119): the
+transport-independent servicer answers like the API facade, the filter
+message compiles like the reference handler's prepareFilter
+(addressHandler.go:140-165), and the grpcio binding is import-gated."""
+
+import json
+
+import pytest
+
+from gofias_spark.api import FulltextAPI
+from gofias_spark.config import IndexConfig
+from gofias_spark.corpus import synth_corpus
+from gofias_spark.index.build import build_segment
+from gofias_spark import rpc
+from gofias_spark.rpc import (
+    Doc,
+    FilterObject,
+    FulltextServicer,
+    GuidRequest,
+    InvalidArgument,
+    ListRequest,
+    NotFound,
+    NumberFilter,
+    SimpleTermFilterRequest,
+    StringFilter,
+    TermFilterRequest,
+    compile_filter_object,
+    from_dict,
+    serve_grpc,
+    to_dict,
+)
+
+CFG = IndexConfig(n_buckets=3, block_size=16)
+
+
+@pytest.fixture(scope="module")
+def servicer(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("rpcidx"))
+    build_segment(spark, synth_corpus(spark, 100), root, CFG)
+    api = FulltextAPI(spark, root)
+    api.engine.warm()
+    yield FulltextServicer(api), api
+
+
+def test_filter_object_compiles_like_prepare_filter():
+    fo = FilterObject(
+        doclen=NumberFilter(min=10, max=50),
+        lang=StringFilter(values=["go", "py"]),
+        repo=StringFilter(values=["r1"]),
+    )
+    assert compile_filter_object(fo) == {
+        "doclen": {"gte": 10, "lte": 50},
+        "lang": ["go", "py"],
+        "repo": ["r1"],
+    }
+    # Values win over Min/Max (the reference emits a terms query when
+    # Values is set, a range otherwise)
+    fo2 = FilterObject(doclen=NumberFilter(values=[7.0], min=1, max=2))
+    assert compile_filter_object(fo2) == {"doclen": [7]}
+    assert compile_filter_object(None) is None
+    assert compile_filter_object(FilterObject()) is None
+
+
+def test_get_address_by_term_matches_api(servicer):
+    sv, api = servicer
+    resp = sv.GetAddressByTerm(TermFilterRequest(term="func", size=5))
+    want = api.search_by_term("func", size=5, as_pandas=True)
+    assert [d.doc_id for d in resp.items] == [int(x) for x in want["doc_id"]]
+    assert [d.path for d in resp.items] == list(want["path"])
+    assert all(isinstance(d, Doc) and d.score > 0 for d in resp.items)
+
+
+def test_term_search_filtered_and_paged(servicer):
+    sv, api = servicer
+    fo = FilterObject(doclen=NumberFilter(min=1))
+    full = sv.GetAddressByTerm(TermFilterRequest(term="func", size=10))
+    page = sv.GetAddressByTerm(
+        TermFilterRequest(term="func", size=3, from_=2, filter=fo)
+    )
+    assert [d.doc_id for d in page.items] == [
+        d.doc_id for d in full.items[2:5]
+    ]
+    with pytest.raises(InvalidArgument):
+        sv.GetAddressByTerm(TermFilterRequest(term="x", size=-1))
+
+
+def test_suggests_and_guid_roundtrip(servicer):
+    sv, _ = servicer
+    resp = sv.GetSuggests(SimpleTermFilterRequest(term="func", size=3))
+    assert 0 < len(resp.items) <= 3
+    hit = resp.items[0]
+    doc = sv.GetByGuid(GuidRequest(guid=str(hit.doc_id)))
+    assert (doc.repo, doc.path, doc.sha256) == (
+        hit.repo, hit.path, hit.sha256,
+    )
+    with pytest.raises(NotFound):
+        sv.GetByGuid(GuidRequest(guid="999999999"))
+    with pytest.raises(InvalidArgument):
+        sv.GetByGuid(GuidRequest(guid="not-an-id"))
+
+
+def test_list_docs_requires_filter(servicer):
+    sv, api = servicer
+    got = sv.ListDocs(ListRequest(filter=FilterObject(
+        doclen=NumberFilter(min=1)
+    )))
+    assert len(got.items) == api.count(filters={"doclen": {"gte": 1}})
+    # stable (repo, path) order, the GetAllCities contract
+    keys = [(d.repo, d.path) for d in got.items]
+    assert keys == sorted(keys)
+    with pytest.raises(InvalidArgument):
+        sv.ListDocs(ListRequest())
+
+
+def test_health_and_version(servicer):
+    sv, api = servicer
+    h = sv.CheckHealth()
+    assert h.n_docs == api.engine.n_docs and h.segments >= 1
+    assert h.uptime_secs >= 0
+    v = sv.GetVersion()
+    state = json.loads(v.index_state)
+    assert state["n_docs"] == h.n_docs
+
+
+def test_json_codec_roundtrip():
+    req = TermFilterRequest(
+        term="abc", size=7, from_=1,
+        filter=FilterObject(
+            doclen=NumberFilter(min=5),
+            lang=StringFilter(values=["go"]),
+        ),
+    )
+    wire = json.dumps(to_dict(req))
+    back = from_dict(TermFilterRequest, json.loads(wire))
+    assert back == req
+    with pytest.raises(InvalidArgument):
+        from_dict(TermFilterRequest, {"trem": "typo"})
+    with pytest.raises(InvalidArgument):
+        from_dict(FilterObject, {"doclen": {"minimum": 3}})
+
+
+def test_serve_grpc_import_gated(servicer):
+    sv, api = servicer
+    try:
+        import grpc  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="grpcio is not installed"):
+            serve_grpc(api)
+    else:  # pragma: no cover - container has no grpcio
+        server = serve_grpc(api, port=0)
+        server.stop(0)
+
+
+def test_every_declared_rpc_exists():
+    """The generic-handler registration table and the servicer can't
+    drift: every method the table declares must exist with a request
+    type."""
+    for methods in rpc._SERVICES.values():
+        for m in methods:
+            assert hasattr(FulltextServicer, m), m
+            assert m in rpc._REQUEST_TYPES, m
