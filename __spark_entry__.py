@@ -373,6 +373,35 @@ def _q_fingerprints(spark, sf):
     return TS.fingerprints(_documents(spark, sf), text_col="text")
 
 
+def _q_pipeline_curate(spark, sf):
+    """End-to-end curation pipeline, the 100-TB training-data shape:
+    language-ID -> quality gate -> exact dedup (keep lowest doc_id per
+    identical text) -> token accounting for the survivors. Every stage is
+    a JVM column expression; the only wide ops are ONE hash groupBy on
+    the content digest (map-side combinable) and the final doc_id joins —
+    at scale the whole plan is a single shuffle-bounded pass, no UDFs."""
+    docs = _documents(spark, sf)
+    q = TS.quality_features(docs, text_col="text")
+    lid = TS.langid_heuristic(docs, text_col="text")
+    tc = TS.token_counts(docs, text_col="text")
+    keep = (
+        docs.join(q, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 5)
+            & (F.col("stopword_ratio") <= 0.8)
+            & (F.col("punct_ratio") <= 0.5)
+        )
+        .withColumn("dig", F.sha2(F.col("text"), 256))
+    )
+    kept = keep.groupBy("dig").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        kept.join(lid, "doc_id")
+        .join(tc, "doc_id")
+        .select("doc_id", "lang_guess", "word_tokens", "bpe_tokens_est")
+        .orderBy("doc_id")
+    )
+
+
 def _query_vec(spark, sf):
     row = (
         spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -679,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_langid,
         "text_token_counts": _q_token_counts,
         "text_fingerprints": _q_fingerprints,
+        "pipeline_curate": _q_pipeline_curate,
         # similarity / multimodal
         "sim_cosine_top10": _q_sim_cosine,
         "sim_ann_lsh_top10": _q_ann_lsh,  # approximate, rows-only
@@ -1009,6 +1039,47 @@ SELECT doc_id,
        list_min(list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'),
                 t -> md5(t))) AS min_token_md5
 FROM documents
+""",
+        "pipeline_curate": f"""
+WITH tok AS ({TOK}),
+agg AS (SELECT doc_id, count(*) AS n_tokens,
+               sum(CASE WHEN term IN ('the','a','of','to','in','and','is','for')
+                   THEN 1 ELSE 0 END) AS n_stop
+        FROM tok GROUP BY doc_id),
+q AS (SELECT d.doc_id,
+        coalesce(a.n_tokens, 0) AS n_tokens,
+        round((length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
+              / greatest(length(d.text), 1), 4) AS punct_ratio,
+        round(coalesce(a.n_stop, 0) / greatest(coalesce(a.n_tokens, 0), 1), 4)
+            AS stopword_ratio
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+keep AS (SELECT d.doc_id, d.text
+         FROM documents d JOIN q ON d.doc_id = q.doc_id
+         WHERE q.n_tokens >= 5 AND q.stopword_ratio <= 0.8
+           AND q.punct_ratio <= 0.5),
+kept AS (SELECT min(doc_id) AS doc_id FROM keep GROUP BY text),
+lids AS (SELECT d.doc_id,
+        coalesce(sum(CASE WHEN t.term IN ('der','die','und','ist','nicht') THEN 1 ELSE 0 END), 0) AS s_de,
+        coalesce(sum(CASE WHEN t.term IN ('the','and','of','to','is') THEN 1 ELSE 0 END), 0) AS s_en,
+        coalesce(sum(CASE WHEN t.term IN ('el','la','que','los','es') THEN 1 ELSE 0 END), 0) AS s_es,
+        coalesce(sum(CASE WHEN t.term IN ('le','la','et','est','les') THEN 1 ELSE 0 END), 0) AS s_fr
+      FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+lid AS (SELECT doc_id,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS lang_guess
+  FROM lids),
+w AS (SELECT doc_id, count(*) AS word_tokens,
+             sum(ceil(length(term) / 4.0))::BIGINT AS bpe
+      FROM tok GROUP BY doc_id),
+tc AS (SELECT d.doc_id, coalesce(w.word_tokens, 0)::INT AS word_tokens,
+              coalesce(w.bpe, 0)::BIGINT AS bpe_tokens_est
+       FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id)
+SELECT k.doc_id, lid.lang_guess, tc.word_tokens, tc.bpe_tokens_est
+FROM kept k JOIN lid ON k.doc_id = lid.doc_id JOIN tc ON k.doc_id = tc.doc_id
+ORDER BY k.doc_id
 """,
         "sim_cosine_top10": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
