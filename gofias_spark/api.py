@@ -168,6 +168,19 @@ class FulltextAPI:
     def get_doc(self, **key) -> DataFrame:
         return self.engine.get_doc(**key)
 
+    def highlight(
+        self,
+        term: str,
+        doc_ids: list[int],
+        window: int = 60,
+        max_matches: int = 2,
+    ):
+        """ES-highlight analogue over one result page's ids (pandas
+        (doc_id, fragments) — see SearchEngine.snippets)."""
+        return self.engine.snippets(
+            term, doc_ids, window=window, max_matches=max_matches
+        )
+
     def list_by_filters(
         self, filters: dict, limit: int = 10000
     ) -> DataFrame:

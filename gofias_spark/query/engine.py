@@ -1987,6 +1987,74 @@ class SearchEngine:
             df = df.join(self._tombstones.select("doc_id"), "doc_id", "left_anti")
         return df
 
+    def snippets(
+        self,
+        query: str,
+        doc_ids: list[int],
+        window: int = 60,
+        max_matches: int = 2,
+        tag: tuple[str, str] = ("[h]", "[/h]"),
+    ) -> pd.DataFrame:
+        """ES-highlight analogue: window-bounded fragments around the first
+        ``max_matches`` occurrences of any query term, per requested doc.
+
+        This is a doc-store access (the ES _source/highlight fetch) for
+        the k rows of one result page — never part of the scoring path:
+        ONE pruned doc_meta read for the ids, then string work over <= k
+        rows driver-side. Matches are whole analyzer tokens (the ``\\w+``
+        tokenizer's boundaries), so the highlighted spans are exactly the
+        tokens that scored; matching is case-insensitive like the
+        analyzer. Returns pandas (doc_id, fragments: list[str]) in the
+        caller's id order — ids that are tombstoned/unknown get [].
+        """
+        import re
+
+        qterms = analyze_query(query, self.analyzer)
+        ids = [int(x) for x in doc_ids]
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "fragments": [[] for _ in ids],
+            }
+        )
+        if not qterms or not ids:
+            return empty
+        content = (
+            self.get_doc()
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "content")
+            .toPandas()
+        )
+        pat = re.compile(
+            r"(?<!\w)("
+            + "|".join(re.escape(t) for t in dict.fromkeys(qterms))
+            + r")(?!\w)",
+            re.IGNORECASE,
+        )
+        open_t, close_t = tag
+        frags_by_id: dict[int, list[str]] = {}
+        for r in content.itertuples(index=False):
+            text = r.content or ""
+            frags = []
+            for m in pat.finditer(text):
+                if len(frags) >= max_matches:
+                    break
+                lo, hi = max(0, m.start() - window), min(
+                    len(text), m.end() + window
+                )
+                frags.append(
+                    (
+                        text[lo:m.start()]
+                        + open_t
+                        + m.group(0)
+                        + close_t
+                        + text[m.end():hi]
+                    ).replace("\n", " ")
+                )
+            frags_by_id[int(r.doc_id)] = frags
+        empty["fragments"] = [frags_by_id.get(i, []) for i in ids]
+        return empty
+
     def stats(self) -> dict:
         """Version/health analogue (versionHandler.go:30-38)."""
         return {

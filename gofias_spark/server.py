@@ -20,6 +20,8 @@ Routes (reference analogues):
 Filter params (F7 route compilation — the reference compiles Level.Min/Max
 into ES `range` queries per filtered route, addressHandler.go:140-165):
     lang=..&repo=..&path_prefix=..      equality / prefix filters
+    highlight=true                      ES-highlight analogue: window-bounded
+                                        fragments per item (match=and|phrase)
     <field>.gte= .gt= .lte= .lt= .neq=  range predicates (F4), e.g.
                                         doclen.gte=100&doclen.lt=500
     match=and|phrase|fuzzy|wildcard     match mode on /address/term
@@ -234,6 +236,23 @@ def make_handler(api: FulltextAPI):
                         raise BadRequest(
                             "match must be one of and|phrase|fuzzy|wildcard"
                         )
+                    if q.get("highlight", ["false"])[0].lower() in (
+                        "1", "true",
+                    ):
+                        # ES-highlight analogue: one doc-store access for
+                        # this page's ids (fragments column on each item).
+                        # fuzzy/wildcard hits match EXPANDED terms, not the
+                        # literal request term — highlighting the raw term
+                        # would mark nothing on most hits, so reject rather
+                        # than mislead.
+                        if match not in ("and", "phrase"):
+                            raise BadRequest(
+                                "highlight supports match=and|phrase"
+                            )
+                        frags = api.highlight(
+                            _term(q), [int(x) for x in pdf["doc_id"]]
+                        )
+                        pdf = pdf.merge(frags, on="doc_id", how="left")
                     self._json({"items": _items(pdf)})
                 elif url.path == "/api/v1/suggests":
                     size, _ = _page(q, default_size=10)

@@ -77,6 +77,11 @@ def main() -> None:
         "--sort", default=None,
         help="composite order, e.g. lang:asc,_score:desc (O1)",
     )
+    s.add_argument(
+        "--highlight", action="store_true",
+        help="append window-bounded match fragments per hit "
+             "(plain/phrase matches only)",
+    )
 
     c = sub.add_parser("count")
     c.add_argument("query", nargs="?")
@@ -112,11 +117,19 @@ def main() -> None:
                 **common,
             )
         rows = res.collect()
+        frags = {}
+        if getattr(args, "highlight", False):
+            if args.match in ("fuzzy", "wildcard"):
+                ap.error("--highlight supports plain or phrase matches only")
+            f = eng.snippets(args.query, [r["doc_id"] for r in rows])
+            frags = dict(zip(f["doc_id"], f["fragments"]))
         for r in rows:
             print(
                 f"{r['score']:.6f}\t{r['doc_id']}\t{r['repo']}/{r['path']}"
                 f"@{r['commit']}\t{r['lang']}"
             )
+            for frag in frags.get(r["doc_id"], []):
+                print(f"    … {frag} …")
     elif args.cmd == "count":
         print(eng.count(args.query, _filters(args.filter)))
     elif args.cmd == "get":

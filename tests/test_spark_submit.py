@@ -70,8 +70,10 @@ def test_build_then_query_via_spark_submit(spark, tmp_path):
 
     got = _submit(
         zp, "query_cli.py", "--index", str(index), "search", "func",
-        "--k", "5",
+        "--k", "5", "--highlight",
     )
+    frag_lines = [ln for ln in got.splitlines() if "[h]func[/h]" in ln]
+    assert frag_lines, got[-2000:]
     lines = [
         ln for ln in got.splitlines() if "\t" in ln and ln.count("\t") >= 2
     ]
