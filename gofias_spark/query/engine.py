@@ -2055,6 +2055,69 @@ class SearchEngine:
         empty["fragments"] = [frags_by_id.get(i, []) for i in ids]
         return empty
 
+    def explain_query(
+        self, query: str, filters: dict | None = None, mode: str = "and"
+    ) -> dict:
+        """Routing introspection (no execution): which tier would serve
+        this query and why. An ops surface for the three-tier split —
+        ``local`` (whole index driver-resident), ``serve`` (term-pruned
+        driver-side read of the term-bucketed cache), ``distributed``
+        (co-partitioned cogroup over the postings cache), or ``empty``
+        (analyzer produced no effective terms / AND-term missing /
+        impossible filter). Mirrors ``search``'s dispatch exactly — the
+        returned ``route`` is the branch search() would take."""
+        self._validate_filters(filters)
+        out: dict = {"query": query, "mode": mode, "filters": filters}
+        if filters_impossible(filters):
+            out.update(route="empty", reason="impossible filter")
+            return out
+        qterms = analyze_query(query, self.analyzer)
+        dfs = self._term_dfs(qterms)
+        out["terms"] = {t: dfs[t] for t in qterms}
+        if mode == "and":
+            if not qterms or any(dfs[t] == 0 for t in qterms):
+                out.update(
+                    route="empty",
+                    reason="no terms" if not qterms else "AND term absent",
+                )
+                return out
+            eff = qterms
+        else:
+            eff = [t for t in qterms if dfs[t] > 0]
+            if not eff:
+                out.update(route="empty", reason="no indexed terms")
+                return out
+        out["posting_volume"] = sum(dfs[t] for t in eff)
+        if self._local_blocks is not None:
+            out["route"] = "local"
+        elif self._serve_route(dfs, filters):
+            out["route"] = "serve"
+        else:
+            out["route"] = "distributed"
+            if self._serve is not None:
+                cap = min(self._serve_max, self._serve.df_threshold)
+                budget = (
+                    min(self._serve_filtered_max, cap) if filters else cap
+                )
+                out["reason"] = (
+                    "excluded hot term in query"
+                    if self._cache_lacks_terms(dfs)
+                    else f"posting volume over serve budget ({budget})"
+                    if out["posting_volume"] > budget
+                    else "filter field not in meta sidecar"
+                    if filters
+                    and not self._filter_fields(filters)
+                    <= self._serve.meta_columns()
+                    else "tombstones not driver-resident"
+                )
+            else:
+                out["reason"] = "no serve cache"
+        if self._serve is not None:
+            out["serve_budget"] = int(
+                min(self._serve_max, self._serve.df_threshold)
+            )
+        return out
+
     def stats(self) -> dict:
         """Version/health analogue (versionHandler.go:30-38)."""
         return {
