@@ -198,6 +198,16 @@ def _q_ft_count(spark, sf):
     return spark.createDataFrame([(n,)], schema="cnt long")
 
 
+def _q_ft_facets_lang(spark, sf):
+    """ES terms-aggregation analogue: lang buckets over the docs matching
+    an AND query (gofias's ES search surface carries terms aggs; its own
+    counts live at client.go:151-162). Distributed plan = per-doc_part
+    PARTIAL (value,count) from the co-partitioned cogroup, then a tiny
+    global sum — map-side combine, never a doc-level shuffle."""
+    pdf = _engine(spark, sf).facets("lang", "table scan", k=5)
+    return spark.createDataFrame(pdf, schema="lang string, cnt long")
+
+
 def _q_ft_prefix(spark, sf):
     return _ft(_engine(spark, sf, mode="edge_ngram").search("wind", k=10))
 
@@ -692,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_fuzzy_top10": _q_ft_fuzzy,
         "ft_wildcard_top10": _q_ft_wildcard,
         "ft_count": _q_ft_count,
+        "ft_facets_lang": _q_ft_facets_lang,
         "ft_prefix_top10": _q_ft_prefix,
         "ft_infix_top10": _q_ft_infix,
         "ft_search_many": _q_ft_search_many,
@@ -934,6 +945,15 @@ WITH tok AS ({TOK}),
 m AS (SELECT doc_id, count(DISTINCT term) AS nt FROM tok
       WHERE term IN ('window', 'group') GROUP BY doc_id)
 SELECT count(*)::BIGINT AS cnt FROM m WHERE nt = 2
+""",
+        "ft_facets_lang": f"""
+WITH tok AS ({TOK}),
+m AS (SELECT doc_id FROM tok WHERE term IN ('table', 'scan')
+      GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+SELECT d.lang, count(*)::BIGINT AS cnt
+FROM documents d JOIN m USING (doc_id)
+WHERE d.lang IS NOT NULL
+GROUP BY d.lang ORDER BY cnt DESC, d.lang ASC LIMIT 5
 """,
         "ft_prefix_top10": _prefix_bm25_sql("wind", 10),
         "ft_infix_top10": _infix_bm25_sql("indo", 10),

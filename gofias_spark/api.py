@@ -199,6 +199,21 @@ class FulltextAPI:
     def count(self, term: str | None = None, filters: dict | None = None) -> int:
         return self.engine.count(term, filters)
 
+    def facets(
+        self,
+        field: str,
+        term: str | None = None,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+        size: int = 10,
+    ):
+        """ES terms-aggregation analogue over matching docs; see
+        SearchEngine.facets. Returns a pandas frame [field, 'cnt']."""
+        return self.engine.facets(
+            field, term, mode=mode, filters=filters, k=size
+        )
+
     def version(self) -> dict:
         return self.engine.stats()
 

@@ -1897,6 +1897,165 @@ class SearchEngine:
         # job an RDD-backed empty frame schedules on EVERY collect
         return self.spark.createDataFrame([], schema=schema).limit(0)
 
+    def facets(
+        self,
+        field: str,
+        query: str | None = None,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+        k: int = 10,
+    ) -> pd.DataFrame:
+        """ES-style terms aggregation over matching docs: top-``k``
+        ``(field value, count)`` pairs ordered by count desc, value asc.
+        The reference's search surface is Elasticsearch, whose every search
+        carries an optional terms-agg sidecar; gofias itself leans on ES
+        counts (client.go:151-162) — this is the grouped generalization.
+        Docs with a null ``field`` are not counted (ES missing-bucket
+        semantics). Returns a pandas frame ``[field, 'cnt']`` — facet
+        results are k rows, never a distributed payload.
+
+        Tiering mirrors count(): driver-local kernel, term-pruned serve
+        read + meta sidecar, or the co-partitioned cogroup where each
+        doc_part emits PARTIAL (value, count) rows — map-side combine, so
+        the only shuffle is #values x #partitions tiny rows."""
+        if field in ("doc_id", "doc_part") or field not in self.doc_meta.columns:
+            raise ValueError(f"unknown facet field {field!r}")
+        self._validate_filters(filters)
+        empty = pd.DataFrame({field: pd.Series(dtype=object),
+                              "cnt": pd.Series(dtype="int64")})
+        if filters_impossible(filters):
+            return empty
+
+        def _top(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(
+                ["cnt", field], ascending=[False, True]
+            ).head(k).reset_index(drop=True)
+            pdf["cnt"] = pdf["cnt"].astype("int64")
+            return pdf
+
+        if query is None:
+            df = self.doc_meta.filter(F.col(field).isNotNull())
+            cond = compile_filters(filters)
+            if cond is not None:
+                df = df.filter(cond)
+            if self._tombstones is not None:
+                df = df.join(
+                    self._tombstones.select("doc_id"), "doc_id", "left_anti"
+                )
+            pdf = (
+                df.groupBy(field).agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc(field)).limit(k).toPandas()
+            )
+            pdf["cnt"] = pdf["cnt"].astype("int64")
+            return pdf
+
+        qterms = analyze_query(query, self.analyzer)
+        dfs = self._term_dfs(qterms)
+        if mode == "and":
+            if not qterms or any(dfs[t] == 0 for t in qterms):
+                return empty
+        else:
+            qterms = [t for t in qterms if dfs[t] > 0]
+            if not qterms:
+                return empty
+
+        if self._local_blocks is not None:
+            lb = self._local_blocks[self._local_blocks["term"].isin(qterms)]
+            allowed, excluded = self._local_masks(filters)
+            ids = K.match_ids(lb, qterms, mode, allowed=allowed,
+                              excluded=excluded)
+            if ids.size == 0:
+                return empty
+            sub = self._local_meta.loc[
+                self._local_meta["doc_id"].isin(ids), field
+            ].dropna()
+            g = sub.value_counts()
+            return _top(pd.DataFrame({field: g.index, "cnt": g.values}))
+
+        if self._serve_facet_route(dfs, filters, field):
+            ids = K.match_ids(
+                self._serve.fetch(qterms), qterms, mode,
+                excluded=self._tomb_arr,
+            )
+            if ids.size == 0:
+                return empty
+            cols = list(dict.fromkeys(
+                ["doc_id", field] + sorted(self._filter_fields(filters))
+            ))
+            meta = self._serve.fetch_meta(ids.tolist(), cols)
+            if filters:
+                meta = meta[pandas_filter_mask(meta, filters)]
+            vals = meta[field].dropna()
+            g = vals.value_counts()
+            return _top(pd.DataFrame({field: g.index, "cnt": g.values}))
+
+        # distributed: right side = live, filter-surviving, non-null-field
+        # meta projection, co-partitioned by doc_part like every filtered
+        # query path; the kernel emits per-partition partial counts
+        right = self.doc_meta.filter(F.col(field).isNotNull())
+        cond = compile_filters(filters)
+        if cond is not None:
+            right = right.filter(cond)
+        if self._tombstones is not None:
+            right = right.join(
+                self._tombstones.select("doc_id"), "doc_id", "left_anti"
+            )
+        right = right.select("doc_part", "doc_id", field)
+        blocks = self.postings.filter(F.col("term").isin(qterms))
+        vtype = self.doc_meta.schema[field].dataType.simpleString()
+        out_schema = f"value {vtype}, c long"
+        fname, fmode, fterms = field, mode, qterms
+
+        def cokernel(left: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0 or len(right_pdf) == 0:
+                return pd.DataFrame({"value": [], "c": []}).astype(
+                    {"c": "int64"}
+                )
+            rids = np.sort(right_pdf["doc_id"].to_numpy(dtype=np.int64))
+            cand = K.match_ids(left, fterms, fmode, allowed=rids)
+            if cand.size == 0:
+                return pd.DataFrame({"value": [], "c": []}).astype(
+                    {"c": "int64"}
+                )
+            sub = right_pdf.loc[
+                right_pdf["doc_id"].isin(cand), fname
+            ].dropna()
+            g = sub.value_counts()
+            return pd.DataFrame({"value": g.index, "c": g.values})
+
+        partials = (
+            blocks.groupby("doc_part")
+            .cogroup(right.groupby("doc_part"))
+            .applyInPandas(cokernel, schema=out_schema)
+        )
+        pdf = (
+            partials.groupBy("value").agg(F.sum("c").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("value")).limit(k).toPandas()
+            .rename(columns={"value": field})
+        )
+        pdf["cnt"] = pdf["cnt"].astype("int64")
+        return pdf
+
+    def _serve_facet_route(self, dfs, filters, field) -> bool:
+        """Facets read the field for EVERY candidate driver-side (like the
+        composite-sort route), so they take the quarter filtered budget and
+        require sidecar coverage of the facet field + filter fields."""
+        if self._serve is None:
+            return False
+        if self._tombstones is not None and self._tomb_arr is None:
+            return False
+        if self._cache_lacks_terms(dfs):
+            return False
+        need = {field} | self._filter_fields(filters)
+        if not need <= self._serve.meta_columns():
+            return False
+        return self._route_vol(dfs) <= min(
+            self._serve_filtered_max // 4,
+            self._serve_max,
+            self._serve.df_threshold,
+        )
+
     def count(self, query: str | None = None, filters: dict | None = None) -> int:
         """Filtered count (A1 analogue, client.go:151-162)."""
         self._validate_filters(filters)

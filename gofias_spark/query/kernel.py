@@ -241,6 +241,39 @@ def score_or(
     return _topn(doc, score, topn)
 
 
+def match_ids(
+    blocks: pd.DataFrame,
+    qterms: list[str],
+    mode: str = "and",
+    allowed: np.ndarray | None = None,
+    excluded: np.ndarray | None = None,
+) -> np.ndarray:
+    """Sorted doc_ids matching the query (+ masks) in one doc_part — the
+    unscored candidate set shared by count and facet aggregation."""
+    per_term = {t: g for t, g in blocks.groupby("term", sort=False)}
+    if mode == "or":
+        present = [t for t in qterms if t in per_term]
+        if not present:
+            return np.empty(0, dtype=np.int64)
+        ids = np.unique(
+            np.concatenate([_decode_term(per_term[t])[0] for t in present])
+        )
+        return ids[_apply_mask(ids, allowed, excluded)]
+    if any(t not in per_term for t in qterms):
+        return np.empty(0, dtype=np.int64)
+    order = sorted(qterms, key=lambda t: int(per_term[t]["n"].sum()))
+    cand, _, _ = _decode_term(per_term[order[0]])
+    cand = cand[_apply_mask(cand, allowed, excluded)]
+    for t in order[1:]:
+        if cand.size == 0:
+            return cand
+        ids, _, _ = _decode_term(per_term[t])
+        pos = np.searchsorted(ids, cand)
+        pos_c = np.minimum(pos, ids.size - 1)
+        cand = cand[ids[pos_c] == cand]
+    return cand
+
+
 def count_and(
     blocks: pd.DataFrame,
     qterms: list[str],
@@ -248,20 +281,7 @@ def count_and(
     excluded: np.ndarray | None = None,
 ) -> int:
     """Count of docs matching all query terms (+ filters) in one doc_part."""
-    per_term = {t: g for t, g in blocks.groupby("term", sort=False)}
-    if any(t not in per_term for t in qterms):
-        return 0
-    order = sorted(qterms, key=lambda t: int(per_term[t]["n"].sum()))
-    cand, _, _ = _decode_term(per_term[order[0]])
-    cand = cand[_apply_mask(cand, allowed, excluded)]
-    for t in order[1:]:
-        if cand.size == 0:
-            return 0
-        ids, _, _ = _decode_term(per_term[t])
-        pos = np.searchsorted(ids, cand)
-        pos_c = np.minimum(pos, ids.size - 1)
-        cand = cand[ids[pos_c] == cand]
-    return int(cand.size)
+    return int(match_ids(blocks, qterms, "and", allowed, excluded).size)
 
 
 # -- helpers ----------------------------------------------------------------

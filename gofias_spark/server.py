@@ -14,6 +14,7 @@ Routes (reference analogues):
     GET /api/v1/suggests?term=..&size=..                         GetSuggests
     GET /api/v1/address/guid?repo=..&path=..&commit=..           GetByGuid
     GET /api/v1/count?term=..[&lang=..]                          _count
+    GET /api/v1/facets?field=..[&term=..&match=and|or&size=..]   terms agg
     GET /api/v1/version                                          GetVersion
     GET /health                                                  CheckHealth
 
@@ -271,6 +272,25 @@ def make_handler(api: FulltextAPI):
                     }
                     df = api.get_doc(**key).drop("content")
                     self._json({"items": _rows(df)})
+                elif url.path == "/api/v1/facets":
+                    field = q.get("field", [""])[0]
+                    if not field:
+                        raise BadRequest("field= is required")
+                    size, _ = _page(q, default_size=10)
+                    mode = q.get("match", ["and"])[0]
+                    if mode not in ("and", "or"):
+                        raise BadRequest("match must be and|or")
+                    try:
+                        pdf = api.facets(
+                            field,
+                            _term(q) or None,
+                            mode=mode,
+                            filters=_filters_from_query(q),
+                            size=size,
+                        )
+                    except ValueError as exc:  # unknown field
+                        raise BadRequest(str(exc)) from exc
+                    self._json({"buckets": _items(pdf)})
                 elif url.path == "/api/v1/count":
                     n = api.count(
                         _term(q) or None,

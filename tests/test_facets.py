@@ -1,0 +1,138 @@
+"""facets(): ES terms-aggregation analogue — tier parity vs a pandas
+oracle on AND/OR/filtered/no-query paths."""
+
+import re
+
+import pandas as pd
+import pytest
+
+from gofias_spark.config import IndexConfig
+from gofias_spark.corpus import synth_corpus
+from gofias_spark.index.build import build_segment
+from gofias_spark.query.engine import SearchEngine
+
+CFG = IndexConfig(n_buckets=4, block_size=32)
+Q = "const type"
+QT = {"const", "type"}
+
+
+def _toks(s: str) -> set[str]:
+    return set(re.findall(r"[a-z0-9_]+", s.lower()))
+
+
+def _expect(pdf: pd.DataFrame, match, field: str, k: int) -> pd.DataFrame:
+    m = pdf[pdf["content"].map(match)]
+    e = m[m[field].notna()].groupby(field).size().reset_index(name="cnt")
+    e = (
+        e.sort_values(["cnt", field], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+        .astype({"cnt": "int64"})
+    )
+    return e
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("facetidx"))
+    docs = synth_corpus(spark, 400)
+    build_segment(spark, docs, root, CFG)
+    pdf = docs.toPandas()
+    pdf["doclen"] = pdf["content"].map(
+        lambda s: len(re.findall(r"[a-z0-9_]+", s.lower()))
+    )
+    return root, pdf
+
+
+def _engines(spark, root):
+    local = SearchEngine(spark, root)
+    local.warm()
+    serve = SearchEngine(spark, root)
+    serve.warm(local_max_blocks=0)
+    dist = SearchEngine(spark, root, serve=False)
+    dist.warm(local_max_blocks=0)
+    return {"local": local, "serve": serve, "distributed": dist}
+
+
+def test_facets_tier_parity(spark, corpus):
+    root, pdf = corpus
+    exp_and = _expect(pdf, lambda s: QT <= _toks(s), "lang", 5)
+    exp_or = _expect(pdf, lambda s: bool(QT & _toks(s)), "lang", 5)
+    assert len(exp_and) > 0
+    for label, eng in _engines(spark, root).items():
+        got = eng.facets("lang", Q, k=5)
+        pd.testing.assert_frame_equal(got, exp_and), label
+        got_or = eng.facets("lang", Q, mode="or", k=5)
+        pd.testing.assert_frame_equal(got_or, exp_or), label
+
+
+def test_facets_filtered(spark, corpus):
+    root, pdf = corpus
+    flt = {"doclen": {"gte": 40}}
+    m = pdf[(pdf["doclen"] >= 40)]
+    exp = _expect(m, lambda s: QT <= _toks(s), "lang", 5)
+    for label, eng in _engines(spark, root).items():
+        got = eng.facets("lang", Q, filters=flt, k=5)
+        pd.testing.assert_frame_equal(got, exp), label
+
+
+def test_facets_no_query(spark, corpus):
+    root, pdf = corpus
+    exp = _expect(pdf, lambda s: True, "lang", 3)
+    eng = SearchEngine(spark, root)
+    eng.warm()
+    got = eng.facets("lang", k=3)
+    pd.testing.assert_frame_equal(got, exp)
+    # filtered, no query
+    m = pdf[pdf["doclen"] >= 40]
+    exp_f = _expect(m, lambda s: True, "lang", 3)
+    got_f = eng.facets("lang", filters={"doclen": {"gte": 40}}, k=3)
+    pd.testing.assert_frame_equal(got_f, exp_f)
+
+
+def test_facets_empty_and_errors(spark, corpus):
+    root, _ = corpus
+    eng = SearchEngine(spark, root)
+    eng.warm()
+    assert len(eng.facets("lang", "zzznotaterm const")) == 0
+    assert len(eng.facets("lang", Q, filters={"lang": []})) == 0
+    with pytest.raises(ValueError):
+        eng.facets("doc_id", Q)
+    with pytest.raises(ValueError):
+        eng.facets("nope_field", Q)
+
+
+def test_facets_respects_tombstones(spark, corpus):
+    """Deleted docs must drop out of facet counts on every tier."""
+    from gofias_spark.index.merge import apply_delta
+
+    root, pdf = corpus
+    import shutil
+    import tempfile
+
+    snap = tempfile.mkdtemp(prefix="facetdel_")
+    shutil.rmtree(snap)
+    shutil.copytree(root, snap)
+    base = SearchEngine(spark, snap)
+    base.warm()
+    top = base.facets("lang", Q, k=1)
+    victim_lang = top.iloc[0]["lang"]
+    # delete every matching doc of the top lang
+    m = pdf[
+        pdf["content"].map(lambda s: QT <= _toks(s))
+        & (pdf["lang"] == victim_lang)
+    ]
+    deletes = spark.createDataFrame(
+        m[["repo", "path"]], "repo string, path string"
+    )
+    apply_delta(spark, snap, upserts=None, deletes=deletes, cfg=CFG)
+    exp = _expect(
+        pdf[pdf["lang"] != victim_lang],
+        lambda s: QT <= _toks(s),
+        "lang",
+        5,
+    )
+    for label, eng in _engines(spark, snap).items():
+        got = eng.facets("lang", Q, k=5)
+        pd.testing.assert_frame_equal(got, exp), label
+        assert victim_lang not in got["lang"].tolist()

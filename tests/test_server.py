@@ -272,3 +272,26 @@ def test_match_wildcard_route(gateway):
     assert _get_status(
         base, "/api/v1/address/term?term=x*&match=wildcard&sort=lang:asc"
     ) == 400
+
+
+def test_facets_route(gateway):
+    api, base = gateway
+    status, res = _get(base, "/api/v1/facets?field=lang&term=common_util&size=3")
+    assert status == 200
+    direct = api.facets("lang", "common_util", size=3)
+    assert [(b["lang"], b["cnt"]) for b in res["buckets"]] == list(
+        map(tuple, direct.values.tolist())
+    )
+    # no term: corpus-wide buckets
+    status, res = _get(base, "/api/v1/facets?field=lang&size=2")
+    assert status == 200 and len(res["buckets"]) == 2
+    # errors surface as 400, not 500
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(base, "/api/v1/facets?term=common_util")
+    assert exc.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(base, "/api/v1/facets?field=nope&term=common_util")
+    assert exc.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(base, "/api/v1/facets?field=lang&term=x&match=not")
+    assert exc.value.code == 400
