@@ -121,6 +121,17 @@ def _q_ft_top1(spark, sf):
     return _ft(_engine(spark, sf).search("merge batch", k=1))
 
 
+def _q_ft_must_not(spark, sf):
+    """ES bool.must_not analogue: AND match on the positive terms, pure
+    exclusion of every doc containing the negated term (no score
+    contribution; survivors keep identical BM25 scores). The negated
+    postings ride the same term-pruned fetch as the positives on every
+    tier (engine F5 bool composition completed)."""
+    return _ft(
+        _engine(spark, sf).search("spark join", k=10, must_not="scan")
+    )
+
+
 def _q_ft_filter_range(spark, sf):
     """F4 range predicates: doclen in [120, 400] composed with scored match
     (reference compiles Level.Min/Max into `range`,
@@ -694,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_or_top10": _q_ft_or,
         "ft_and_filter_lang": _q_ft_filter,
         "ft_top1": _q_ft_top1,
+        "ft_must_not": _q_ft_must_not,
         "ft_filter_range": _q_ft_filter_range,
         "ft_sort_attr": _q_ft_sort_attr,
         "ft_filter_sort": _q_ft_filter_sort,
@@ -766,6 +778,7 @@ def _bm25_sql(
     phrase: list[str] | None = None,
     fuzzy: str | None = None,
     wildcard: str | None = None,
+    must_not: list[str] | None = None,
 ) -> str:
     if fuzzy is not None:
         # term set = the distance-<=1 vocabulary neighborhood, OR-scored
@@ -797,6 +810,12 @@ def _bm25_sql(
         if dl_range
         else ""
     )
+    if must_not:
+        neg = ", ".join(f"'{t}'" for t in must_not)
+        range_filt += (
+            " AND tf.doc_id NOT IN "
+            f"(SELECT DISTINCT doc_id FROM tok WHERE term IN ({neg}))"
+        )
     and_clause = (
         f"WHERE matched = {len(set(terms))}" if mode == "and" else ""
     )
@@ -922,6 +941,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ft_and_filter_lang": _bm25_sql(["table", "scan"], 10, lang="en"),
         "ft_top1": _bm25_sql(["merge", "batch"], 1),
+        "ft_must_not": _bm25_sql(["spark", "join"], 10, must_not=["scan"]),
         "ft_filter_range": _bm25_sql(
             ["table", "scan"], 10, dl_range=(120, 400)
         ),

@@ -52,16 +52,19 @@ class FulltextAPI:
         filters: dict | None = None,
         sort_by: list[tuple[str, str]] | None = None,
         as_pandas: bool = False,
+        must_not: str | None = None,
     ):
         """GetAddressByTerm analogue: AND match + filters + paging
         (default size 100, fias.proto:126-128). ``sort_by`` mirrors the
         reference's attribute-first result orders (O1,
-        elasticAddressRepository.go:489-493). ``as_pandas`` is the
-        serving fast path (no Spark materialization; see
-        SearchEngine.search)."""
+        elasticAddressRepository.go:489-493). ``must_not`` is the ES
+        bool.must_not analogue (completes the bool surface the reference
+        composes via must+filter, F5): docs containing ANY of its analyzed
+        terms are excluded. ``as_pandas`` is the serving fast path (no
+        Spark materialization; see SearchEngine.search)."""
         return self.engine.search(
             term, k=size, offset=from_, mode="and", filters=filters,
-            sort_by=sort_by, as_pandas=as_pandas,
+            sort_by=sort_by, as_pandas=as_pandas, must_not=must_not,
         )
 
     def search_phrase(

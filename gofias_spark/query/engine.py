@@ -738,6 +738,21 @@ class SearchEngine:
         found = {r["term"]: int(r["df"]) for r in rows}
         return {t: found.get(t, 0) for t in qterms}
 
+    def _neg_terms(self, must_not: str | None, dfs: dict[str, int]) -> list[str]:
+        """Analyze a bool.must_not clause into the effective negated term
+        list: distinct analyzed terms with df > 0 (an unindexed term
+        excludes nothing). Folds the negated dfs into ``dfs`` IN PLACE so
+        tier routing budgets the full posting volume the query will scan —
+        negated postings ride the same term-pruned fetch as positives."""
+        if not must_not:
+            return []
+        nts = list(dict.fromkeys(analyze_query(must_not, self.analyzer)))
+        ndfs = self._term_dfs(nts)
+        neg = [t for t in nts if ndfs[t] > 0]
+        for t in neg:
+            dfs.setdefault(t, ndfs[t])
+        return neg
+
     # -- queries --------------------------------------------------------------
     def search(
         self,
@@ -749,10 +764,19 @@ class SearchEngine:
         with_meta: bool = True,
         sort_by: list[tuple[str, str]] | None = None,
         as_pandas: bool = False,
+        must_not: str | None = None,
     ):
         """BM25 top-k. ``mode='and'`` = reference match operator=and semantics;
         ``offset`` mirrors from/size paging (O4, default size 100 in
         fias.proto:126-128).
+
+        ``must_not`` = ES bool.must_not analogue (the reference composes
+        bool must+filter, engine F5; must_not completes the bool surface):
+        docs containing ANY of its analyzed terms are excluded, with no
+        score contribution. The negated postings ride the same term-pruned
+        scan as the positive terms on every tier — exclusion adds no job,
+        only the negated terms' posting volume (which also counts toward
+        the serve-tier budget).
 
         ``as_pandas=True`` returns the result as a pandas frame, skipping
         the Spark materialization round trip — every query path already
@@ -783,22 +807,27 @@ class SearchEngine:
             if not qterms:
                 return self._empty_result(with_meta, sort_by=sort_by,
                                           as_pdf=as_pandas)
+        neg_terms = self._neg_terms(must_not, dfs)
+        if mode == "and" and not set(qterms).isdisjoint(neg_terms):
+            # a term both required and negated can never match
+            return self._empty_result(with_meta, sort_by=sort_by,
+                                      as_pdf=as_pandas)
         idf = {t: self._idf(dfs[t]) for t in qterms}
         topn = offset + k
         if sort_by:
             return self._search_sorted(
                 qterms, idf, dfs, k, offset, mode, filters, sort_by,
-                with_meta, as_pandas,
+                with_meta, as_pandas, neg_terms,
             )
         if self._local_blocks is not None:
             return self._local_search(
                 qterms, idf, topn, offset, k, mode, filters, with_meta,
-                as_pandas,
+                as_pandas, neg_terms,
             )
         if self._serve_route(dfs, filters):
             return self._serve_search(
                 qterms, idf, topn, offset, k, mode, with_meta, filters,
-                as_pandas,
+                as_pandas, neg_terms,
             )
         params = dict(
             qterms=qterms,
@@ -808,9 +837,11 @@ class SearchEngine:
             b=self.bm25.b,
             topn=topn,
         )
-        blocks = self.postings.filter(F.col("term").isin(qterms))
+        blocks = self.postings.filter(
+            F.col("term").isin(qterms + neg_terms)
+        )
         fn = K.score_and if mode == "and" else K.score_or
-        scored = self._scored_frame(blocks, fn, params, filters)
+        scored = self._scored_frame(blocks, fn, params, filters, neg_terms)
         # orderBy + limit(topn) plans as TakeOrderedAndProject (per-partition
         # heap + driver merge, NO global sort exchange); the offset slice then
         # runs on the tiny collapsed result. orderBy().offset().limit()
@@ -1293,7 +1324,7 @@ class SearchEngine:
 
     def _serve_search(
         self, qterms, idf, topn, offset, k, mode, with_meta, filters=None,
-        as_pdf=False,
+        as_pdf=False, neg_terms: list[str] | None = None,
     ):
         """Term-pruned path: partition-pruned scan of the serve cache (tasks
         ∝ query terms), kernels run driver-side on the collected blocks —
@@ -1305,18 +1336,24 @@ class SearchEngine:
         against the meta sidecar in score order with a probe-then-full
         backfill: one small meta read (8×topn highest-scored candidates)
         satisfies any non-selective filter; only selective filters pay the
-        second, full-candidate read — bounded by ``serve_filtered_max``."""
-        blocks = self._serve.fetch(qterms)
+        second, full-candidate read — bounded by ``serve_filtered_max``.
+
+        ``neg_terms`` postings are fetched in the same partition-pruned read
+        as the positives (their dfs already counted toward the serve budget
+        by ``_neg_terms``), then split into the excluded set driver-side."""
+        neg = list(neg_terms or [])
+        blocks = self._serve.fetch(list(dict.fromkeys(qterms + neg)))
+        blocks, excluded = K.apply_neg(blocks, neg, self._tomb_arr)
         fn = K.score_and if mode == "and" else K.score_or
         if not filters:
             r = fn(
                 blocks, qterms, idf, self.avgdl, self.bm25.k1, self.bm25.b,
-                topn, excluded=self._tomb_arr,
+                topn, excluded=excluded,
             ).iloc[offset : offset + k]
             return self._attach_meta(r, with_meta, as_pdf)
         cand = fn(
             blocks, qterms, idf, self.avgdl, self.bm25.k1, self.bm25.b,
-            None, excluded=self._tomb_arr,
+            None, excluded=excluded,
         )
         r = self._filter_candidates(cand, filters, topn)
         return self._attach_meta(r.iloc[offset : offset + k], with_meta, as_pdf)
@@ -1422,7 +1459,7 @@ class SearchEngine:
 
     def _search_sorted(
         self, qterms, idf, dfs, k, offset, mode, filters, sort_by, with_meta,
-        as_pdf=False,
+        as_pdf=False, neg_terms: list[str] | None = None,
     ):
         """Composite-key top-k (O1/O2/O3): attribute keys can dominate the
         score, so relevance pruning is off (topn=None scores ALL matches);
@@ -1438,9 +1475,13 @@ class SearchEngine:
             k1=self.bm25.k1, b=self.bm25.b, topn=None,
         )
         fn = K.score_and if mode == "and" else K.score_or
+        neg = list(neg_terms or [])
         if self._local_blocks is not None:
-            blocks = self._local_blocks[self._local_blocks["term"].isin(qterms)]
+            blocks = self._local_blocks[
+                self._local_blocks["term"].isin(qterms + neg)
+            ]
             allowed, excluded = self._local_masks(filters)
+            blocks, excluded = K.apply_neg(blocks, neg, excluded)
             r = fn(blocks, allowed=allowed, excluded=excluded, **params)
             if len(r):
                 meta = self._local_meta.reset_index(drop=True)
@@ -1453,9 +1494,9 @@ class SearchEngine:
             )
 
         if self._serve_sorted_route(dfs, filters, attrs):
-            r = fn(
-                self._serve.fetch(qterms), excluded=self._tomb_arr, **params
-            )
+            blocks = self._serve.fetch(list(dict.fromkeys(qterms + neg)))
+            blocks, excluded = K.apply_neg(blocks, neg, self._tomb_arr)
+            r = fn(blocks, excluded=excluded, **params)
             if len(r):
                 need = sorted(set(attrs) | self._filter_fields(filters))
                 meta = self._serve.fetch_meta(
@@ -1499,7 +1540,8 @@ class SearchEngine:
                 return empty
             rp = right_pdf.sort_values("doc_id")
             allowed = rp["doc_id"].to_numpy(dtype=np.int64)
-            r = fn(left, allowed=allowed, **params)
+            left, excl = K.apply_neg(left, neg)
+            r = fn(left, allowed=allowed, excluded=excl, **params)
             if len(r) == 0:
                 return empty
             pos = np.searchsorted(allowed, r["doc_id"].to_numpy())
@@ -1511,7 +1553,7 @@ class SearchEngine:
             return r[["doc_id", "score"] + attrs]
 
         scored = (
-            self.postings.filter(F.col("term").isin(qterms))
+            self.postings.filter(F.col("term").isin(qterms + neg))
             .groupby("doc_part")
             .cogroup(right.groupby("doc_part"))
             .applyInPandas(cokernel, schema=out_schema)
@@ -1572,7 +1614,8 @@ class SearchEngine:
             out[[f.name for f in schema.fields]], schema
         )
 
-    def _scored_frame(self, blocks, fn, params: dict, filters: dict | None):
+    def _scored_frame(self, blocks, fn, params: dict, filters: dict | None,
+                      neg_terms: list[str] | None = None):
         """Distributed scoring plan for one query.
 
         Fast path (no attribute filters; tombstones absent or broadcast):
@@ -1583,7 +1626,13 @@ class SearchEngine:
         ~300ms/query measured at 2M docs), the map path costs 32.
 
         Filter path: cogroup blocks with the allowed/excluded doc_id side by
-        doc_part — co-partitioned with the cache, so still no shuffle."""
+        doc_part — co-partitioned with the cache, so still no shuffle.
+
+        ``neg_terms`` (bool.must_not): ``blocks`` must already include the
+        negated terms' postings; each kernel call splits them out into its
+        partition-local excluded set (complete, because a doc's postings for
+        every term share its doc_part)."""
+        neg = list(neg_terms or [])
         right, right_kind = self._right_side(filters)
         if right is None or (right_kind == "excluded" and self._tomb_bc is not None):
             tomb_bc = self._tomb_bc if right is not None else None
@@ -1594,6 +1643,7 @@ class SearchEngine:
                     return
                 pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
                 excluded = tomb_bc.value if tomb_bc is not None else None
+                pdf, excluded = K.apply_neg(pdf, neg, excluded)
                 yield fn(pdf, excluded=excluded, **params)
 
             return blocks.mapInPandas(map_kernel, schema=RESULT_SCHEMA)
@@ -1609,6 +1659,7 @@ class SearchEngine:
                 allowed = ids
             elif right_kind == "excluded":
                 excluded = ids
+            left, excluded = K.apply_neg(left, neg, excluded)
             return fn(left, allowed=allowed, excluded=excluded, **params)
 
         return (
@@ -1633,10 +1684,14 @@ class SearchEngine:
 
     def _local_search(
         self, qterms, idf, topn, offset, k, mode, filters, with_meta,
-        as_pdf=False,
+        as_pdf=False, neg_terms: list[str] | None = None,
     ):
-        blocks = self._local_blocks[self._local_blocks["term"].isin(qterms)]
+        neg = list(neg_terms or [])
+        blocks = self._local_blocks[
+            self._local_blocks["term"].isin(qterms + neg)
+        ]
         allowed, excluded = self._local_masks(filters)
+        blocks, excluded = K.apply_neg(blocks, neg, excluded)
         fn = K.score_and if mode == "and" else K.score_or
         r = fn(
             blocks, qterms, idf, self.avgdl, self.bm25.k1, self.bm25.b, topn,

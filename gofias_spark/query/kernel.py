@@ -274,6 +274,33 @@ def match_ids(
     return cand
 
 
+def apply_neg(
+    blocks: pd.DataFrame,
+    neg_terms: list[str],
+    excluded: np.ndarray | None = None,
+):
+    """Split bool-must_not terms out of a blocks frame: returns the
+    positive-term blocks plus the excluded doc_id set grown by every doc
+    containing a negated term (ES bool.must_not semantics — pure
+    exclusion, no score contribution). Works per-partition: postings for
+    the negated terms ride the SAME scan/fetch as the positive terms, so
+    exclusion costs no extra job on any tier."""
+    if not neg_terms:
+        return blocks, excluded
+    isneg = blocks["term"].isin(neg_terms)
+    if not isneg.any():
+        return blocks, excluded
+    neg = blocks[isneg]
+    ids = np.unique(
+        np.concatenate(
+            [_decode_term(g)[0] for _, g in neg.groupby("term", sort=False)]
+        )
+    )
+    if excluded is not None:
+        ids = np.union1d(excluded, ids)
+    return blocks[~isneg], ids
+
+
 def count_and(
     blocks: pd.DataFrame,
     qterms: list[str],

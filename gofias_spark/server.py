@@ -28,6 +28,9 @@ into ES `range` queries per filtered route, addressHandler.go:140-165):
     match=and|phrase|fuzzy|wildcard     match mode on /address/term
                                         (default and; the others are
                                         extensions beyond the reference)
+    exclude=..                          bool.must_not analogue (match=and
+                                        only): drop docs containing ANY
+                                        analyzed term of this string
     sort=field[:asc|desc],...           attribute-first composite sort (O1);
                                         `_score` names the BM25 score
 
@@ -191,6 +194,16 @@ def make_handler(api: FulltextAPI):
                     size, from_ = _page(q, default_size=100)
                     match = q.get("match", ["and"])[0]
                     sort_by = _sort_from_query(q)
+                    exclude = q.get("exclude", [None])[0]
+                    if exclude is not None:
+                        if len(exclude) > MAX_TERM_LEN:
+                            raise BadRequest(
+                                f"exclude longer than {MAX_TERM_LEN} chars"
+                            )
+                        if match != "and":
+                            raise BadRequest(
+                                "exclude= supports match=and only"
+                            )
                     # serving fast path: pandas straight to JSON — no
                     # Spark materialization round trip per request
                     if match == "phrase":
@@ -232,6 +245,7 @@ def make_handler(api: FulltextAPI):
                             filters=_filters_from_query(q),
                             sort_by=sort_by,
                             as_pandas=True,
+                            must_not=exclude,
                         )
                     else:
                         raise BadRequest(

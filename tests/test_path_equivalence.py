@@ -108,6 +108,79 @@ def test_three_paths_agree_sorted_randomized(trio):
         assert a == b == c, (trial, q, kw)
 
 
+def test_three_paths_agree_must_not_randomized(trio):
+    local, served, dist = trio
+    rng = random.Random(41)
+    for trial in range(25):
+        q = " ".join(
+            rng.choice(WORDS) for _ in range(rng.randint(1, 2))
+        )
+        mn = " ".join(
+            rng.choice(WORDS + ["unindexed_zzz"])
+            for _ in range(rng.randint(1, 2))
+        )
+        mode = rng.choice(["and", "or"])
+        f = rng.choice([None, {"lang": "py"}, {"doclen": {"gte": 5}}])
+        kw = dict(k=10, mode=mode, filters=f, must_not=mn)
+        a = _key(local.search(q, **kw))
+        b = _key(served.search(q, **kw))
+        c = _key(dist.search(q, **kw))
+        assert a == b == c, (trial, q, kw)
+
+
+def test_three_paths_agree_must_not_sorted(trio):
+    local, served, dist = trio
+    kw = dict(
+        k=5, mode="or", must_not="beta",
+        sort_by=[("lang", "asc"), ("_score", "desc")],
+    )
+    a = _sorted_key(
+        local.search("common_util alpha", **kw).select("doc_id", "lang", "score")
+    )
+    b = _sorted_key(
+        served.search("common_util alpha", **kw).select("doc_id", "lang", "score")
+    )
+    c = _sorted_key(
+        dist.search("common_util alpha", **kw).select("doc_id", "lang", "score")
+    )
+    assert a == b == c
+    assert len(a) > 0
+
+
+def test_must_not_semantics(trio):
+    """must_not = pure exclusion: survivors keep IDENTICAL scores, the
+    removed ids are exactly the docs matching any negated term, an
+    unindexed negated term excludes nothing, and a term both required
+    (mode=and) and negated yields empty."""
+    local, *_ = trio
+    base = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in local.search("alpha", mode="or", k=400).collect()
+    }
+    neg_ids = {
+        r["doc_id"] for r in local.search("beta", mode="or", k=400).collect()
+    }
+    got = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in local.search(
+            "alpha", mode="or", k=400, must_not="beta"
+        ).collect()
+    }
+    assert set(got) == set(base) - neg_ids
+    assert all(got[i] == base[i] for i in got)
+    noop = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in local.search(
+            "alpha", mode="or", k=400, must_not="unindexed_zzz"
+        ).collect()
+    }
+    assert noop == base
+    assert (
+        local.search("alpha beta", mode="and", k=10, must_not="beta").count()
+        == 0
+    )
+
+
 def test_counts_agree_randomized(trio):
     local, served, dist = trio
     rng = random.Random(3)

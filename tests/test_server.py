@@ -129,6 +129,40 @@ def test_range_and_sort_params(gateway):
     assert all(x >= 100 for x in lens)
 
 
+def test_exclude_param(gateway):
+    """bool.must_not over the wire: exclude= reaches the engine and agrees
+    with the direct API; non-and matches reject it with 400."""
+    api, base = gateway
+    # an identifier that co-occurs with common_util in SOME docs: pick the
+    # highest-df term among the top page's contents via the facet endpoint
+    status, res = _get(
+        base,
+        "/api/v1/address/term?term=common_util&size=10&exclude=elastic",
+    )
+    assert status == 200
+    direct = api.search_by_term(
+        "common_util", size=10, must_not="elastic"
+    ).collect()
+    assert [i["doc_id"] for i in res["items"]] == [
+        r["doc_id"] for r in direct
+    ]
+    # excluding the query term itself empties the page (AND semantics)
+    status, res = _get(
+        base,
+        "/api/v1/address/term?term=common_util&size=5&exclude=common_util",
+    )
+    assert status == 200 and res["items"] == []
+    try:
+        status, res = _get(
+            base,
+            "/api/v1/address/term?term=common_util&match=phrase"
+            "&exclude=common_util",
+        )
+        assert status == 400
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
 def _get_status(base, path):
     try:
         with urllib.request.urlopen(base + path, timeout=60) as r:
