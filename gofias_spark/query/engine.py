@@ -2270,7 +2270,8 @@ class SearchEngine:
         return empty
 
     def explain_query(
-        self, query: str, filters: dict | None = None, mode: str = "and"
+        self, query: str, filters: dict | None = None, mode: str = "and",
+        must_not: str | None = None,
     ) -> dict:
         """Routing introspection (no execution): which tier would serve
         this query and why. An ops surface for the three-tier split —
@@ -2278,10 +2279,14 @@ class SearchEngine:
         driver-side read of the term-bucketed cache), ``distributed``
         (co-partitioned cogroup over the postings cache), or ``empty``
         (analyzer produced no effective terms / AND-term missing /
-        impossible filter). Mirrors ``search``'s dispatch exactly — the
-        returned ``route`` is the branch search() would take."""
+        impossible filter / required term also negated). Mirrors
+        ``search``'s dispatch exactly — the returned ``route`` is the
+        branch search() would take, including the negated terms' posting
+        volume that must_not adds to the routing budget."""
         self._validate_filters(filters)
         out: dict = {"query": query, "mode": mode, "filters": filters}
+        if must_not:
+            out["must_not"] = must_not
         if filters_impossible(filters):
             out.update(route="empty", reason="impossible filter")
             return out
@@ -2301,7 +2306,13 @@ class SearchEngine:
             if not eff:
                 out.update(route="empty", reason="no indexed terms")
                 return out
-        out["posting_volume"] = sum(dfs[t] for t in eff)
+        neg_terms = self._neg_terms(must_not, dfs)
+        if neg_terms:
+            out["neg_terms"] = {t: dfs[t] for t in neg_terms}
+            if mode == "and" and not set(eff).isdisjoint(neg_terms):
+                out.update(route="empty", reason="required term also negated")
+                return out
+        out["posting_volume"] = sum(dfs[t] for t in set(eff) | set(neg_terms))
         if self._local_blocks is not None:
             out["route"] = "local"
         elif self._serve_route(dfs, filters):

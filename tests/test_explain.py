@@ -72,6 +72,25 @@ def test_empty_routes(spark, root):
     assert or_ex["posting_volume"] == or_ex["terms"]["func"]
 
 
+def test_must_not_in_explain(spark, root):
+    eng = SearchEngine(spark, root)
+    eng.warm()
+    ex = eng.explain_query("func", must_not="return")
+    assert ex["route"] == "local"
+    assert ex["neg_terms"]["return"] > 0
+    # negated postings count toward the routed volume (they ride the scan)
+    assert ex["posting_volume"] == (
+        ex["terms"]["func"] + ex["neg_terms"]["return"]
+    )
+    assert eng.explain_query("func", must_not="func")["reason"] == (
+        "required term also negated"
+    )
+    # an unindexed negated term adds nothing
+    noneg = eng.explain_query("func", must_not="zzzznotaterm")
+    assert "neg_terms" not in noneg
+    assert noneg["posting_volume"] == noneg["terms"]["func"]
+
+
 def test_route_matches_actual_dispatch(spark, root):
     """The explain is honest: take the route it names and confirm search()
     used that machinery (serve tier -> zero Spark jobs)."""

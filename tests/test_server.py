@@ -133,19 +133,24 @@ def test_exclude_param(gateway):
     """bool.must_not over the wire: exclude= reaches the engine and agrees
     with the direct API; non-and matches reject it with 400."""
     api, base = gateway
-    # an identifier that co-occurs with common_util in SOME docs: pick the
-    # highest-df term among the top page's contents via the facet endpoint
     status, res = _get(
         base,
-        "/api/v1/address/term?term=common_util&size=10&exclude=elastic",
+        "/api/v1/address/term?term=common_util&size=10&exclude=return",
     )
     assert status == 200
     direct = api.search_by_term(
-        "common_util", size=10, must_not="elastic"
+        "common_util", size=10, must_not="return"
     ).collect()
     assert [i["doc_id"] for i in res["items"]] == [
         r["doc_id"] for r in direct
     ]
+    # the exclusion bit: the page differs from the unexcluded one
+    status, plain = _get(
+        base, "/api/v1/address/term?term=common_util&size=10"
+    )
+    assert {i["doc_id"] for i in res["items"]} != {
+        i["doc_id"] for i in plain["items"]
+    }
     # excluding the query term itself empties the page (AND semantics)
     status, res = _get(
         base,
