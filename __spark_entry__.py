@@ -132,6 +132,19 @@ def _q_ft_must_not(spark, sf):
     )
 
 
+def _q_ft_search_after(spark, sf):
+    """ES search_after analogue (cursor paging): page 2 fetched via the
+    (score, doc_id) cursor of page 1's last hit must equal OFFSET-k paging
+    — but costs O(k) at any depth instead of a top-(offset+k) heap, which
+    is the export path past the from/size window cap (O4 extension)."""
+    eng = _engine(spark, sf)
+    p1 = eng.search("spark join", k=10, as_pandas=True)
+    if len(p1) == 0:  # tiny sf: no page 1 -> page 2 is empty too
+        return _ft(eng.search("spark join", k=10))
+    cursor = (float(p1["score"].iloc[-1]), int(p1["doc_id"].iloc[-1]))
+    return _ft(eng.search("spark join", k=10, after=cursor))
+
+
 def _q_ft_filter_range(spark, sf):
     """F4 range predicates: doclen in [120, 400] composed with scored match
     (reference compiles Level.Min/Max into `range`,
@@ -706,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_and_filter_lang": _q_ft_filter,
         "ft_top1": _q_ft_top1,
         "ft_must_not": _q_ft_must_not,
+        "ft_search_after": _q_ft_search_after,
         "ft_filter_range": _q_ft_filter_range,
         "ft_sort_attr": _q_ft_sort_attr,
         "ft_filter_sort": _q_ft_filter_sort,
@@ -942,6 +956,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_and_filter_lang": _bm25_sql(["table", "scan"], 10, lang="en"),
         "ft_top1": _bm25_sql(["merge", "batch"], 1),
         "ft_must_not": _bm25_sql(["spark", "join"], 10, must_not=["scan"]),
+        "ft_search_after": _bm25_sql(["spark", "join"], 10, offset=10),
         "ft_filter_range": _bm25_sql(
             ["table", "scan"], 10, dl_range=(120, 400)
         ),

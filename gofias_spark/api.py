@@ -53,6 +53,7 @@ class FulltextAPI:
         sort_by: list[tuple[str, str]] | None = None,
         as_pandas: bool = False,
         must_not: str | None = None,
+        after: tuple[float, int] | None = None,
     ):
         """GetAddressByTerm analogue: AND match + filters + paging
         (default size 100, fias.proto:126-128). ``sort_by`` mirrors the
@@ -60,11 +61,14 @@ class FulltextAPI:
         elasticAddressRepository.go:489-493). ``must_not`` is the ES
         bool.must_not analogue (completes the bool surface the reference
         composes via must+filter, F5): docs containing ANY of its analyzed
-        terms are excluded. ``as_pandas`` is the serving fast path (no
+        terms are excluded. ``after`` is the ES search_after analogue —
+        a (score, doc_id) cursor for depth-independent paging past the
+        from/size window cap. ``as_pandas`` is the serving fast path (no
         Spark materialization; see SearchEngine.search)."""
         return self.engine.search(
             term, k=size, offset=from_, mode="and", filters=filters,
             sort_by=sort_by, as_pandas=as_pandas, must_not=must_not,
+            after=after,
         )
 
     def search_phrase(

@@ -765,10 +765,22 @@ class SearchEngine:
         sort_by: list[tuple[str, str]] | None = None,
         as_pandas: bool = False,
         must_not: str | None = None,
+        after: tuple[float, int] | None = None,
     ):
         """BM25 top-k. ``mode='and'`` = reference match operator=and semantics;
         ``offset`` mirrors from/size paging (O4, default size 100 in
         fias.proto:126-128).
+
+        ``after`` = ES search_after analogue: a ``(score, doc_id)`` cursor
+        (the last hit of the previous page, exactly as returned) and the
+        next ``k`` results strictly after it in (score desc, doc_id asc)
+        order come back. Unlike ``offset`` — whose top-(offset+k) heap and
+        result transfer grow linearly with depth, which is why the gateway
+        caps from at 10k (ES index.max_result_window) — cursor pages cost
+        O(k) at ANY depth, so a full result-set export is a linear walk.
+        The price: exact scoring of every match (block-max pruning keeps
+        only the global top-n; a deep page lives below that theta).
+        Incompatible with ``offset`` and ``sort_by``.
 
         ``must_not`` = ES bool.must_not analogue (the reference composes
         bool must+filter, engine F5; must_not completes the bool surface):
@@ -812,6 +824,13 @@ class SearchEngine:
             # a term both required and negated can never match
             return self._empty_result(with_meta, sort_by=sort_by,
                                       as_pdf=as_pandas)
+        if after is not None:
+            if sort_by:
+                raise ValueError("after (cursor paging) with sort_by is "
+                                 "not supported; the cursor is (score, "
+                                 "doc_id) order")
+            if offset:
+                raise ValueError("use after OR offset, not both")
         idf = {t: self._idf(dfs[t]) for t in qterms}
         topn = offset + k
         if sort_by:
@@ -822,12 +841,12 @@ class SearchEngine:
         if self._local_blocks is not None:
             return self._local_search(
                 qterms, idf, topn, offset, k, mode, filters, with_meta,
-                as_pandas, neg_terms,
+                as_pandas, neg_terms, after,
             )
         if self._serve_route(dfs, filters):
             return self._serve_search(
                 qterms, idf, topn, offset, k, mode, with_meta, filters,
-                as_pandas, neg_terms,
+                as_pandas, neg_terms, after,
             )
         params = dict(
             qterms=qterms,
@@ -841,6 +860,10 @@ class SearchEngine:
             F.col("term").isin(qterms + neg_terms)
         )
         fn = K.score_and if mode == "and" else K.score_or
+        if after is not None:
+            # per-partition: exact scoring, cursor filter, head(topn) —
+            # the global TakeOrderedAndProject merge below is unchanged
+            fn = K.paged(fn, after)
         scored = self._scored_frame(blocks, fn, params, filters, neg_terms)
         # orderBy + limit(topn) plans as TakeOrderedAndProject (per-partition
         # heap + driver merge, NO global sort exchange); the offset slice then
@@ -1325,6 +1348,7 @@ class SearchEngine:
     def _serve_search(
         self, qterms, idf, topn, offset, k, mode, with_meta, filters=None,
         as_pdf=False, neg_terms: list[str] | None = None,
+        after: tuple[float, int] | None = None,
     ):
         """Term-pruned path: partition-pruned scan of the serve cache (tasks
         ∝ query terms), kernels run driver-side on the collected blocks —
@@ -1345,6 +1369,8 @@ class SearchEngine:
         blocks = self._serve.fetch(list(dict.fromkeys(qterms + neg)))
         blocks, excluded = K.apply_neg(blocks, neg, self._tomb_arr)
         fn = K.score_and if mode == "and" else K.score_or
+        if after is not None:
+            fn = K.paged(fn, after)
         if not filters:
             r = fn(
                 blocks, qterms, idf, self.avgdl, self.bm25.k1, self.bm25.b,
@@ -1685,6 +1711,7 @@ class SearchEngine:
     def _local_search(
         self, qterms, idf, topn, offset, k, mode, filters, with_meta,
         as_pdf=False, neg_terms: list[str] | None = None,
+        after: tuple[float, int] | None = None,
     ):
         neg = list(neg_terms or [])
         blocks = self._local_blocks[
@@ -1693,6 +1720,8 @@ class SearchEngine:
         allowed, excluded = self._local_masks(filters)
         blocks, excluded = K.apply_neg(blocks, neg, excluded)
         fn = K.score_and if mode == "and" else K.score_or
+        if after is not None:
+            fn = K.paged(fn, after)
         r = fn(
             blocks, qterms, idf, self.avgdl, self.bm25.k1, self.bm25.b, topn,
             allowed=allowed, excluded=excluded,

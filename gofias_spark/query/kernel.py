@@ -301,6 +301,41 @@ def apply_neg(
     return blocks[~isneg], ids
 
 
+def after_filter(
+    pdf: pd.DataFrame, after: tuple[float, int], topn: int | None
+) -> pd.DataFrame:
+    """Cursor page: the rows strictly AFTER ``after=(score, doc_id)`` in
+    the result order (score desc, doc_id asc), re-sorted, head(topn).
+    ES search_after analogue — the cursor must be a pair previously
+    returned by the engine (the same float64s), so the equality
+    comparison on score is exact, not approximate."""
+    s, d = float(after[0]), int(after[1])
+    sc = pdf["score"].to_numpy(dtype=np.float64)
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    m = (sc < s) | ((sc == s) & (ids > d))
+    sc, ids = sc[m], ids[m]
+    order = np.lexsort((ids, -sc))
+    if topn is not None:
+        order = order[:topn]
+    return pd.DataFrame({"doc_id": ids[order], "score": sc[order]})
+
+
+def paged(base, after: tuple[float, int]):
+    """Wrap a score kernel for cursor pagination: exact scoring first
+    (topn=None — block-max pruning keeps only the global top-n, but a
+    post-cursor page may live arbitrarily deep below that theta), then
+    the after-filter + head(topn). Signature-compatible with
+    score_and/score_or so every tier can substitute it unchanged."""
+
+    def wrapped(blocks, qterms, idf, avgdl, k1, b, topn,
+                allowed=None, excluded=None):
+        r = base(blocks, qterms, idf, avgdl, k1, b, None,
+                 allowed=allowed, excluded=excluded)
+        return after_filter(r, after, topn)
+
+    return wrapped
+
+
 def count_and(
     blocks: pd.DataFrame,
     qterms: list[str],

@@ -31,6 +31,11 @@ into ES `range` queries per filtered route, addressHandler.go:140-165):
     exclude=..                          bool.must_not analogue (match=and
                                         only): drop docs containing ANY
                                         analyzed term of this string
+    search_after=<score>,<doc_id>       cursor paging (match=and only):
+                                        the last hit of the previous page,
+                                        verbatim; O(size) at any depth —
+                                        the export path past the from cap.
+                                        Incompatible with from>0 and sort=
     sort=field[:asc|desc],...           attribute-first composite sort (O1);
                                         `_score` names the BM25 score
 
@@ -128,6 +133,22 @@ def _sort_from_query(q: dict) -> list[tuple[str, str]] | None:
     return keys or None
 
 
+def _after_from_query(q: dict) -> tuple[float, int] | None:
+    """``search_after=<score>,<doc_id>`` -> cursor tuple (the last hit of
+    the previous page, verbatim — the score must be the exact value the
+    engine returned, like ES's sort-values echo)."""
+    if "search_after" not in q:
+        return None
+    raw = q["search_after"][0]
+    parts = raw.split(",")
+    if len(parts) != 2:
+        raise BadRequest("search_after must be <score>,<doc_id>")
+    try:
+        return float(parts[0]), int(parts[1])
+    except ValueError as exc:
+        raise BadRequest(f"bad search_after cursor: {exc}") from None
+
+
 def _page(q: dict, default_size: int) -> tuple[int, int]:
     try:
         size = int(q.get("size", [str(default_size)])[0])
@@ -204,6 +225,20 @@ def make_handler(api: FulltextAPI):
                             raise BadRequest(
                                 "exclude= supports match=and only"
                             )
+                    after = _after_from_query(q)
+                    if after is not None:
+                        if match != "and":
+                            raise BadRequest(
+                                "search_after= supports match=and only"
+                            )
+                        if from_ > 0:
+                            raise BadRequest(
+                                "search_after= is incompatible with from="
+                            )
+                        if sort_by:
+                            raise BadRequest(
+                                "search_after= is incompatible with sort="
+                            )
                     # serving fast path: pandas straight to JSON — no
                     # Spark materialization round trip per request
                     if match == "phrase":
@@ -246,6 +281,7 @@ def make_handler(api: FulltextAPI):
                             sort_by=sort_by,
                             as_pandas=True,
                             must_not=exclude,
+                            after=after,
                         )
                     else:
                         raise BadRequest(

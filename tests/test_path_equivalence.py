@@ -181,6 +181,55 @@ def test_must_not_semantics(trio):
     )
 
 
+def test_search_after_walks_equal_offset_pages(trio):
+    """Cursor paging (ES search_after analogue): walking pages via the
+    (score, doc_id) cursor of each page's last hit reconstructs offset
+    paging exactly, on all three tiers, for AND and OR modes."""
+    local, served, dist = trio
+    for eng in (local, served, dist):
+        for mode in ("and", "or"):
+            full = _key(eng.search("common_util alpha", k=60, mode=mode))
+            assert len(full) > 10
+            walked, cursor = [], None
+            while True:
+                page = eng.search(
+                    "common_util alpha", k=7, mode=mode, after=cursor,
+                ).collect()
+                if not page:
+                    break
+                walked.extend(
+                    (r["doc_id"], round(r["score"], 9)) for r in page
+                )
+                cursor = (page[-1]["score"], page[-1]["doc_id"])
+                if len(walked) >= len(full):
+                    break
+            assert walked[: len(full)] == full, (type(eng), mode)
+
+
+def test_search_after_composes_with_filters_and_must_not(trio):
+    local, served, dist = trio
+    kw = dict(k=5, mode="or", filters={"doclen": {"gte": 5}},
+              must_not="beta")
+    p1 = local.search("common_util alpha", **kw).collect()
+    assert len(p1) == 5
+    cursor = (p1[-1]["score"], p1[-1]["doc_id"])
+    a = _key(local.search("common_util alpha", after=cursor, **kw))
+    b = _key(served.search("common_util alpha", after=cursor, **kw))
+    c = _key(dist.search("common_util alpha", after=cursor, **kw))
+    offset_page = _key(
+        local.search("common_util alpha", offset=5, **kw)
+    )
+    assert a == b == c == offset_page
+    assert len(a) > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        local.search("alpha", k=3, offset=2, after=cursor)
+    with _pytest.raises(ValueError):
+        local.search("alpha", k=3, after=cursor,
+                     sort_by=[("lang", "asc")])
+
+
 def test_counts_agree_randomized(trio):
     local, served, dist = trio
     rng = random.Random(3)

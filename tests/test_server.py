@@ -168,6 +168,41 @@ def test_exclude_param(gateway):
         assert e.code == 400
 
 
+def test_search_after_param(gateway):
+    """Cursor paging over the wire: the JSON score round-trips exactly
+    (repr/parse of float64), so page 2 via search_after equals from=size
+    paging."""
+    api, base = gateway
+    status, p1 = _get(base, "/api/v1/address/term?term=common_util&size=5")
+    assert status == 200 and len(p1["items"]) == 5
+    last = p1["items"][-1]
+    status, p2 = _get(
+        base,
+        "/api/v1/address/term?term=common_util&size=5"
+        f"&search_after={last['score']!r},{last['doc_id']}",
+    )
+    assert status == 200
+    status, off = _get(
+        base, "/api/v1/address/term?term=common_util&size=5&from=5"
+    )
+    assert [i["doc_id"] for i in p2["items"]] == [
+        i["doc_id"] for i in off["items"]
+    ]
+    for bad in (
+        "&search_after=1.0,2&from=5",
+        "&search_after=1.0,2&sort=lang:asc",
+        "&search_after=notafloat,2",
+        "&search_after=1.0",
+    ):
+        try:
+            status, res = _get(
+                base, "/api/v1/address/term?term=common_util" + bad
+            )
+            assert status == 400, bad
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, bad
+
+
 def _get_status(base, path):
     try:
         with urllib.request.urlopen(base + path, timeout=60) as r:
