@@ -203,10 +203,12 @@ def _run_bench(sf_dir: str, cpus: int, sf: float, run_control) -> None:
         seng = SearchEngine(spark, sroot)
         seng.warm()
         seng.search("warmup", k=1).collect()
+        # corpus-correct mix (the distributed generator ties ident numbers
+        # to their word — see run_scaling.py WORKER / BASELINE.md §3d)
         lat = []
         for _ in range(3):
-            for q in ["index_1 search_2", "common_util", "elastic batch",
-                      "func worker"]:
+            for q in ["query_300 batch_450", "common_util", "search_200",
+                      "func index_0"]:
                 lat.append(_timed(lambda: seng.search(q, k=10).collect()))
         lat.sort()
         sf1["query_p50_secs"] = round(lat[len(lat) // 2], 4)

@@ -72,13 +72,26 @@ for rep in range(reps):
 eng = SearchEngine(spark, last_root)
 eng.warm()
 eng.search("warmup", k=1).collect()
-qs = ["index_1 search_2", "common_util", "elastic batch", "func worker"]
+# Corpus-correct query mix (the pre-r3 set hit zero-df terms: the
+# distributed generator ties each ident's number range to its word —
+# "search_2" cannot occur — so 3 of 4 old queries measured the EMPTY
+# route's dispatch, not retrieval; BASELINE.md §3d). df mix at 2M docs:
+#   query_300+batch_450  ~127k  serve (AND, two mid terms)
+#   search_200           ~93k   serve (single mid term)
+#   common_util          1.0M   serve (planted hot term, at the budget)
+#   func+index_0         ~3.6M  distributed (two Zipf-head keywords,
+#                               excluded from the serve cache)
+qs = ["query_300 batch_450", "common_util", "search_200", "func index_0"]
+routes = {{q: eng.explain_query(q)["route"] for q in qs}}
+per_q = {{q: [] for q in qs}}
 lat = []
 for _ in range(6):
     for q in qs:
         t0 = time.perf_counter()
-        eng.search(q, k=10).collect()
-        lat.append(time.perf_counter() - t0)
+        eng.search(q, k=10, as_pandas=True)
+        dt = time.perf_counter() - t0
+        lat.append(dt)
+        per_q[q].append(dt)
 lat.sort()
 # filtered + composite-sorted latencies (serve tier's filtered budget or
 # distributed fallback, whichever the router picks at this scale)
@@ -90,7 +103,7 @@ for _ in range(6):
         lat_f.append(time.perf_counter() - t0)
 lat_f.sort()
 t0 = time.perf_counter()
-eng.search("index_1 search_2", k=10,
+eng.search("query_300 batch_450", k=10,
            sort_by=[("lang", "asc"), ("_score", "desc")]).collect()
 sorted_secs = time.perf_counter() - t0
 shutil.rmtree(last_root, ignore_errors=True)
@@ -103,6 +116,10 @@ print("RESULT " + json.dumps({{
     "files_per_sec": round(n / med, 1),
     "query_p50_secs": round(lat[len(lat) // 2], 4),
     "query_p50_filtered_secs": round(lat_f[len(lat_f) // 2], 4),
+    "query_routes": routes,
+    "query_median_by_query": {{
+        q: round(sorted(v)[len(v) // 2], 4) for q, v in per_q.items()
+    }},
     "query_sorted_secs": round(sorted_secs, 4)}}))
 spark.stop()
 """
@@ -392,13 +409,24 @@ def _run_measurement(args, base: str, workdir: str) -> None:
         # work per query is IDENTICAL at every core count; the two p50s are
         # the same measurement twice and differ only by host noise — pass
         # within a 5% band (r1 measured 0.20s->0.72s, a 3.6x architectural
-        # regression; 0.0550s vs 0.0562s is not that).
+        # regression; 0.0550s vs 0.0562s is not that). The per-query
+        # medians + routes in each level's block break the mix down; the
+        # distributed-route query ("func index_0", Σ df over the serve
+        # budget) is additionally compared on its own below — the residual
+        # r1/r2 anti-scaling lived exactly there.
         "query_scaling": {
             "p50_from": results[f"local{lo}"]["query_p50_secs"],
             "p50_to": results[f"local{hi}"]["query_p50_secs"],
             "noise_tolerance": 1.05,
             "pass": (results[f"local{hi}"]["query_p50_secs"]
                      <= 1.05 * results[f"local{lo}"]["query_p50_secs"]),
+            "distributed_query": {
+                "query": "func index_0",
+                "median_from": results[f"local{lo}"]
+                .get("query_median_by_query", {}).get("func index_0"),
+                "median_to": results[f"local{hi}"]
+                .get("query_median_by_query", {}).get("func index_0"),
+            },
         },
         "scaling_efficiency": round(eff, 3),
     }
