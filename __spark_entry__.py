@@ -222,6 +222,16 @@ def _q_ft_count(spark, sf):
     return spark.createDataFrame([(n,)], schema="cnt long")
 
 
+def _q_ft_histogram(spark, sf):
+    """ES histogram aggregation: fixed-width doclen buckets
+    (floor(doclen/100)*100) over the docs matching an AND query, ordered
+    by bucket key asc (min_doc_count=1 — empty buckets omitted). Same
+    three-tier plan as facets; at scale each doc_part emits partial
+    (bucket, count) rows, so the only shuffle is buckets x partitions."""
+    pdf = _engine(spark, sf).histogram("doclen", 100, "table scan")
+    return spark.createDataFrame(pdf, schema="bucket double, cnt long")
+
+
 def _q_ft_facets_lang(spark, sf):
     """ES terms-aggregation analogue: lang buckets over the docs matching
     an AND query (gofias's ES search surface carries terms aggs; its own
@@ -729,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_wildcard_top10": _q_ft_wildcard,
         "ft_count": _q_ft_count,
         "ft_facets_lang": _q_ft_facets_lang,
+        "ft_histogram": _q_ft_histogram,
         "ft_prefix_top10": _q_ft_prefix,
         "ft_infix_top10": _q_ft_infix,
         "ft_search_many": _q_ft_search_many,
@@ -989,6 +1000,17 @@ SELECT d.lang, count(*)::BIGINT AS cnt
 FROM documents d JOIN m USING (doc_id)
 WHERE d.lang IS NOT NULL
 GROUP BY d.lang ORDER BY cnt DESC, d.lang ASC LIMIT 5
+""",
+        "ft_histogram": f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+m AS (SELECT doc_id FROM tok WHERE term IN ('table', 'scan')
+      GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+SELECT floor(dl.dl / 100) * 100 AS bucket, count(*)::BIGINT AS cnt
+FROM m JOIN dl USING (doc_id)
+GROUP BY 1 ORDER BY 1
 """,
         "ft_prefix_top10": _prefix_bm25_sql("wind", 10),
         "ft_infix_top10": _infix_bm25_sql("indo", 10),

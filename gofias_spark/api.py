@@ -221,6 +221,21 @@ class FulltextAPI:
             field, term, mode=mode, filters=filters, k=size
         )
 
+    def histogram(
+        self,
+        field: str,
+        interval: float,
+        term: str | None = None,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+    ):
+        """ES histogram-aggregation analogue over matching docs; see
+        SearchEngine.histogram. Returns a pandas frame ['bucket', 'cnt']."""
+        return self.engine.histogram(
+            field, interval, term, mode=mode, filters=filters
+        )
+
     def version(self) -> dict:
         return self.engine.stats()
 

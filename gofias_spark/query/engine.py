@@ -2017,19 +2017,101 @@ class SearchEngine:
         the only shuffle is #values x #partitions tiny rows."""
         if field in ("doc_id", "doc_part") or field not in self.doc_meta.columns:
             raise ValueError(f"unknown facet field {field!r}")
+        return self._agg_buckets(field, query, mode, filters, k, None, None)
+
+    def histogram(
+        self,
+        field: str,
+        interval: float,
+        query: str | None = None,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+        max_buckets: int = 65_536,
+    ) -> pd.DataFrame:
+        """ES-style histogram aggregation over matching docs: counts per
+        fixed-width numeric bucket ``floor(value/interval)*interval``,
+        ordered by bucket key asc. Empty buckets are omitted (ES
+        min_doc_count=1 semantics — at scale, filling a sparse key range
+        with zero rows driver-side is the caller's one-liner, not a
+        distributed concern). ``max_buckets`` mirrors ES
+        search.max_buckets: a too-fine interval over a wide value range
+        fails loudly instead of materializing millions of buckets.
+        Returns a pandas frame ``['bucket', 'cnt']`` with float64 keys.
+
+        Same three-tier plan as facets(): the bucket key is a pure
+        function of the field value, so it derives per-partition and the
+        only shuffle is the #buckets x #partitions partial counts."""
+        if field in ("doc_id", "doc_part") or field not in self.doc_meta.columns:
+            raise ValueError(f"unknown histogram field {field!r}")
+        dtype = self.doc_meta.schema[field].dataType.simpleString()
+        if dtype not in ("int", "bigint", "smallint", "tinyint", "float",
+                         "double", "decimal"):
+            raise ValueError(
+                f"histogram field {field!r} is {dtype}, not numeric"
+            )
+        if not interval or interval <= 0:
+            raise ValueError("interval must be > 0")
+        return self._agg_buckets(
+            field, query, mode, filters, None, float(interval), max_buckets
+        )
+
+    def _agg_buckets(
+        self,
+        field: str,
+        query: str | None,
+        mode: str,
+        filters: dict | None,
+        k: int | None,
+        interval: float | None,
+        max_buckets: int | None,
+    ) -> pd.DataFrame:
+        """Shared bucket-aggregation plan: terms facets (interval=None —
+        group on the raw value, top-k by count) and histograms (group on
+        floor(value/interval)*interval, all non-empty buckets key-asc)."""
         self._validate_filters(filters)
-        empty = pd.DataFrame({field: pd.Series(dtype=object),
-                              "cnt": pd.Series(dtype="int64")})
+        key = field if interval is None else "bucket"
+        empty = pd.DataFrame({
+            key: pd.Series(dtype=object if interval is None else "float64"),
+            "cnt": pd.Series(dtype="int64"),
+        })
         if filters_impossible(filters):
             return empty
 
-        def _top(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(
-                ["cnt", field], ascending=[False, True]
-            ).head(k).reset_index(drop=True)
+        def _bucketize(vals: pd.Series) -> pd.Series:
+            return np.floor(
+                vals.to_numpy(dtype=np.float64) / interval
+            ) * interval
+
+        def _finish(pdf: pd.DataFrame) -> pd.DataFrame:
+            if interval is None:
+                pdf = pdf.sort_values(
+                    ["cnt", key], ascending=[False, True]
+                ).head(k)
+            else:
+                if max_buckets is not None and len(pdf) > max_buckets:
+                    raise ValueError(
+                        f"histogram would produce {len(pdf)} buckets "
+                        f"(> max_buckets={max_buckets}); widen interval"
+                    )
+                pdf = pdf.sort_values(key)
+            pdf = pdf.reset_index(drop=True)
             pdf["cnt"] = pdf["cnt"].astype("int64")
             return pdf
 
+        def _counts(vals: pd.Series) -> pd.DataFrame:
+            vals = vals.dropna()
+            if interval is not None:
+                vals = pd.Series(_bucketize(vals))
+            g = vals.value_counts()
+            return pd.DataFrame({key: g.index, "cnt": g.values})
+
+        spark_key = (
+            F.col(field)
+            if interval is None
+            else (F.floor(F.col(field) / F.lit(interval)).cast("double")
+                  * F.lit(interval)).alias(key)
+        )
         if query is None:
             df = self.doc_meta.filter(F.col(field).isNotNull())
             cond = compile_filters(filters)
@@ -2039,12 +2121,14 @@ class SearchEngine:
                 df = df.join(
                     self._tombstones.select("doc_id"), "doc_id", "left_anti"
                 )
-            pdf = (
-                df.groupBy(field).agg(F.count(F.lit(1)).alias("cnt"))
-                .orderBy(F.desc("cnt"), F.asc(field)).limit(k).toPandas()
+            grouped = df.groupBy(spark_key).agg(
+                F.count(F.lit(1)).alias("cnt")
             )
-            pdf["cnt"] = pdf["cnt"].astype("int64")
-            return pdf
+            if interval is None:
+                grouped = grouped.orderBy(F.desc("cnt"), F.asc(key)).limit(k)
+            elif max_buckets is not None:
+                grouped = grouped.orderBy(F.asc(key)).limit(max_buckets + 1)
+            return _finish(grouped.toPandas())
 
         qterms = analyze_query(query, self.analyzer)
         dfs = self._term_dfs(qterms)
@@ -2065,9 +2149,8 @@ class SearchEngine:
                 return empty
             sub = self._local_meta.loc[
                 self._local_meta["doc_id"].isin(ids), field
-            ].dropna()
-            g = sub.value_counts()
-            return _top(pd.DataFrame({field: g.index, "cnt": g.values}))
+            ]
+            return _finish(_counts(sub))
 
         if self._serve_facet_route(dfs, filters, field):
             ids = K.match_ids(
@@ -2082,9 +2165,7 @@ class SearchEngine:
             meta = self._serve.fetch_meta(ids.tolist(), cols)
             if filters:
                 meta = meta[pandas_filter_mask(meta, filters)]
-            vals = meta[field].dropna()
-            g = vals.value_counts()
-            return _top(pd.DataFrame({field: g.index, "cnt": g.values}))
+            return _finish(_counts(meta[field]))
 
         # distributed: right side = live, filter-surviving, non-null-field
         # meta projection, co-partitioned by doc_part like every filtered
@@ -2099,7 +2180,11 @@ class SearchEngine:
             )
         right = right.select("doc_part", "doc_id", field)
         blocks = self.postings.filter(F.col("term").isin(qterms))
-        vtype = self.doc_meta.schema[field].dataType.simpleString()
+        vtype = (
+            self.doc_meta.schema[field].dataType.simpleString()
+            if interval is None
+            else "double"
+        )
         out_schema = f"value {vtype}, c long"
         fname, fmode, fterms = field, mode, qterms
 
@@ -2114,24 +2199,22 @@ class SearchEngine:
                 return pd.DataFrame({"value": [], "c": []}).astype(
                     {"c": "int64"}
                 )
-            sub = right_pdf.loc[
-                right_pdf["doc_id"].isin(cand), fname
-            ].dropna()
-            g = sub.value_counts()
-            return pd.DataFrame({"value": g.index, "c": g.values})
+            g = _counts(
+                right_pdf.loc[right_pdf["doc_id"].isin(cand), fname]
+            )
+            return g.rename(columns={key: "value", "cnt": "c"})
 
         partials = (
             blocks.groupby("doc_part")
             .cogroup(right.groupby("doc_part"))
             .applyInPandas(cokernel, schema=out_schema)
         )
-        pdf = (
-            partials.groupBy("value").agg(F.sum("c").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("value")).limit(k).toPandas()
-            .rename(columns={"value": field})
-        )
-        pdf["cnt"] = pdf["cnt"].astype("int64")
-        return pdf
+        grouped = partials.groupBy("value").agg(F.sum("c").alias("cnt"))
+        if interval is None:
+            grouped = grouped.orderBy(F.desc("cnt"), F.asc("value")).limit(k)
+        elif max_buckets is not None:
+            grouped = grouped.orderBy(F.asc("value")).limit(max_buckets + 1)
+        return _finish(grouped.toPandas().rename(columns={"value": key}))
 
     def _serve_facet_route(self, dfs, filters, field) -> bool:
         """Facets read the field for EVERY candidate driver-side (like the

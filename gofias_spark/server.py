@@ -15,6 +15,7 @@ Routes (reference analogues):
     GET /api/v1/address/guid?repo=..&path=..&commit=..           GetByGuid
     GET /api/v1/count?term=..[&lang=..]                          _count
     GET /api/v1/facets?field=..[&term=..&match=and|or&size=..]   terms agg
+    GET /api/v1/histogram?field=..&interval=..[&term=..&match=..] histogram agg
     GET /api/v1/version                                          GetVersion
     GET /health                                                  CheckHealth
 
@@ -339,6 +340,30 @@ def make_handler(api: FulltextAPI):
                             size=size,
                         )
                     except ValueError as exc:  # unknown field
+                        raise BadRequest(str(exc)) from exc
+                    self._json({"buckets": _items(pdf)})
+                elif url.path == "/api/v1/histogram":
+                    field = q.get("field", [""])[0]
+                    if not field:
+                        raise BadRequest("field= is required")
+                    try:
+                        interval = float(q.get("interval", [""])[0])
+                    except ValueError:
+                        raise BadRequest(
+                            "interval= is required and numeric"
+                        ) from None
+                    mode = q.get("match", ["and"])[0]
+                    if mode not in ("and", "or"):
+                        raise BadRequest("match must be and|or")
+                    try:
+                        pdf = api.histogram(
+                            field,
+                            interval,
+                            _term(q) or None,
+                            mode=mode,
+                            filters=_filters_from_query(q),
+                        )
+                    except ValueError as exc:  # unknown field / bad interval
                         raise BadRequest(str(exc)) from exc
                     self._json({"buckets": _items(pdf)})
                 elif url.path == "/api/v1/count":

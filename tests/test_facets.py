@@ -102,6 +102,60 @@ def test_facets_empty_and_errors(spark, corpus):
         eng.facets("nope_field", Q)
 
 
+def _expect_hist(pdf: pd.DataFrame, match, interval: float) -> pd.DataFrame:
+    import numpy as np
+
+    m = pdf[pdf["content"].map(match)]
+    b = np.floor(m["doclen"].to_numpy(dtype="float64") / interval) * interval
+    g = pd.Series(b).value_counts()
+    e = pd.DataFrame({"bucket": g.index.astype("float64"),
+                      "cnt": g.values.astype("int64")})
+    return e.sort_values("bucket").reset_index(drop=True)
+
+
+def test_histogram_tier_parity(spark, corpus):
+    root, pdf = corpus
+    exp_and = _expect_hist(pdf, lambda s: QT <= _toks(s), 25)
+    exp_or = _expect_hist(pdf, lambda s: bool(QT & _toks(s)), 25)
+    assert len(exp_and) > 1
+    for label, eng in _engines(spark, root).items():
+        got = eng.histogram("doclen", 25, Q)
+        pd.testing.assert_frame_equal(got, exp_and), label
+        got_or = eng.histogram("doclen", 25, Q, mode="or")
+        pd.testing.assert_frame_equal(got_or, exp_or), label
+
+
+def test_histogram_no_query_and_filtered(spark, corpus):
+    root, pdf = corpus
+    eng = SearchEngine(spark, root)
+    eng.warm()
+    exp = _expect_hist(pdf, lambda s: True, 50)
+    pd.testing.assert_frame_equal(eng.histogram("doclen", 50), exp)
+    m = pdf[pdf["doclen"] >= 40]
+    exp_f = _expect_hist(m, lambda s: QT <= _toks(s), 50)
+    got_f = eng.histogram(
+        "doclen", 50, Q, filters={"doclen": {"gte": 40}}
+    )
+    pd.testing.assert_frame_equal(got_f, exp_f)
+
+
+def test_histogram_errors(spark, corpus):
+    root, _ = corpus
+    eng = SearchEngine(spark, root)
+    eng.warm()
+    with pytest.raises(ValueError):  # non-numeric field
+        eng.histogram("lang", 10)
+    with pytest.raises(ValueError):
+        eng.histogram("doclen", 0)
+    with pytest.raises(ValueError):  # bucket explosion fails loudly
+        eng.histogram("doclen", 0.001, max_buckets=10)
+    with pytest.raises(ValueError):  # ... on the no-query spark path too
+        SearchEngine(spark, root, cache=False).histogram(
+            "doclen", 0.001, max_buckets=10
+        )
+    assert len(eng.histogram("doclen", 25, "zzznotaterm const")) == 0
+
+
 def test_facets_respects_tombstones(spark, corpus):
     """Deleted docs must drop out of facet counts on every tier."""
     from gofias_spark.index.merge import apply_delta

@@ -168,6 +168,32 @@ def test_exclude_param(gateway):
         assert e.code == 400
 
 
+def test_histogram_route(gateway):
+    api, base = gateway
+    status, res = _get(
+        base, "/api/v1/histogram?field=doclen&interval=100&term=common_util"
+    )
+    assert status == 200 and len(res["buckets"]) > 0
+    direct = api.histogram("doclen", 100, "common_util")
+    assert [b["bucket"] for b in res["buckets"]] == list(direct["bucket"])
+    assert [b["cnt"] for b in res["buckets"]] == list(direct["cnt"])
+    # buckets come back key-asc and count every matching doc exactly once
+    keys = [b["bucket"] for b in res["buckets"]]
+    assert keys == sorted(keys)
+    assert sum(b["cnt"] for b in res["buckets"]) == api.count("common_util")
+    for bad in (
+        "/api/v1/histogram?field=doclen",  # no interval
+        "/api/v1/histogram?interval=10",  # no field
+        "/api/v1/histogram?field=lang&interval=10",  # non-numeric
+        "/api/v1/histogram?field=doclen&interval=0",
+    ):
+        try:
+            status, res = _get(base, bad)
+            assert status == 400, bad
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, bad
+
+
 def test_search_after_param(gateway):
     """Cursor paging over the wire: the JSON score round-trips exactly
     (repr/parse of float64), so page 2 via search_after equals from=size
