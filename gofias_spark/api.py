@@ -203,8 +203,13 @@ class FulltextAPI:
             )
         return df.orderBy("repo", "path").limit(limit)
 
-    def count(self, term: str | None = None, filters: dict | None = None) -> int:
-        return self.engine.count(term, filters)
+    def count(
+        self,
+        term: str | None = None,
+        filters: dict | None = None,
+        must_not: str | None = None,
+    ) -> int:
+        return self.engine.count(term, filters, must_not=must_not)
 
     def facets(
         self,

@@ -2235,12 +2235,22 @@ class SearchEngine:
             self._serve.df_threshold,
         )
 
-    def count(self, query: str | None = None, filters: dict | None = None) -> int:
-        """Filtered count (A1 analogue, client.go:151-162)."""
+    def count(
+        self,
+        query: str | None = None,
+        filters: dict | None = None,
+        must_not: str | None = None,
+    ) -> int:
+        """Filtered count (A1 analogue, client.go:151-162). ``must_not``
+        mirrors search(): docs containing ANY of its analyzed terms are
+        excluded from the count, their postings riding the same
+        term-pruned scan (no extra job on any tier)."""
         self._validate_filters(filters)
         if filters_impossible(filters):
             return 0
         if query is None:
+            if must_not:
+                raise ValueError("must_not requires a query")
             cond = compile_filters(filters)
             df = self.doc_meta
             if cond is not None:
@@ -2254,24 +2264,30 @@ class SearchEngine:
         dfs = self._term_dfs(qterms)
         if not qterms or any(dfs[t] == 0 for t in qterms):
             return 0
+        neg = self._neg_terms(must_not, dfs)
+        if not set(qterms).isdisjoint(neg):
+            return 0  # a term both required and negated can never match
         if self._local_blocks is not None:
-            lb = self._local_blocks[self._local_blocks["term"].isin(qterms)]
+            lb = self._local_blocks[
+                self._local_blocks["term"].isin(qterms + neg)
+            ]
             allowed, excluded = self._local_masks(filters)
+            lb, excluded = K.apply_neg(lb, neg, excluded)
             return K.count_and(lb, qterms, allowed=allowed, excluded=excluded)
         if self._serve_route(dfs, filters):
+            sblocks = self._serve.fetch(list(dict.fromkeys(qterms + neg)))
+            sblocks, s_excl = K.apply_neg(sblocks, neg, self._tomb_arr)
             if not filters:
-                return K.count_and(
-                    self._serve.fetch(qterms), qterms, excluded=self._tomb_arr
-                )
+                return K.count_and(sblocks, qterms, excluded=s_excl)
             # scores are irrelevant to the count — zero idf keeps the same
             # candidate set while skipping no work the kernel wouldn't do
             cand = K.score_and(
-                self._serve.fetch(qterms), qterms,
+                sblocks, qterms,
                 {t: 0.0 for t in qterms}, self.avgdl,
-                self.bm25.k1, self.bm25.b, None, excluded=self._tomb_arr,
+                self.bm25.k1, self.bm25.b, None, excluded=s_excl,
             )
             return int(len(self._filter_candidates(cand, filters, None)))
-        blocks = self.postings.filter(F.col("term").isin(qterms))
+        blocks = self.postings.filter(F.col("term").isin(qterms + neg))
         right, right_kind = self._right_side(filters)
         if right is None or (right_kind == "excluded" and self._tomb_bc is not None):
             tomb_bc = self._tomb_bc if right is not None else None
@@ -2282,6 +2298,7 @@ class SearchEngine:
                     return
                 pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
                 excluded = tomb_bc.value if tomb_bc is not None else None
+                pdf, excluded = K.apply_neg(pdf, neg, excluded)
                 yield pd.DataFrame(
                     {"c": [K.count_and(pdf, qterms, excluded=excluded)]}
                 )
@@ -2300,6 +2317,7 @@ class SearchEngine:
                     allowed = ids
                 elif right_kind == "excluded":
                     excluded = ids
+                left, excluded = K.apply_neg(left, neg, excluded)
                 return pd.DataFrame(
                     {"c": [K.count_and(left, qterms, allowed=allowed, excluded=excluded)]}
                 )

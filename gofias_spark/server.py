@@ -367,9 +367,13 @@ def make_handler(api: FulltextAPI):
                         raise BadRequest(str(exc)) from exc
                     self._json({"buckets": _items(pdf)})
                 elif url.path == "/api/v1/count":
+                    exclude = q.get("exclude", [None])[0]
+                    if exclude is not None and not _term(q):
+                        raise BadRequest("exclude= requires term=")
                     n = api.count(
                         _term(q) or None,
                         filters=_filters_from_query(q),
+                        must_not=exclude,
                     )
                     self._json({"count": n})
                 else:

@@ -238,8 +238,13 @@ def test_counts_agree_randomized(trio):
             rng.choice(WORDS) for _ in range(rng.randint(1, 2))
         )
         f = rng.choice([None, {"lang": "py"}, {"doclen": {"gte": 10}}])
-        assert (
-            local.count(q, filters=f)
-            == served.count(q, filters=f)
-            == dist.count(q, filters=f)
-        ), (q, f)
+        mn = rng.choice([None, "beta", "beta kappa", "unindexed_zzz"])
+        kw = dict(filters=f, must_not=mn)
+        n = local.count(q, **kw)
+        assert n == served.count(q, **kw) == dist.count(q, **kw), (q, kw)
+        # count == number of search hits under the same bool
+        assert n == len(
+            local.search(q, k=400, mode="and", filters=f, must_not=mn)
+            .collect()
+        ), (q, kw)
+    assert local.count("alpha", must_not="alpha") == 0
