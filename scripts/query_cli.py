@@ -4,7 +4,9 @@ surface as a CLI — GetAddressByTerm/GetSuggests/count/version analogues).
     spark-submit --py-files gofias_spark.zip scripts/query_cli.py \
         --index /path/index search "bulk index" --k 10 [--mode or] \
         [--filter lang=go] [--filter path_prefix=app/] [--offset 0]
-    ... count "bulk index" [--filter lang=go]
+    ... search "bulk index" --exclude "deprecated" --after 1.234567,8910
+    ... count "bulk index" [--filter lang=go] [--exclude term]
+    ... histogram doclen 100 "bulk index" [--mode or] [--filter lang=go]
     ... get --repo R --path P
     ... stats
 """
@@ -82,10 +84,30 @@ def main() -> None:
         help="append window-bounded match fragments per hit "
              "(plain/phrase matches only)",
     )
+    s.add_argument(
+        "--exclude", default=None,
+        help="bool.must_not: drop docs containing ANY analyzed term of "
+             "this string (plain match only)",
+    )
+    s.add_argument(
+        "--after", default=None, metavar="SCORE,DOC_ID",
+        help="cursor paging (search_after): the previous page's last hit, "
+             "verbatim; O(k) at any depth. Cursor equality is exact — use "
+             "the gateway's JSON score (full precision), not this CLI's "
+             "6-dp display, when ties matter",
+    )
 
     c = sub.add_parser("count")
     c.add_argument("query", nargs="?")
     c.add_argument("--filter", action="append")
+    c.add_argument("--exclude", default=None)
+
+    h = sub.add_parser("histogram")
+    h.add_argument("field")
+    h.add_argument("interval", type=float)
+    h.add_argument("query", nargs="?")
+    h.add_argument("--mode", default="and", choices=["and", "or"])
+    h.add_argument("--filter", action="append")
 
     g = sub.add_parser("get")
     g.add_argument("--repo")
@@ -103,6 +125,12 @@ def main() -> None:
         common = dict(
             k=args.k, offset=args.offset, filters=_filters(args.filter)
         )
+        if args.match and (args.exclude or args.after):
+            ap.error("--exclude/--after support the plain match only")
+        after = None
+        if args.after:
+            s_, d_ = args.after.split(",", 1)
+            after = (float(s_), int(d_))
         if args.match == "phrase":
             res = eng.search_phrase(args.query, **common)
         elif args.match == "fuzzy":
@@ -114,6 +142,8 @@ def main() -> None:
                 args.query,
                 mode=args.mode,
                 sort_by=_sort_by(args.sort),
+                must_not=args.exclude,
+                after=after,
                 **common,
             )
         rows = res.collect()
@@ -131,7 +161,15 @@ def main() -> None:
             for frag in frags.get(r["doc_id"], []):
                 print(f"    … {frag} …")
     elif args.cmd == "count":
-        print(eng.count(args.query, _filters(args.filter)))
+        print(eng.count(args.query, _filters(args.filter),
+                        must_not=args.exclude))
+    elif args.cmd == "histogram":
+        pdf = eng.histogram(
+            args.field, args.interval, args.query,
+            mode=args.mode, filters=_filters(args.filter),
+        )
+        for _, r in pdf.iterrows():
+            print(f"{r['bucket']:g}\t{int(r['cnt'])}")
     elif args.cmd == "get":
         key = {
             k: v
