@@ -232,6 +232,18 @@ def _q_ft_histogram(spark, sf):
     return spark.createDataFrame(pdf, schema="bucket double, cnt long")
 
 
+def _q_ft_field_stats(spark, sf):
+    """ES stats aggregation: count/min/max/avg/sum of doclen over the docs
+    matching an AND query. Distributed partials are one scalar row per
+    doc_part — nothing but (count, sum, min, max) crosses the shuffle."""
+    st = _engine(spark, sf).field_stats("doclen", "table scan")
+    row = (int(st["count"]), float(st["min"]), float(st["max"]),
+           round(float(st["avg"]), 6), float(st["sum"]))
+    return spark.createDataFrame(
+        [row], schema="cnt long, min double, max double, avg double, sum double"
+    )
+
+
 def _q_ft_facets_lang(spark, sf):
     """ES terms-aggregation analogue: lang buckets over the docs matching
     an AND query (gofias's ES search surface carries terms aggs; its own
@@ -740,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_count": _q_ft_count,
         "ft_facets_lang": _q_ft_facets_lang,
         "ft_histogram": _q_ft_histogram,
+        "ft_field_stats": _q_ft_field_stats,
         "ft_prefix_top10": _q_ft_prefix,
         "ft_infix_top10": _q_ft_infix,
         "ft_search_many": _q_ft_search_many,
@@ -1011,6 +1024,17 @@ m AS (SELECT doc_id FROM tok WHERE term IN ('table', 'scan')
 SELECT floor(dl.dl / 100) * 100 AS bucket, count(*)::BIGINT AS cnt
 FROM m JOIN dl USING (doc_id)
 GROUP BY 1 ORDER BY 1
+""",
+        "ft_field_stats": f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+m AS (SELECT doc_id FROM tok WHERE term IN ('table', 'scan')
+      GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+SELECT count(*)::BIGINT AS cnt, min(dl.dl) AS min, max(dl.dl) AS max,
+       round(sum(dl.dl) / count(*), 6) AS avg, sum(dl.dl) AS sum
+FROM m JOIN dl USING (doc_id)
 """,
         "ft_prefix_top10": _prefix_bm25_sql("wind", 10),
         "ft_infix_top10": _infix_bm25_sql("indo", 10),

@@ -241,6 +241,20 @@ class FulltextAPI:
             field, interval, term, mode=mode, filters=filters
         )
 
+    def field_stats(
+        self,
+        field: str,
+        term: str | None = None,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+    ) -> dict:
+        """ES stats-aggregation analogue over matching docs; see
+        SearchEngine.field_stats. Returns {count, min, max, avg, sum}."""
+        return self.engine.field_stats(
+            field, term, mode=mode, filters=filters
+        )
+
     def version(self) -> dict:
         return self.engine.stats()
 

@@ -2056,6 +2056,142 @@ class SearchEngine:
             field, query, mode, filters, None, float(interval), max_buckets
         )
 
+    def field_stats(
+        self,
+        field: str,
+        query: str | None = None,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+    ) -> dict:
+        """ES stats-aggregation analogue: ``{count, min, max, avg, sum}``
+        of a numeric field over matching docs (nulls ignored, ES missing
+        semantics; min/max/avg are None when nothing matches). Same
+        three-tier plan as facets/histogram; distributed partials are one
+        (count, sum, min, max) row per doc_part — nothing but scalars
+        cross the shuffle."""
+        if field in ("doc_id", "doc_part") or field not in self.doc_meta.columns:
+            raise ValueError(f"unknown stats field {field!r}")
+        dtype = self.doc_meta.schema[field].dataType.simpleString()
+        if dtype not in ("int", "bigint", "smallint", "tinyint", "float",
+                         "double", "decimal"):
+            raise ValueError(f"stats field {field!r} is {dtype}, not numeric")
+        self._validate_filters(filters)
+        zero = {"count": 0, "min": None, "max": None, "avg": None, "sum": 0.0}
+        if filters_impossible(filters):
+            return zero
+
+        def _from_vals(vals: np.ndarray) -> dict:
+            if vals.size == 0:
+                return zero
+            s = float(vals.sum())
+            return {"count": int(vals.size), "min": float(vals.min()),
+                    "max": float(vals.max()), "avg": s / vals.size, "sum": s}
+
+        if query is None:
+            df = self.doc_meta.filter(F.col(field).isNotNull())
+            cond = compile_filters(filters)
+            if cond is not None:
+                df = df.filter(cond)
+            if self._tombstones is not None:
+                df = df.join(
+                    self._tombstones.select("doc_id"), "doc_id", "left_anti"
+                )
+            r = df.agg(
+                F.count(field).alias("c"),
+                F.min(field).cast("double").alias("mn"),
+                F.max(field).cast("double").alias("mx"),
+                F.sum(field).cast("double").alias("s"),
+            ).collect()[0]
+            if not r["c"]:
+                return zero
+            return {"count": int(r["c"]), "min": r["mn"], "max": r["mx"],
+                    "avg": r["s"] / r["c"], "sum": r["s"]}
+
+        qterms = analyze_query(query, self.analyzer)
+        dfs = self._term_dfs(qterms)
+        if mode == "and":
+            if not qterms or any(dfs[t] == 0 for t in qterms):
+                return zero
+        else:
+            qterms = [t for t in qterms if dfs[t] > 0]
+            if not qterms:
+                return zero
+
+        if self._local_blocks is not None:
+            lb = self._local_blocks[self._local_blocks["term"].isin(qterms)]
+            allowed, excluded = self._local_masks(filters)
+            ids = K.match_ids(lb, qterms, mode, allowed=allowed,
+                              excluded=excluded)
+            vals = self._local_meta.loc[
+                self._local_meta["doc_id"].isin(ids), field
+            ].dropna().to_numpy(dtype=np.float64)
+            return _from_vals(vals)
+
+        if self._serve_facet_route(dfs, filters, field):
+            ids = K.match_ids(
+                self._serve.fetch(qterms), qterms, mode,
+                excluded=self._tomb_arr,
+            )
+            if ids.size == 0:
+                return zero
+            cols = list(dict.fromkeys(
+                ["doc_id", field] + sorted(self._filter_fields(filters))
+            ))
+            meta = self._serve.fetch_meta(ids.tolist(), cols)
+            if filters:
+                meta = meta[pandas_filter_mask(meta, filters)]
+            return _from_vals(
+                meta[field].dropna().to_numpy(dtype=np.float64)
+            )
+
+        right = self.doc_meta.filter(F.col(field).isNotNull())
+        cond = compile_filters(filters)
+        if cond is not None:
+            right = right.filter(cond)
+        if self._tombstones is not None:
+            right = right.join(
+                self._tombstones.select("doc_id"), "doc_id", "left_anti"
+            )
+        right = right.select("doc_part", "doc_id", field)
+        blocks = self.postings.filter(F.col("term").isin(qterms))
+        fname, fmode, fterms = field, mode, qterms
+
+        def cokernel(left: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"c": pd.Series(dtype="int64"),
+                                "s": pd.Series(dtype="float64"),
+                                "mn": pd.Series(dtype="float64"),
+                                "mx": pd.Series(dtype="float64")})
+            if len(left) == 0 or len(right_pdf) == 0:
+                return out
+            rids = np.sort(right_pdf["doc_id"].to_numpy(dtype=np.int64))
+            cand = K.match_ids(left, fterms, fmode, allowed=rids)
+            if cand.size == 0:
+                return out
+            vals = right_pdf.loc[
+                right_pdf["doc_id"].isin(cand), fname
+            ].dropna().to_numpy(dtype=np.float64)
+            if vals.size == 0:
+                return out
+            return pd.DataFrame(
+                {"c": [int(vals.size)], "s": [float(vals.sum())],
+                 "mn": [float(vals.min())], "mx": [float(vals.max())]}
+            )
+
+        partials = (
+            blocks.groupby("doc_part")
+            .cogroup(right.groupby("doc_part"))
+            .applyInPandas(cokernel, schema="c long, s double, mn double, mx double")
+        )
+        r = partials.agg(
+            F.sum("c").alias("c"), F.sum("s").alias("s"),
+            F.min("mn").alias("mn"), F.max("mx").alias("mx"),
+        ).collect()[0]
+        if not r["c"]:
+            return zero
+        return {"count": int(r["c"]), "min": r["mn"], "max": r["mx"],
+                "avg": r["s"] / r["c"], "sum": r["s"]}
+
     def _agg_buckets(
         self,
         field: str,

@@ -16,6 +16,7 @@ Routes (reference analogues):
     GET /api/v1/count?term=..[&lang=..]                          _count
     GET /api/v1/facets?field=..[&term=..&match=and|or&size=..]   terms agg
     GET /api/v1/histogram?field=..&interval=..[&term=..&match=..] histogram agg
+    GET /api/v1/field_stats?field=..[&term=..&match=..]          stats agg
     GET /api/v1/version                                          GetVersion
     GET /health                                                  CheckHealth
 
@@ -366,6 +367,23 @@ def make_handler(api: FulltextAPI):
                     except ValueError as exc:  # unknown field / bad interval
                         raise BadRequest(str(exc)) from exc
                     self._json({"buckets": _items(pdf)})
+                elif url.path == "/api/v1/field_stats":
+                    field = q.get("field", [""])[0]
+                    if not field:
+                        raise BadRequest("field= is required")
+                    mode = q.get("match", ["and"])[0]
+                    if mode not in ("and", "or"):
+                        raise BadRequest("match must be and|or")
+                    try:
+                        st = api.field_stats(
+                            field,
+                            _term(q) or None,
+                            mode=mode,
+                            filters=_filters_from_query(q),
+                        )
+                    except ValueError as exc:  # unknown / non-numeric field
+                        raise BadRequest(str(exc)) from exc
+                    self._json({"stats": st})
                 elif url.path == "/api/v1/count":
                     exclude = q.get("exclude", [None])[0]
                     if exclude is not None and not _term(q):

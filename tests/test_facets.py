@@ -156,6 +156,35 @@ def test_histogram_errors(spark, corpus):
     assert len(eng.histogram("doclen", 25, "zzznotaterm const")) == 0
 
 
+def test_field_stats_tier_parity(spark, corpus):
+    root, pdf = corpus
+    m = pdf[pdf["content"].map(lambda s: QT <= _toks(s))]["doclen"]
+    exp = {"count": int(len(m)), "min": float(m.min()), "max": float(m.max()),
+           "avg": float(m.sum()) / len(m), "sum": float(m.sum())}
+    for label, eng in _engines(spark, root).items():
+        got = eng.field_stats("doclen", Q)
+        assert got["count"] == exp["count"], label
+        assert got["min"] == exp["min"] and got["max"] == exp["max"], label
+        assert abs(got["avg"] - exp["avg"]) < 1e-9, label
+        assert got["sum"] == exp["sum"], label
+
+
+def test_field_stats_no_query_filtered_empty(spark, corpus):
+    root, pdf = corpus
+    eng = SearchEngine(spark, root)
+    eng.warm()
+    st = eng.field_stats("doclen")
+    assert st["count"] == len(pdf) and st["sum"] == float(pdf["doclen"].sum())
+    m = pdf[pdf["doclen"] >= 40]["doclen"]
+    st_f = eng.field_stats("doclen", filters={"doclen": {"gte": 40}})
+    assert (st_f["count"], st_f["min"]) == (len(m), float(m.min()))
+    z = eng.field_stats("doclen", "zzznotaterm const")
+    assert z == {"count": 0, "min": None, "max": None, "avg": None,
+                 "sum": 0.0}
+    with pytest.raises(ValueError):
+        eng.field_stats("lang")
+
+
 def test_facets_respects_tombstones(spark, corpus):
     """Deleted docs must drop out of facet counts on every tier."""
     from gofias_spark.index.merge import apply_delta
