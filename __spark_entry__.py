@@ -357,6 +357,34 @@ def _q_ft_global_stats(spark, sf):
 # curation / similarity / multimodal
 
 
+def _q_curate_boilerplate(spark, sf):
+    """C4/CCNet-style frequent-line boilerplate detection
+    (operators/textstats.py frequent_lines): a normalized line occurring
+    in >= 5% of docs is boilerplate. The driver corpus has no naturally
+    repeated lines, so two banners are planted DETERMINISTICALLY (same
+    derivation in the DuckDB oracle): a license banner on every 3rd doc
+    (33% — detected) and a footer on every 50th (2% — correctly below the
+    threshold). Lines dedupe inside each doc (pure-JVM array_distinct),
+    so the only shuffle is the map-side-combinable groupBy(line)."""
+    from gofias_spark.operators.textstats import frequent_lines
+
+    docs = _documents(spark, sf).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\n  Licensed under the  APACHE license 2.0  "),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 50 == 0,
+                F.lit("\nGenerated by gofias-export v1"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return frequent_lines(docs, text_col="text", min_doc_frac=0.05)
+
+
 def _q_dedup_exact(spark, sf):
     return D.exact_duplicates(_documents(spark, sf), text_col="text")
 
@@ -762,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_global_stats": _q_ft_global_stats,
         # corpus curation
         "dedup_exact_groups": _q_dedup_exact,
+        "curate_boilerplate": _q_curate_boilerplate,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_minhash_lsh": _q_minhash_lsh,  # approximate, rows-only
@@ -1067,6 +1096,25 @@ dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
        FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
        GROUP BY d.doc_id)
 SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 4) AS avgdl FROM dl
+""",
+        "curate_boilerplate": r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN chr(10) || '  Licensed under the  APACHE license 2.0  '
+                      ELSE '' END
+              || CASE WHEN doc_id % 50 = 0
+                      THEN chr(10) || 'Generated by gofias-export v1'
+                      ELSE '' END AS text
+  FROM documents),
+lines AS (
+  SELECT doc_id, lower(trim(regexp_replace(l, '\s+', ' ', 'g'))) AS line
+  FROM aug, unnest(string_split(text, chr(10))) AS t(l)),
+per_doc AS (SELECT DISTINCT doc_id, line FROM lines WHERE length(line) >= 8)
+SELECT line, count(*)::BIGINT AS n_docs FROM per_doc GROUP BY line
+HAVING count(*) >= greatest(
+    2, CAST(ceil(0.05 * (SELECT count(*) FROM documents)) AS BIGINT))
+ORDER BY n_docs DESC, line ASC
 """,
         "dedup_exact_groups": """
 SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dupes

@@ -5,6 +5,10 @@ training-data pipeline, all as JVM column expressions (codegen'd, no Python).
 
 from __future__ import annotations
 
+import math
+import re
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -111,4 +115,101 @@ def fingerprints(
         F.col(id_col),
         F.md5(norm).alias("fingerprint"),
         min_tok_hash.alias("min_token_md5"),
+    )
+
+
+def _norm_line(col):
+    """Line normalization shared by detect + strip: collapse whitespace,
+    trim, lowercase. Java \\s == [ \\t\\n\\x0B\\f\\r]; the python scrub UDF
+    mirrors it exactly (not python \\s, which is unicode-wide)."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def frequent_lines(
+    docs: DataFrame,
+    text_col: str = "content",
+    min_doc_frac: float = 0.05,
+    min_docs: int = 2,
+    min_line_chars: int = 8,
+    n_total: int | None = None,
+) -> DataFrame:
+    """Corpus-level boilerplate detection (C4/CCNet-style frequent-line
+    scrubbing): a normalized line occurring in >= ``min_doc_frac`` of docs
+    is boilerplate — license banners, nav chrome, generated headers — the
+    highest-yield cleanup in a web-scale training corpus.
+
+    Scale shape: lines are deduped INSIDE each doc first (array_distinct
+    over the split — pure JVM, no exchange), so the only shuffle is the
+    map-side-combinable groupBy(line) over per-doc-distinct lines; there
+    is no (doc, line)-wide distinct exchange. Returns (line, n_docs)
+    ordered n_docs desc, line asc."""
+    if n_total is None:
+        n_total = docs.count()
+    thr = max(int(min_docs), int(math.ceil(min_doc_frac * n_total)))
+    lines = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.split(F.col(text_col), "\n"), lambda l: _norm_line(l)
+            ),
+            lambda l: F.length(l) >= min_line_chars,
+        )
+    )
+    return (
+        docs.select(F.explode(lines).alias("line"))
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= thr)
+        .orderBy(F.desc("n_docs"), F.asc("line"))
+    )
+
+
+def strip_frequent_lines(
+    docs: DataFrame,
+    text_col: str = "content",
+    frequent: DataFrame | None = None,
+    max_lines: int = 100_000,
+    **detect_kwargs,
+) -> DataFrame:
+    """Remove detected boilerplate lines from every doc. The frequent-line
+    set is tiny by Zipf (guarded by ``max_lines`` — fail loudly rather
+    than broadcast an unbounded set), so it broadcasts into an
+    Arrow-batched scrub over ``mapInPandas``-style pandas UDF: the corpus
+    text itself never shuffles. Adds ``n_lines_removed`` per doc; all
+    other columns pass through."""
+    if frequent is None:
+        frequent = frequent_lines(docs, text_col=text_col, **detect_kwargs)
+    rows = frequent.select("line").limit(max_lines + 1).collect()
+    if len(rows) > max_lines:
+        raise ValueError(
+            f"frequent-line set exceeds max_lines={max_lines}; raise the "
+            "detection threshold (min_doc_frac) or max_lines"
+        )
+    banned = frozenset(r["line"] for r in rows)
+    bc = docs.sparkSession.sparkContext.broadcast(banned)
+    ws = re.compile("[ \t\n\x0b\f\r]+")  # Java \s, not unicode python \s
+
+    @F.pandas_udf("struct<text: string, n_removed: int>")
+    def scrub(s: pd.Series) -> pd.DataFrame:
+        bset = bc.value
+        texts, removed = [], []
+        for t in s:
+            if t is None:
+                texts.append(None)
+                removed.append(0)
+                continue
+            kept, n = [], 0
+            for line in t.split("\n"):
+                if ws.sub(" ", line).strip().lower() in bset:
+                    n += 1
+                else:
+                    kept.append(line)
+            texts.append("\n".join(kept))
+            removed.append(n)
+        return pd.DataFrame({"text": texts, "n_removed": removed})
+
+    out = docs.withColumn("_scrub", scrub(F.col(text_col)))
+    return (
+        out.withColumn(text_col, F.col("_scrub.text"))
+        .withColumn("n_lines_removed", F.col("_scrub.n_removed"))
+        .drop("_scrub")
     )

@@ -177,3 +177,51 @@ def test_multimodal_resize_and_frames(spark):
     assert [r["n_bytes"] for r in by_doc[2]] == [3]
     # doc 3: empty payload -> no frames
     assert 3 not in by_doc
+
+
+def test_boilerplate_detect_and_strip(spark):
+    from gofias_spark.operators.textstats import (
+        frequent_lines,
+        strip_frequent_lines,
+    )
+
+    banner = "Licensed under the Apache License 2.0"
+    rare = "This rare footer appears once or twice"
+    rows = []
+    for i in range(40):
+        body = f"unique line {i} alpha\nanother unique {i} beta"
+        if i % 2 == 0:
+            body += "\n  licensed   UNDER the apache license 2.0  "
+        if i in (0, 1):
+            body += f"\n{rare}"
+        rows.append((i, body))
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+
+    freq = frequent_lines(docs, min_doc_frac=0.1).toPandas()
+    assert list(freq["line"]) == [banner.lower()]
+    assert int(freq["n_docs"].iloc[0]) == 20
+
+    # threshold math: 2 docs < ceil(0.1*40)=4 -> rare line excluded;
+    # lowering the fraction pulls it in
+    freq_lo = frequent_lines(docs, min_doc_frac=0.01, min_docs=2).toPandas()
+    assert rare.lower() in set(freq_lo["line"])
+
+    cleaned = strip_frequent_lines(docs, min_doc_frac=0.1).toPandas()
+    assert int(cleaned["n_lines_removed"].sum()) == 20
+    assert not any(
+        "apache license" in t.lower() for t in cleaned["content"]
+    )
+    # non-banner docs byte-identical; banner docs lose ONLY the banner line
+    orig = {i: b for i, b in rows}
+    for _, r in cleaned.iterrows():
+        expect = "\n".join(
+            l for l in orig[r["doc_id"]].split("\n")
+            if "apache" not in l.lower()
+        )
+        assert r["content"] == expect
+    # idempotent: a second pass removes nothing
+    again = strip_frequent_lines(
+        spark.createDataFrame(
+            cleaned[["doc_id", "content"]]), min_doc_frac=0.1
+    ).toPandas()
+    assert int(again["n_lines_removed"].sum()) == 0
