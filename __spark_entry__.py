@@ -232,6 +232,21 @@ def _q_ft_histogram(spark, sf):
     return spark.createDataFrame(pdf, schema="bucket double, cnt long")
 
 
+def _q_ft_more_like_this(spark, sf):
+    """ES more_like_this analogue: the source doc's top-10 tf·idf terms
+    (tf >= 2, df >= 5, tf·idf desc then term asc — the ES interestingness
+    ranking) become an OR query; the source is excluded (include=false).
+    Selection is one pruned doc-store row driver-side; the derived query
+    rides the normal tiered search."""
+    eng = _engine(spark, sf)
+    src = eng.get_doc(path="000000000007").select("doc_id").collect()
+    r = eng.more_like_this(
+        int(src[0]["doc_id"]), k=10, max_query_terms=10,
+        min_term_freq=2, min_doc_freq=5,
+    )
+    return _ft(r)
+
+
 def _q_ft_field_stats(spark, sf):
     """ES stats aggregation: count/min/max/avg/sum of doclen over the docs
     matching an AND query. Distributed partials are one scalar row per
@@ -781,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facets_lang": _q_ft_facets_lang,
         "ft_histogram": _q_ft_histogram,
         "ft_field_stats": _q_ft_field_stats,
+        "ft_more_like_this": _q_ft_more_like_this,
         "ft_prefix_top10": _q_ft_prefix,
         "ft_infix_top10": _q_ft_infix,
         "ft_search_many": _q_ft_search_many,
@@ -1053,6 +1069,37 @@ m AS (SELECT doc_id FROM tok WHERE term IN ('table', 'scan')
 SELECT floor(dl.dl / 100) * 100 AS bucket, count(*)::BIGINT AS cnt
 FROM m JOIN dl USING (doc_id)
 GROUP BY 1 ORDER BY 1
+""",
+        "ft_more_like_this": f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+srctf AS (SELECT term, count(*)::DOUBLE AS tf FROM tok
+          WHERE doc_id = 7 GROUP BY term),
+gdf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+        GROUP BY term),
+sel AS (SELECT s.term FROM srctf s JOIN gdf USING (term) CROSS JOIN stats st
+        WHERE s.tf >= 2 AND gdf.df >= 5
+        ORDER BY s.tf * ln(1 + (st.n - gdf.df + 0.5) / (gdf.df + 0.5))
+                 DESC, s.term ASC
+        LIMIT 10),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+       WHERE term IN (SELECT term FROM sel) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM scored
+WHERE doc_id <> 7
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "ft_field_stats": f"""
 WITH tok AS ({TOK}),

@@ -241,6 +241,19 @@ class FulltextAPI:
             field, interval, term, mode=mode, filters=filters
         )
 
+    def more_like_this(
+        self,
+        doc_id: int,
+        size: int = 10,
+        *,
+        filters: dict | None = None,
+        as_pandas: bool = False,
+    ):
+        """ES more_like_this analogue; see SearchEngine.more_like_this."""
+        return self.engine.more_like_this(
+            doc_id, k=size, filters=filters, as_pandas=as_pandas
+        )
+
     def field_stats(
         self,
         field: str,

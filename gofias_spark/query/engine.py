@@ -2547,6 +2547,64 @@ class SearchEngine:
         empty["fragments"] = [frags_by_id.get(i, []) for i in ids]
         return empty
 
+    def more_like_this(
+        self,
+        doc_id: int,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+        filters: dict | None = None,
+        as_pandas: bool = False,
+    ):
+        """ES more_like_this analogue: the source doc's top tf·idf terms
+        (tf >= min_term_freq, df >= min_doc_freq, top max_query_terms by
+        tf·idf desc then term asc — the ES interestingness ranking) become
+        an OR query; the source itself is excluded (ES include=false
+        default). Term selection is driver-side over ONE pruned doc-store
+        row; the derived query then rides the normal tiered search, so
+        cost and scale behavior are exactly a |terms|-term OR query's."""
+        row = (
+            self.get_doc(doc_id).select("content").limit(1).collect()
+        )
+        if not row or not row[0]["content"]:
+            return self._empty_result(True, as_pdf=as_pandas)
+        from collections import Counter
+
+        tf = Counter(
+            tokenize_text(
+                row[0]["content"],
+                AnalyzerConfig(
+                    mode="standard", token_pattern=self.analyzer.token_pattern
+                ),
+            )
+        )
+        cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
+        if not cand:
+            return self._empty_result(True, as_pdf=as_pandas)
+        dfs = self._term_dfs(cand)
+        scored = [
+            (float(tf[t]) * self._idf(dfs[t]), t)
+            for t in cand
+            if dfs[t] >= min_doc_freq
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        sel = [t for _, t in scored[:max_query_terms]]
+        if not sel:
+            return self._empty_result(True, as_pdf=as_pandas)
+        # k+1 covers both cases exactly: source in the page (drop it) or
+        # not (the first k of k+1-minus-nothing are the true top-k)
+        r = self.search(
+            " ".join(sel), k=k + 1, mode="or", filters=filters,
+            as_pandas=True,
+        )
+        r = r[r["doc_id"] != doc_id].head(k).reset_index(drop=True)
+        if as_pandas:
+            return r
+        if len(r) == 0:
+            return self._empty_result(True, as_pdf=False)
+        return self.spark.createDataFrame(r)
+
     def explain_query(
         self, query: str, filters: dict | None = None, mode: str = "and",
         must_not: str | None = None,

@@ -17,6 +17,7 @@ Routes (reference analogues):
     GET /api/v1/facets?field=..[&term=..&match=and|or&size=..]   terms agg
     GET /api/v1/histogram?field=..&interval=..[&term=..&match=..] histogram agg
     GET /api/v1/field_stats?field=..[&term=..&match=..]          stats agg
+    GET /api/v1/more_like_this?doc_id=..[&size=..]               MLT query
     GET /api/v1/version                                          GetVersion
     GET /health                                                  CheckHealth
 
@@ -367,6 +368,19 @@ def make_handler(api: FulltextAPI):
                     except ValueError as exc:  # unknown field / bad interval
                         raise BadRequest(str(exc)) from exc
                     self._json({"buckets": _items(pdf)})
+                elif url.path == "/api/v1/more_like_this":
+                    try:
+                        src = int(q.get("doc_id", [""])[0])
+                    except ValueError:
+                        raise BadRequest(
+                            "doc_id= is required and integer"
+                        ) from None
+                    size, _ = _page(q, default_size=10)
+                    pdf = api.more_like_this(
+                        src, size=size,
+                        filters=_filters_from_query(q), as_pandas=True,
+                    )
+                    self._json({"items": _items(pdf)})
                 elif url.path == "/api/v1/field_stats":
                     field = q.get("field", [""])[0]
                     if not field:

@@ -230,6 +230,22 @@ def test_search_after_composes_with_filters_and_must_not(trio):
                      sort_by=[("lang", "asc")])
 
 
+def test_more_like_this_three_paths(trio):
+    """MLT derives the same term set on every tier (selection is
+    driver-side), rides the tiered OR search, and never returns the
+    source doc."""
+    local, served, dist = trio
+    src = local.search("common_util", k=1).collect()[0]["doc_id"]
+    a = _key(local.more_like_this(src, k=8, min_doc_freq=2))
+    b = _key(served.more_like_this(src, k=8, min_doc_freq=2))
+    c = _key(dist.more_like_this(src, k=8, min_doc_freq=2))
+    assert a == b == c
+    assert len(a) > 0
+    assert src not in [d for d, _ in a]
+    # unknown doc -> empty, no error
+    assert local.more_like_this(10**15, k=5).count() == 0
+
+
 def test_counts_agree_randomized(trio):
     local, served, dist = trio
     rng = random.Random(3)
