@@ -400,6 +400,33 @@ def _q_curate_boilerplate(spark, sf):
     return frequent_lines(docs, text_col="text", min_doc_frac=0.05)
 
 
+def _q_curate_decontaminate(spark, sf):
+    """GPT-3/Pile-style benchmark decontamination (operators/dedup.py
+    decontaminate): flag training docs sharing ANY 13-token gram with a
+    benchmark split. The driver corpus has no natural cross-doc 13-gram
+    overlap, so contamination is PLANTED deterministically (mirrored in
+    the DuckDB oracle): benchmark = docs with doc_id % 97 == 0; every
+    training doc with doc_id % 10 == 3 gets benchmark doc 0's first 13
+    tokens appended verbatim. Benchmark gram hashes broadcast; the
+    training text never shuffles."""
+    docs = _documents(spark, sf)
+    src_text = docs.filter(F.col("doc_id") == 0).select("text").collect()
+    import re as _re
+
+    excerpt = " ".join(
+        _re.findall(r"[a-z0-9_]+", src_text[0]["text"].lower())[:13]
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 3,
+            F.concat(F.col("text"), F.lit("\n" + excerpt)),
+        ).otherwise(F.col("text")),
+    )
+    return D.decontaminate(train, bench, n=13, text_col="text")
+
+
 def _q_dedup_exact(spark, sf):
     return D.exact_duplicates(_documents(spark, sf), text_col="text")
 
@@ -807,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus curation
         "dedup_exact_groups": _q_dedup_exact,
         "curate_boilerplate": _q_curate_boilerplate,
+        "curate_decontaminate": _q_curate_decontaminate,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_minhash_lsh": _q_minhash_lsh,  # approximate, rows-only
@@ -1143,6 +1171,32 @@ dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
        FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
        GROUP BY d.doc_id)
 SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 4) AS avgdl FROM dl
+""",
+        "curate_decontaminate": r"""
+WITH src AS (
+  SELECT array_to_string(
+           regexp_extract_all(lower(text), '[a-z0-9_]+')[1:13], ' ') AS ex
+  FROM documents WHERE doc_id = 0),
+train AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 3
+              THEN text || chr(10) || (SELECT ex FROM src)
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 97 <> 0),
+tg AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+           [array_to_string(toks[i:i+12], ' ')
+            FOR i IN range(1, len(toks) - 11)])) AS gram
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+        FROM train) WHERE len(toks) >= 13),
+bg AS (
+  SELECT DISTINCT unnest(list_distinct(
+           [array_to_string(toks[i:i+12], ' ')
+            FOR i IN range(1, len(toks) - 11)])) AS gram
+  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+        FROM documents WHERE doc_id % 97 = 0) WHERE len(toks) >= 13)
+SELECT id, count(*)::BIGINT AS n_hit_grams
+FROM tg JOIN bg USING (gram) GROUP BY id ORDER BY id
 """,
         "curate_boilerplate": r"""
 WITH aug AS (

@@ -45,14 +45,23 @@ def exact_duplicates(
 
 
 def _shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    """Distinct word n-gram shingles as an array column (JVM-side).
+
+    Docs with fewer than ``n`` tokens yield an EMPTY array: the previous
+    ``greatest(size-n, -1)`` guard made Spark's ``sequence(0, -1)``
+    generate a DESCENDING [0, -1] (step defaults to -1 when stop < start),
+    whose ``slice(toks, 0, n)`` then failed the whole job on the first
+    short/empty doc in the corpus."""
     toks = tokens_col(text_col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array())
 
 
 def ngram_jaccard_pairs(
@@ -102,6 +111,46 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Pile-style n-gram overlap): flag
+    every training doc sharing ANY word-level ``n``-gram (default 13, the
+    published decontamination window) with the benchmark set. Returns
+    ``(id, n_hit_grams)`` — distinct overlapping grams per contaminated
+    doc, id asc; clean docs are absent.
+
+    Scale shape: the benchmark side is tiny next to a training corpus, so
+    its distinct gram hashes broadcast into the join against the exploded
+    per-doc-distinct training grams — the training corpus text itself
+    never shuffles; what does shuffle is the map-side-combinable per-doc
+    hit count. Grams compare as xxhash64 of the space-joined window, so
+    no gram STRINGS cross the wire either."""
+    def gram_rows(df):
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(
+                    _shingles(F.col(text_col), n),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("gram"),
+        )
+
+    bench = gram_rows(benchmark).select("gram").distinct()
+    return (
+        gram_rows(train)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+        .orderBy("id")
+    )
 
 
 def minhash_signatures(

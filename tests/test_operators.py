@@ -225,3 +225,48 @@ def test_boilerplate_detect_and_strip(spark):
             cleaned[["doc_id", "content"]]), min_doc_frac=0.1
     ).toPandas()
     assert int(again["n_lines_removed"].sum()) == 0
+
+
+def test_shingles_short_docs_do_not_crash(spark):
+    """Regression: docs with < n tokens used to make sequence(0, -1)
+    DESCEND ([0, -1]) and slice(toks, 0, n) abort the whole job."""
+    from pyspark.sql import functions as F
+
+    from gofias_spark.operators.dedup import _shingles, ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "a b c d e"), (3, ""), (4, "a b c d e"),
+         (5, None)],
+        "doc_id long, content string",
+    )
+    sh = df.select(_shingles(F.col("content"), 3).alias("sh")).collect()
+    assert [len(r["sh"]) for r in sh] == [0, 3, 0, 3, 0]
+    pairs = ngram_jaccard_pairs(df, threshold=0.5, n=3).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(2, 4)]
+
+
+def test_decontaminate(spark):
+    from gofias_spark.operators.dedup import decontaminate
+
+    bench_tokens = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                    "kappa lambda mu nu xi omicron")  # 15 tokens
+    bench = spark.createDataFrame(
+        [(100, bench_tokens)], "doc_id long, content string"
+    )
+    window13 = " ".join(bench_tokens.split()[:13])
+    # doc 1: verbatim 13-token window from the benchmark -> contaminated
+    # doc 2: only a 12-token overlap -> clean at n=13
+    # doc 3: unrelated -> clean; doc 4: too short -> clean
+    rows = [
+        (1, f"intro words then {window13} plus trailing"),
+        (2, " ".join(bench_tokens.split()[:12]) + " unrelated_tail"),
+        (3, "completely unrelated content about spark partitions and joins "
+            "with plenty of tokens to form many thirteen gram windows here"),
+        (4, "short doc"),
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, content string")
+    got = decontaminate(train, bench, n=13).collect()
+    assert [(r["id"], r["n_hit_grams"]) for r in got] == [(1, 1)]
+    # at n=11 the 12-token run contains matching windows -> doc 2 flags too
+    got11 = {r["id"] for r in decontaminate(train, bench, n=11).collect()}
+    assert got11 == {1, 2}
