@@ -247,6 +247,20 @@ def _q_ft_more_like_this(spark, sf):
     return _ft(r)
 
 
+def _q_ft_significant_terms(spark, sf):
+    """ES significant_terms analogue: terms overrepresented in the
+    matching docs vs the corpus, JLH-scored ((fg−bg)·fg/bg), positively
+    significant only, hits >= 3, top-10. One self-contained pass over the
+    doc-partitioned postings: each doc_part derives its matched ids from
+    its own query-term blocks, then counts every term's postings among
+    them — only vocabulary-sized (term, hits) partials shuffle."""
+    pdf = _engine(spark, sf).significant_terms("table scan", k=10)
+    pdf["score"] = pdf["score"].round(6)
+    return spark.createDataFrame(
+        pdf, schema="term string, hits long, score double"
+    )
+
+
 def _q_ft_field_stats(spark, sf):
     """ES stats aggregation: count/min/max/avg/sum of doclen over the docs
     matching an AND query. Distributed partials are one scalar row per
@@ -824,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_histogram": _q_ft_histogram,
         "ft_field_stats": _q_ft_field_stats,
         "ft_more_like_this": _q_ft_more_like_this,
+        "ft_significant_terms": _q_ft_significant_terms,
         "ft_prefix_top10": _q_ft_prefix,
         "ft_infix_top10": _q_ft_infix,
         "ft_search_many": _q_ft_search_many,
@@ -1097,6 +1112,25 @@ m AS (SELECT doc_id FROM tok WHERE term IN ('table', 'scan')
 SELECT floor(dl.dl / 100) * 100 AS bucket, count(*)::BIGINT AS cnt
 FROM m JOIN dl USING (doc_id)
 GROUP BY 1 ORDER BY 1
+""",
+        "ft_significant_terms": f"""
+WITH tok AS ({TOK}),
+pdt AS (SELECT DISTINCT doc_id, term FROM tok),
+m AS (SELECT doc_id FROM pdt WHERE term IN ('table', 'scan')
+      GROUP BY doc_id HAVING count(*) = 2),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+             (SELECT count(*) FROM m)::DOUBLE AS nm),
+fg AS (SELECT p.term, count(*)::BIGINT AS hits
+       FROM pdt p JOIN m USING (doc_id) GROUP BY p.term),
+bg AS (SELECT term, count(*)::DOUBLE AS df FROM pdt GROUP BY term)
+SELECT f.term, f.hits,
+       round((f.hits / s.nm - b.df / s.n)
+             * ((f.hits / s.nm) / (b.df / s.n)), 6) AS score
+FROM fg f JOIN bg b USING (term) CROSS JOIN s
+WHERE f.hits >= 3 AND f.hits / s.nm > b.df / s.n
+ORDER BY (f.hits / s.nm - b.df / s.n)
+         * ((f.hits / s.nm) / (b.df / s.n)) DESC, f.term ASC
+LIMIT 10
 """,
         "ft_more_like_this": f"""
 WITH tok AS ({TOK}),

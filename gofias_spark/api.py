@@ -241,6 +241,23 @@ class FulltextAPI:
             field, interval, term, mode=mode, filters=filters
         )
 
+    def significant_terms(
+        self,
+        term: str,
+        size: int = 10,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+        min_doc_count: int = 3,
+    ):
+        """ES significant_terms analogue; see
+        SearchEngine.significant_terms. Returns pandas
+        (term, hits, score)."""
+        return self.engine.significant_terms(
+            term, k=size, mode=mode, filters=filters,
+            min_doc_count=min_doc_count,
+        )
+
     def more_like_this(
         self,
         doc_id: int,

@@ -2547,6 +2547,136 @@ class SearchEngine:
         empty["fragments"] = [frags_by_id.get(i, []) for i in ids]
         return empty
 
+    def significant_terms(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "and",
+        filters: dict | None = None,
+        min_doc_count: int = 3,
+    ) -> pd.DataFrame:
+        """ES significant_terms analogue: terms overrepresented in the
+        MATCHING docs relative to the whole corpus, scored with ES's JLH
+        ((fg_rate − bg_rate) · fg_rate/bg_rate), only positively
+        significant (fg_rate > bg_rate), hits >= min_doc_count, top-k by
+        score desc then term asc. The query's own terms are not filtered
+        out (ES behavior) — they trivially top the list; callers drop
+        them if unwanted. Returns pandas (term, hits, score).
+
+        Scale shape: the doc-partitioned index makes this ONE
+        self-contained pass — each doc_part's kernel derives the matched
+        ids from its OWN query-term blocks, then counts every term's
+        postings among them (block-range pruned); only vocabulary-sized
+        (term, hits) partials shuffle into the map-side-combinable final
+        sum, which joins the global stats table for the background rates.
+        No doc ids, postings, or text cross the wire."""
+        self._validate_filters(filters)
+        empty = pd.DataFrame({
+            "term": pd.Series(dtype=object),
+            "hits": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+        })
+        if filters_impossible(filters):
+            return empty
+        qterms = analyze_query(query, self.analyzer)
+        dfs = self._term_dfs(qterms)
+        if mode == "and":
+            if not qterms or any(dfs[t] == 0 for t in qterms):
+                return empty
+        else:
+            qterms = [t for t in qterms if dfs[t] > 0]
+            if not qterms:
+                return empty
+        n_matched = self.count(query, filters)
+        if n_matched == 0:
+            return empty
+        n_total = float(self.n_docs)
+
+        def _finish(hits_pdf: pd.DataFrame, bg: pd.DataFrame) -> pd.DataFrame:
+            m = hits_pdf.merge(bg, on="term", how="inner")
+            fg = m["hits"] / float(n_matched)
+            bgr = m["df"] / n_total
+            m["score"] = (fg - bgr) * (fg / bgr)
+            m = m[(m["hits"] >= min_doc_count) & (fg > bgr)]
+            m = m.sort_values(
+                ["score", "term"], ascending=[False, True]
+            ).head(k).reset_index(drop=True)
+            m["hits"] = m["hits"].astype("int64")
+            return m[["term", "hits", "score"]]
+
+        if self._local_blocks is not None:
+            allowed, excluded = self._local_masks(filters)
+            hits = K.subset_term_counts(
+                self._local_blocks, qterms, mode, allowed, excluded
+            )
+            if len(hits) == 0:
+                return empty
+            hits = hits.groupby("term", as_index=False)["hits"].sum()
+            bg = self._stats.filter(
+                F.col("term").isin(hits["term"].tolist())
+            ).toPandas()
+            return _finish(hits, bg)
+
+        # distributed: full-postings pass per doc_part (this is a corpus
+        # analytics operation — a full scan is its honest cost, as in ES's
+        # per-shard collection); filters ride the cogroup right side
+        fterms, fmode = qterms, mode
+        right, right_kind = self._right_side(filters)
+
+        def map_kernel(batches):
+            pdfs = list(batches)
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
+            yield K.subset_term_counts(pdf, fterms, fmode)
+
+        def cokernel(left: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0:
+                return pd.DataFrame({
+                    "term": pd.Series(dtype=object),
+                    "hits": pd.Series(dtype="int64"),
+                })
+            allowed = excluded = None
+            ids = (
+                np.sort(right_pdf["doc_id"].to_numpy(dtype=np.int64))
+                if len(right_pdf)
+                else np.empty(0, dtype=np.int64)
+            )
+            if right_kind == "allowed":
+                allowed = ids
+            elif right_kind == "excluded":
+                excluded = ids
+            return K.subset_term_counts(left, fterms, fmode, allowed, excluded)
+
+        if right is None:
+            partials = self.postings.mapInPandas(
+                map_kernel, schema="term string, hits long"
+            )
+        else:
+            partials = (
+                self.postings.groupby("doc_part")
+                .cogroup(right.groupby("doc_part"))
+                .applyInPandas(cokernel, schema="term string, hits long")
+            )
+        out = (
+            partials.groupBy("term").agg(F.sum("hits").alias("hits"))
+            .filter(F.col("hits") >= min_doc_count)
+            .join(self._stats, "term")
+            .withColumn("fg", F.col("hits") / F.lit(float(n_matched)))
+            .withColumn("bgr", F.col("df") / F.lit(n_total))
+            .filter(F.col("fg") > F.col("bgr"))
+            .withColumn(
+                "score",
+                (F.col("fg") - F.col("bgr")) * (F.col("fg") / F.col("bgr")),
+            )
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(k)
+            .select("term", "hits", "score")
+            .toPandas()
+        )
+        out["hits"] = out["hits"].astype("int64")
+        return out if len(out) else empty
+
     def more_like_this(
         self,
         doc_id: int,

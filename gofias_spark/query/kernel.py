@@ -301,6 +301,45 @@ def apply_neg(
     return blocks[~isneg], ids
 
 
+def subset_term_counts(
+    blocks: pd.DataFrame,
+    qterms: list[str],
+    mode: str = "and",
+    allowed: np.ndarray | None = None,
+    excluded: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Foreground document frequencies for significant-terms aggregation:
+    for EVERY term present in ``blocks``, the count of its postings among
+    the docs matching the query (``match_ids`` over the same blocks —
+    the doc-partitioned index means one partition's blocks contain both
+    the query terms' postings AND every other term's postings for the
+    same docs, so this is one self-contained pass). Zero-hit terms are
+    omitted; returns (term, hits)."""
+    cand = match_ids(blocks, qterms, mode, allowed, excluded)
+    if cand.size == 0:
+        return pd.DataFrame({"term": pd.Series(dtype=object),
+                             "hits": pd.Series(dtype="int64")})
+    terms, hits = [], []
+    lo, hi = int(cand[0]), int(cand[-1])
+    for t, g in blocks.groupby("term", sort=False):
+        # block-range pruning: only decode blocks overlapping the matched
+        # id range (cheap and effective — cand is one doc_part's ids)
+        g = g[(g["last"] >= lo) & (g["base"] < hi + 1)]
+        if len(g) == 0:
+            continue
+        ids = _decode_term(g)[0]
+        if ids.size == 0:
+            continue
+        pos = np.minimum(np.searchsorted(ids, cand), ids.size - 1)
+        h = int((ids[pos] == cand).sum())
+        if h:
+            terms.append(t)
+            hits.append(h)
+    return pd.DataFrame(
+        {"term": terms, "hits": pd.Series(hits, dtype="int64")}
+    )
+
+
 def after_filter(
     pdf: pd.DataFrame, after: tuple[float, int], topn: int | None
 ) -> pd.DataFrame:

@@ -18,6 +18,7 @@ Routes (reference analogues):
     GET /api/v1/histogram?field=..&interval=..[&term=..&match=..] histogram agg
     GET /api/v1/field_stats?field=..[&term=..&match=..]          stats agg
     GET /api/v1/more_like_this?doc_id=..[&size=..]               MLT query
+    GET /api/v1/significant_terms?term=..[&size=..&match=..]     sig-terms agg
     GET /api/v1/version                                          GetVersion
     GET /health                                                  CheckHealth
 
@@ -367,6 +368,18 @@ def make_handler(api: FulltextAPI):
                         )
                     except ValueError as exc:  # unknown field / bad interval
                         raise BadRequest(str(exc)) from exc
+                    self._json({"buckets": _items(pdf)})
+                elif url.path == "/api/v1/significant_terms":
+                    if not _term(q):
+                        raise BadRequest("term= is required")
+                    size, _ = _page(q, default_size=10)
+                    mode = q.get("match", ["and"])[0]
+                    if mode not in ("and", "or"):
+                        raise BadRequest("match must be and|or")
+                    pdf = api.significant_terms(
+                        _term(q), size=size, mode=mode,
+                        filters=_filters_from_query(q),
+                    )
                     self._json({"buckets": _items(pdf)})
                 elif url.path == "/api/v1/more_like_this":
                     try:

@@ -185,6 +185,57 @@ def test_field_stats_no_query_filtered_empty(spark, corpus):
         eng.field_stats("lang")
 
 
+def test_significant_terms_tier_parity(spark, corpus):
+    """JLH scoring agrees between the driver-local kernel and the
+    distributed full-postings pass, matches a pandas reference, and the
+    query's own terms top the list (ES behavior)."""
+    import re as _re
+
+    root, pdf = corpus
+
+    def ref(match, min_dc=3, k=8):
+        matched = pdf[pdf["content"].map(match)]
+        nm, n = float(len(matched)), float(len(pdf))
+        from collections import Counter
+
+        fgc = Counter(t for s in matched["content"] for t in _toks(s))
+        bgc = Counter(t for s in pdf["content"] for t in _toks(s))
+        rows = []
+        for t, h in fgc.items():
+            fg, bg = h / nm, bgc[t] / n
+            if h >= min_dc and fg > bg:
+                rows.append((t, h, (fg - bg) * (fg / bg)))
+        rows.sort(key=lambda x: (-x[2], x[0]))
+        return rows[:k]
+
+    exp = ref(lambda s: QT <= _toks(s))
+    local = SearchEngine(spark, root)
+    local.warm()
+    dist = SearchEngine(spark, root, serve=False)
+    dist.warm(local_max_blocks=0)
+    for eng in (local, dist):
+        got = eng.significant_terms(Q, k=8)
+        rows = [
+            (r["term"], int(r["hits"]), round(r["score"], 9))
+            for _, r in got.iterrows()
+        ]
+        assert rows == [(t, h, round(s, 9)) for t, h, s in exp]
+    assert {exp[0][0], exp[1][0]} == QT  # query terms dominate (ES-like)
+    # filters compose (right-side cogroup on the distributed path):
+    # foreground hits count only filter-surviving matched docs
+    got_f = dist.significant_terms(Q, k=5, filters={"doclen": {"gte": 40}})
+    from collections import Counter
+
+    m = pdf[pdf["doclen"] >= 40]
+    fgc = Counter(
+        t
+        for s in m[m["content"].map(lambda s: QT <= _toks(s))]["content"]
+        for t in _toks(s)
+    )
+    assert len(got_f) > 0
+    assert all(int(r["hits"]) == fgc[r["term"]] for _, r in got_f.iterrows())
+
+
 def test_facets_respects_tombstones(spark, corpus):
     """Deleted docs must drop out of facet counts on every tier."""
     from gofias_spark.index.merge import apply_delta
