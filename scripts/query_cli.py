@@ -109,6 +109,24 @@ def main() -> None:
     h.add_argument("--mode", default="and", choices=["and", "or"])
     h.add_argument("--filter", action="append")
 
+    fs = sub.add_parser("field-stats")
+    fs.add_argument("field")
+    fs.add_argument("query", nargs="?")
+    fs.add_argument("--mode", default="and", choices=["and", "or"])
+    fs.add_argument("--filter", action="append")
+
+    st = sub.add_parser("sig-terms")
+    st.add_argument("query")
+    st.add_argument("--k", type=int, default=10)
+    st.add_argument("--mode", default="and", choices=["and", "or"])
+    st.add_argument("--filter", action="append")
+    st.add_argument("--min-doc-count", type=int, default=3)
+
+    ml = sub.add_parser("more-like-this")
+    ml.add_argument("doc_id", type=int)
+    ml.add_argument("--k", type=int, default=10)
+    ml.add_argument("--filter", action="append")
+
     g = sub.add_parser("get")
     g.add_argument("--repo")
     g.add_argument("--path")
@@ -170,6 +188,28 @@ def main() -> None:
         )
         for _, r in pdf.iterrows():
             print(f"{r['bucket']:g}\t{int(r['cnt'])}")
+    elif args.cmd == "field-stats":
+        print(json.dumps(eng.field_stats(
+            args.field, args.query, mode=args.mode,
+            filters=_filters(args.filter),
+        )))
+    elif args.cmd == "sig-terms":
+        pdf = eng.significant_terms(
+            args.query, k=args.k, mode=args.mode,
+            filters=_filters(args.filter),
+            min_doc_count=args.min_doc_count,
+        )
+        for _, r in pdf.iterrows():
+            print(f"{r['score']:.6f}\t{int(r['hits'])}\t{r['term']}")
+    elif args.cmd == "more-like-this":
+        res = eng.more_like_this(
+            args.doc_id, k=args.k, filters=_filters(args.filter)
+        )
+        for r in res.collect():
+            print(
+                f"{r['score']:.6f}\t{r['doc_id']}\t{r['repo']}/{r['path']}"
+                f"@{r['commit']}\t{r['lang']}"
+            )
     elif args.cmd == "get":
         key = {
             k: v
