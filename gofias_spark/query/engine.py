@@ -2547,6 +2547,81 @@ class SearchEngine:
         empty["fragments"] = [frags_by_id.get(i, []) for i in ids]
         return empty
 
+    def explain_doc(self, query: str, doc_id: int) -> dict:
+        """ES _explain analogue: the per-term BM25 breakdown of one doc's
+        score for a query — (tf, df, idf, contribution) per analyzed term
+        plus the total and whether the doc matches under AND semantics.
+        Driver-side: one pruned doc-store row + the cached stats; no
+        postings scan (tf recomputes from the stored content with the
+        same tokenizer that built the index — identical by the sha256
+        round-trip invariant). Exact on standard-analyzer indexes; on a
+        gram-mode index the INDEXED tf of a term also counts its
+        occurrences inside longer tokens' grams, so the breakdown there
+        is the standard-token view, not the gram-index view."""
+        qterms = analyze_query(query, self.analyzer)
+        out: dict = {"query": query, "doc_id": int(doc_id), "terms": {}}
+        row = self.get_doc(doc_id).select("content", "doclen").limit(1).collect()
+        if not row:
+            out.update(matches=False, score=0.0, reason="doc not found")
+            return out
+        from collections import Counter
+
+        tf = Counter(
+            tokenize_text(
+                row[0]["content"] or "",
+                AnalyzerConfig(
+                    mode="standard", token_pattern=self.analyzer.token_pattern
+                ),
+            )
+        )
+        dl = float(row[0]["doclen"])
+        dfs = self._term_dfs(qterms)
+        k1, b = self.bm25.k1, self.bm25.b
+        total = 0.0
+        for t in qterms:
+            idf = self._idf(dfs[t]) if dfs[t] else 0.0
+            f = float(tf.get(t, 0))
+            contrib = (
+                idf * f * (k1 + 1.0)
+                / (f + k1 * (1.0 - b + b * dl / self.avgdl))
+                if f
+                else 0.0
+            )
+            out["terms"][t] = {
+                "tf": int(f), "df": int(dfs[t]), "idf": idf,
+                "contribution": contrib,
+            }
+            total += contrib
+        out["matches"] = all(tf.get(t, 0) > 0 for t in qterms)
+        out["score"] = total if out["matches"] else 0.0
+        out["doclen"] = int(dl)
+        out["avgdl"] = self.avgdl
+        return out
+
+    def termvectors(self, doc_id: int) -> pd.DataFrame:
+        """ES _termvectors analogue: (term, tf) for one doc, term asc —
+        recomputed from the stored content with the index analyzer's
+        tokenizer (one pruned doc-store row, driver-side)."""
+        row = self.get_doc(doc_id).select("content").limit(1).collect()
+        if not row or not row[0]["content"]:
+            return pd.DataFrame({"term": pd.Series(dtype=object),
+                                 "tf": pd.Series(dtype="int64")})
+        from collections import Counter
+
+        tf = Counter(
+            tokenize_text(
+                row[0]["content"],
+                AnalyzerConfig(
+                    mode="standard", token_pattern=self.analyzer.token_pattern
+                ),
+            )
+        )
+        terms = sorted(tf)
+        return pd.DataFrame(
+            {"term": terms,
+             "tf": pd.Series([tf[t] for t in terms], dtype="int64")}
+        )
+
     def significant_terms(
         self,
         query: str,

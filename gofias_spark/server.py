@@ -19,6 +19,8 @@ Routes (reference analogues):
     GET /api/v1/field_stats?field=..[&term=..&match=..]          stats agg
     GET /api/v1/more_like_this?doc_id=..[&size=..]               MLT query
     GET /api/v1/significant_terms?term=..[&size=..&match=..]     sig-terms agg
+    GET /api/v1/explain?term=..&doc_id=..                        _explain
+    GET /api/v1/termvectors?doc_id=..                            _termvectors
     GET /api/v1/version                                          GetVersion
     GET /health                                                  CheckHealth
 
@@ -369,6 +371,20 @@ def make_handler(api: FulltextAPI):
                     except ValueError as exc:  # unknown field / bad interval
                         raise BadRequest(str(exc)) from exc
                     self._json({"buckets": _items(pdf)})
+                elif url.path in ("/api/v1/explain", "/api/v1/termvectors"):
+                    try:
+                        src = int(q.get("doc_id", [""])[0])
+                    except ValueError:
+                        raise BadRequest(
+                            "doc_id= is required and integer"
+                        ) from None
+                    if url.path.endswith("explain"):
+                        if not _term(q):
+                            raise BadRequest("term= is required")
+                        self._json(api.engine.explain_doc(_term(q), src))
+                    else:
+                        tv = api.engine.termvectors(src)
+                        self._json({"terms": _items(tv)})
                 elif url.path == "/api/v1/significant_terms":
                     if not _term(q):
                         raise BadRequest("term= is required")

@@ -91,6 +91,30 @@ def test_must_not_in_explain(spark, root):
     assert noneg["posting_volume"] == noneg["terms"]["func"]
 
 
+def test_explain_doc_matches_search_score(spark, root):
+    """ES _explain analogue: the per-term breakdown's total equals the
+    kernel's BM25 score for the same (query, doc) to float precision,
+    and termvectors' tf agrees with the breakdown."""
+    eng = SearchEngine(spark, root)
+    eng.warm()
+    hits = eng.search("func return", k=3).collect()
+    assert hits
+    for h in hits:
+        ex = eng.explain_doc("func return", h["doc_id"])
+        assert ex["matches"] is True
+        assert abs(ex["score"] - h["score"]) < 1e-9
+        tv = eng.termvectors(h["doc_id"])
+        tfmap = dict(zip(tv["term"], tv["tf"]))
+        for t, d in ex["terms"].items():
+            assert tfmap.get(t, 0) == d["tf"]
+    miss = eng.explain_doc("func zzznotaterm", hits[0]["doc_id"])
+    assert miss["matches"] is False and miss["score"] == 0.0
+    assert miss["terms"]["zzznotaterm"]["contribution"] == 0.0
+    gone = eng.explain_doc("func", 10**15)
+    assert gone["matches"] is False and gone["reason"] == "doc not found"
+    assert len(eng.termvectors(10**15)) == 0
+
+
 def test_route_matches_actual_dispatch(spark, root):
     """The explain is honest: take the route it names and confirm search()
     used that machinery (serve tier -> zero Spark jobs)."""
