@@ -37,6 +37,7 @@ class FulltextAPI:
         prefix_index_root: str | None = None,
     ):
         self.spark = spark
+        self.index_root = str(index_root)
         self.engine = SearchEngine(spark, index_root)
         self.prefix_engine = (
             SearchEngine(spark, prefix_index_root)
@@ -284,6 +285,60 @@ class FulltextAPI:
         return self.engine.field_stats(
             field, term, mode=mode, filters=filters
         )
+
+    def delete_by_query(
+        self,
+        term: str,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+        must_not: str | None = None,
+    ) -> dict:
+        """ES _delete_by_query analogue: resolve every matching doc's
+        identity key distributedly (SearchEngine.matched_keys — no driver
+        materialization of the match set) and MERGE the deletions through
+        the normal tombstone path. Reopens the engine on the updated
+        manifest and returns it."""
+        keys = self.engine.matched_keys(
+            term, mode=mode, filters=filters, must_not=must_not
+        )
+        from gofias_spark.index.merge import apply_delta
+
+        manifest = apply_delta(
+            self.spark, self.index_root, deletes=keys
+        )
+        self._reopen()
+        return manifest
+
+    def reindex(
+        self,
+        dest_root: str,
+        cfg=None,
+    ) -> dict:
+        """ES _reindex analogue: rebuild a NEW index at ``dest_root`` from
+        this index's live doc store (tombstones excluded), optionally under
+        a different IndexConfig (analyzer mode, bucket count, positions).
+        The doc store IS the source of truth (sha256 round-trip invariant),
+        so reindexing needs no original input table. Returns the new
+        index's manifest."""
+        from gofias_spark.config import IndexConfig
+        from gofias_spark.index.build import build_segment
+
+        docs = self.engine.get_doc().select(
+            "repo", "path", "commit", "lang",
+            F.col("content").alias("content"),
+        )
+        cfg = cfg or IndexConfig(
+            n_buckets=self.engine.manifest["config"]["n_buckets"],
+            block_size=self.engine.manifest["config"]["block_size"],
+        )
+        return build_segment(self.spark, docs, dest_root, cfg)
+
+    def _reopen(self) -> None:
+        """Swap in a fresh engine over the updated on-disk state."""
+        self.engine.close()
+        self.engine = SearchEngine(self.spark, self.index_root)
+        self.engine.warm()
 
     def version(self) -> dict:
         return self.engine.stats()

@@ -2547,6 +2547,86 @@ class SearchEngine:
         empty["fragments"] = [frags_by_id.get(i, []) for i in ids]
         return empty
 
+    def matched_keys(
+        self,
+        query: str,
+        mode: str = "and",
+        filters: dict | None = None,
+        must_not: str | None = None,
+    ) -> DataFrame:
+        """Identity keys (repo, path) of EVERY doc matching the query —
+        the input shape ``apply_delta(deletes=...)`` takes, enabling
+        ES-style delete_by_query (see ``gofias_spark.api.delete_by_query``).
+        Distributed end to end: per-partition match_ids ride the postings
+        cogroup, the k-free id set joins doc_meta co-partitioned by
+        doc_part — no driver materialization of the match set."""
+        self._validate_filters(filters)
+        empty = self.spark.createDataFrame([], "repo string, path string")
+        if filters_impossible(filters):
+            return empty.limit(0)
+        qterms = analyze_query(query, self.analyzer)
+        dfs = self._term_dfs(qterms)
+        if mode == "and":
+            if not qterms or any(dfs[t] == 0 for t in qterms):
+                return empty.limit(0)
+        else:
+            qterms = [t for t in qterms if dfs[t] > 0]
+            if not qterms:
+                return empty.limit(0)
+        neg = self._neg_terms(must_not, dfs)
+        if mode == "and" and not set(qterms).isdisjoint(neg):
+            return empty.limit(0)
+        fterms, fmode, fneg = qterms, mode, neg
+        right, right_kind = self._right_side(filters)
+        blocks = self.postings.filter(F.col("term").isin(qterms + neg))
+
+        def ids_of(pdf, allowed, excluded):
+            pdf, excluded = K.apply_neg(pdf, fneg, excluded)
+            ids = K.match_ids(pdf, fterms, fmode, allowed, excluded)
+            return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+        if right is None or (
+            right_kind == "excluded" and self._tomb_bc is not None
+        ):
+            tomb_bc = self._tomb_bc if right is not None else None
+
+            def map_ids(batches):
+                pdfs = list(batches)
+                if not pdfs:
+                    return
+                pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
+                excl = tomb_bc.value if tomb_bc is not None else None
+                yield ids_of(pdf, None, excl)
+
+            matched = blocks.mapInPandas(map_ids, schema="doc_id long")
+        else:
+
+            def cokernel(left, right_pdf):
+                if len(left) == 0:
+                    return pd.DataFrame(
+                        {"doc_id": pd.Series(dtype="int64")}
+                    )
+                allowed = excluded = None
+                ids = (
+                    np.sort(right_pdf["doc_id"].to_numpy(dtype=np.int64))
+                    if len(right_pdf)
+                    else np.empty(0, dtype=np.int64)
+                )
+                if right_kind == "allowed":
+                    allowed = ids
+                elif right_kind == "excluded":
+                    excluded = ids
+                return ids_of(left, allowed, excluded)
+
+            matched = (
+                blocks.groupby("doc_part")
+                .cogroup(right.groupby("doc_part"))
+                .applyInPandas(cokernel, schema="doc_id long")
+            )
+        return matched.join(
+            self.doc_meta.select("doc_id", "repo", "path"), "doc_id"
+        ).select("repo", "path")
+
     def explain_doc(self, query: str, doc_id: int) -> dict:
         """ES _explain analogue: the per-term BM25 breakdown of one doc's
         score for a query — (tf, df, idf, contribution) per analyzed term

@@ -114,3 +114,53 @@ def test_untouched_partition_lineage_unchanged(spark, merged_index):
         (engine.store.seg_dir(0) / "meta.json").read_text()
     )
     assert seg0_after["partitions"] == seg0_before["partitions"]
+
+
+def test_delete_by_query_and_reindex(spark, tmp_path_factory):
+    """ES _delete_by_query / _reindex analogues: query-resolved deletions
+    flow through the normal tombstone MERGE; a reindex from the doc store
+    reproduces a standalone equivalent index."""
+    import shutil
+
+    from gofias_spark.api import FulltextAPI
+
+    root = str(tmp_path_factory.mktemp("dbqidx"))
+    build_segment(spark, synth_corpus(spark, 120), root, CFG)
+    api = FulltextAPI(spark, root)
+    api.engine.warm()
+    n_before = api.version()["n_docs"]
+    n_match = api.count("return switch")
+    assert 0 < n_match
+    # filtered delete: only the matching py docs go
+    n_match_py = api.count("return switch", filters={"lang": "py"})
+    assert 0 < n_match_py < n_match
+    api.delete_by_query("return switch", filters={"lang": "py"})
+    assert api.count("return switch", filters={"lang": "py"}) == 0
+    assert api.count("return switch") == n_match - n_match_py
+    assert api.version()["n_docs"] == n_before - n_match_py
+    # unfiltered delete removes the rest of the matches
+    api.delete_by_query("return switch")
+    assert api.count("return switch") == 0
+    assert api.version()["n_docs"] == n_before - n_match
+    # a surviving query still works and excludes deleted docs
+    assert api.count("common_util") > 0
+
+    # reindex the post-delete state into a fresh root: identical counts
+    # and identical top-k (rank identity across the rebuild)
+    dest = str(tmp_path_factory.mktemp("reidx"))
+    shutil.rmtree(dest, ignore_errors=True)
+    api.reindex(dest)
+    r2 = SearchEngine(spark, dest)
+    r2.warm()
+    assert r2.count("common_util") == api.count("common_util")
+    a = [
+        (r["repo"], r["path"], round(r["score"], 9))
+        for r in api.search_by_term("common_util", size=10).collect()
+    ]
+    b = [
+        (r["repo"], r["path"], round(r["score"], 9))
+        for r in r2.search("common_util", k=10).collect()
+    ]
+    assert a == b
+    api.close()
+    r2.close()
