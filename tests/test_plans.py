@@ -117,3 +117,17 @@ def test_phrase_verify_is_broadcast_join(engine):
     assert C.uses_broadcast_join(df), plan[:2000]
     assert "RLIKE" in plan or "rlike" in plan, plan[:2000]
     assert "BatchEvalPython" not in plan, plan[:2000]
+
+
+def test_matched_keys_plan_shapes(engine):
+    """delete_by_query's match resolution: unfiltered = one-call-per-
+    partition MapInPandas (no per-doc_part grouping); filtered = the
+    co-partitioned cogroup. Either way the match set stays distributed —
+    no collect in the lineage."""
+    df = engine.matched_keys("common_util func")
+    plan = C.physical_plan(df)
+    assert "MapInPandas" in plan, plan[:2000]
+    assert "FlatMapCoGroupsInPandas" not in plan, plan[:2000]
+    df_f = engine.matched_keys("common_util", filters={"lang": "py"})
+    plan_f = C.physical_plan(df_f)
+    assert "FlatMapCoGroupsInPandas" in plan_f, plan_f[:2000]
