@@ -132,6 +132,32 @@ def _q_ft_must_not(spark, sf):
     )
 
 
+def _q_ft_msm(spark, sf):
+    """ES bool.should minimum_should_match: docs matching >= 2 of the 3
+    query terms qualify, score = sum of the MATCHED terms' contributions
+    (Lucene MinShouldMatchSumScorer). Strict-middle semantics (msm=2 result
+    set strictly between OR and AND) are oracle-gated against the
+    pure-Python reference in tests/test_msm_boost.py on a corpus built to
+    discriminate; this entry hash-checks the e2e path vs DuckDB."""
+    return _ft(
+        _engine(spark, sf).search(
+            "dup key fast", k=10, mode="or", minimum_should_match=2
+        )
+    )
+
+
+def _q_ft_boosted(spark, sf):
+    """Query-time clause boosts (ES term^w): the boost multiplies the
+    term's idf, exactly where Lucene applies BoostQuery weights, so
+    block-max bounds and pruning stay consistent on every tier."""
+    return _ft(
+        _engine(spark, sf).search(
+            "vector stream customer", k=10, mode="or",
+            boosts={"vector": 2.5, "stream": 0.5},
+        )
+    )
+
+
 def _q_ft_search_after(spark, sf):
     """ES search_after analogue (cursor paging): page 2 fetched via the
     (score, doc_id) cursor of page 1's last hit must equal OFFSET-k paging
@@ -825,6 +851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_and_filter_lang": _q_ft_filter,
         "ft_top1": _q_ft_top1,
         "ft_must_not": _q_ft_must_not,
+        "ft_msm": _q_ft_msm,
+        "ft_boosted": _q_ft_boosted,
         "ft_search_after": _q_ft_search_after,
         "ft_filter_range": _q_ft_filter_range,
         "ft_sort_attr": _q_ft_sort_attr,
@@ -905,6 +933,8 @@ def _bm25_sql(
     fuzzy: str | None = None,
     wildcard: str | None = None,
     must_not: list[str] | None = None,
+    msm: int | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> str:
     if fuzzy is not None:
         # term set = the distance-<=1 vocabulary neighborhood, OR-scored
@@ -945,6 +975,15 @@ def _bm25_sql(
     and_clause = (
         f"WHERE matched = {len(set(terms))}" if mode == "and" else ""
     )
+    if msm is not None and mode == "or":
+        # ES bool.should minimum_should_match: >= msm distinct matched terms
+        and_clause = f"WHERE matched >= {msm}"
+    boost_expr = ""
+    if boosts:
+        # ES clause boost: multiplies the term's idf inside the sum
+        cases = " ".join(f"WHEN '{t}' THEN {float(w)}"
+                         for t, w in boosts.items())
+        boost_expr = f"* (CASE tf.term {cases} ELSE 1.0 END)"
     if sort_lang_first:
         select = (
             "SELECT s.doc_id, d.lang, round(s.score, 4) AS score "
@@ -966,7 +1005,7 @@ tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
 df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 scored AS (
   SELECT tf.doc_id,
-         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) {boost_expr}
              * tf.tf * {K1 + 1.0}
              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score,
          count(*) AS matched
@@ -1068,6 +1107,11 @@ def oracle_sql() -> dict[str, str]:
         "ft_and_filter_lang": _bm25_sql(["table", "scan"], 10, lang="en"),
         "ft_top1": _bm25_sql(["merge", "batch"], 1),
         "ft_must_not": _bm25_sql(["spark", "join"], 10, must_not=["scan"]),
+        "ft_msm": _bm25_sql(["dup", "key", "fast"], 10, mode="or", msm=2),
+        "ft_boosted": _bm25_sql(
+            ["vector", "stream", "customer"], 10, mode="or",
+            boosts={"vector": 2.5, "stream": 0.5},
+        ),
         "ft_search_after": _bm25_sql(["spark", "join"], 10, offset=10),
         "ft_filter_range": _bm25_sql(
             ["table", "scan"], 10, dl_range=(120, 400)

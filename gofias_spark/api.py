@@ -72,6 +72,31 @@ class FulltextAPI:
             after=after,
         )
 
+    def search_bool(
+        self,
+        term: str,
+        size: int = 100,
+        from_: int = 0,
+        mode: str = "or",
+        minimum_should_match: int | None = None,
+        boosts: dict[str, float] | None = None,
+        filters: dict | None = None,
+        as_pandas: bool = False,
+        must_not: str | None = None,
+    ):
+        """ES bool.should surface: OR match with ``minimum_should_match``
+        (docs matching >= that many distinct query terms qualify; score =
+        sum of matched terms' contributions — Lucene
+        MinShouldMatchSumScorer) and per-term clause ``boosts`` (term^w:
+        the weight multiplies the term's idf). ``mode='and'`` is accepted
+        for boosted conjunctive queries (msm is rejected there — every
+        term is already required)."""
+        return self.engine.search(
+            term, k=size, offset=from_, mode=mode, filters=filters,
+            as_pandas=as_pandas, must_not=must_not,
+            minimum_should_match=minimum_should_match, boosts=boosts,
+        )
+
     def search_phrase(
         self,
         phrase: str,

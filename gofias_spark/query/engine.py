@@ -739,6 +739,25 @@ class SearchEngine:
             json.dumps(state, sort_keys=True).encode()
         ).hexdigest()[:12]
 
+    def _boosted_idf(
+        self, idf: dict[str, float], boosts: dict[str, float]
+    ) -> dict[str, float]:
+        """Apply query-time clause boosts: each boost key is analyzed with
+        the query analyzer and its weight multiplies the matching term's
+        idf (Lucene multiplies the clause boost into the term's weight at
+        exactly this point, so block-max bounds stay valid)."""
+        bmap: dict[str, float] = {}
+        for raw, w in boosts.items():
+            w = float(w)
+            if not w > 0:
+                raise ValueError(
+                    f"boost for {raw!r} must be > 0, got {w} (non-positive "
+                    "weights would invalidate block-max upper bounds)"
+                )
+            for t in analyze_query(str(raw), self.analyzer):
+                bmap[t] = w
+        return {t: v * bmap.get(t, 1.0) for t, v in idf.items()}
+
     def _term_dfs(self, qterms: list[str]) -> dict[str, int]:
         if self._stats_cache is not None:
             return {t: self._stats_cache.get(t, 0) for t in qterms}
@@ -778,6 +797,8 @@ class SearchEngine:
         as_pandas: bool = False,
         must_not: str | None = None,
         after: tuple[float, int] | None = None,
+        minimum_should_match: int | None = None,
+        boosts: dict[str, float] | None = None,
     ):
         """BM25 top-k. ``mode='and'`` = reference match operator=and semantics;
         ``offset`` mirrors from/size paging (O4, default size 100 in
@@ -814,9 +835,32 @@ class SearchEngine:
         elasticAddressRepository.go:489-493). The top-k heap is over the
         COMPOSITE key (per-partition composite top-k + global merge), not a
         re-sort of the score-ranked page. doc_id asc is the implicit final
-        tie-break."""
+        tie-break.
+
+        ``minimum_should_match`` (ES bool.should msm, mode='or' only): only
+        docs matching at least that many distinct query terms qualify;
+        score = sum of the matched terms' contributions. Degenerate values
+        route to the pruned kernels (msm<=1 → plain OR, msm>=n_terms → AND
+        over the present terms); only the strict middle pays the unpruned
+        counting kernel (kernel.score_msm).
+
+        ``boosts`` = query-time per-term weights (ES ``term^2.5`` clause
+        boost): each key is analyzed with the query analyzer and its weight
+        multiplies the matching term's idf — exactly where Lucene applies
+        clause boosts, so block-max bounds, pruning, and rank order stay
+        consistent on every tier. Keys absent from the query are ignored;
+        weights must be > 0 (a non-positive weight would invalidate the
+        block upper bounds)."""
         spark = self.spark
         self._validate_filters(filters)
+        if minimum_should_match is not None:
+            if mode != "or":
+                raise ValueError(
+                    "minimum_should_match requires mode='or' (with 'and' "
+                    "every term is already required)"
+                )
+            if minimum_should_match < 1:
+                raise ValueError("minimum_should_match must be >= 1")
         if filters_impossible(filters):
             return self._empty_result(with_meta, sort_by=sort_by,
                                       as_pdf=as_pandas)
@@ -829,6 +873,13 @@ class SearchEngine:
         else:
             qterms = [t for t in qterms if dfs[t] > 0]
             if not qterms:
+                return self._empty_result(with_meta, sort_by=sort_by,
+                                          as_pdf=as_pandas)
+            # ES msm counts MATCHING clauses: a zero-df term can never
+            # match, so dropping it with msm unchanged is equivalent —
+            # and msm beyond the surviving terms can never be satisfied.
+            if (minimum_should_match is not None
+                    and minimum_should_match > len(qterms)):
                 return self._empty_result(with_meta, sort_by=sort_by,
                                           as_pdf=as_pandas)
         neg_terms = self._neg_terms(must_not, dfs)
@@ -844,21 +895,24 @@ class SearchEngine:
             if offset:
                 raise ValueError("use after OR offset, not both")
         idf = {t: self._idf(dfs[t]) for t in qterms}
+        if boosts:
+            idf = self._boosted_idf(idf, boosts)
         topn = offset + k
         if sort_by:
             return self._search_sorted(
                 qterms, idf, dfs, k, offset, mode, filters, sort_by,
                 with_meta, as_pandas, neg_terms,
+                msm=minimum_should_match,
             )
         if self._local_blocks is not None:
             return self._local_search(
                 qterms, idf, topn, offset, k, mode, filters, with_meta,
-                as_pandas, neg_terms, after,
+                as_pandas, neg_terms, after, msm=minimum_should_match,
             )
         if self._serve_route(dfs, filters):
             return self._serve_search(
                 qterms, idf, topn, offset, k, mode, with_meta, filters,
-                as_pandas, neg_terms, after,
+                as_pandas, neg_terms, after, msm=minimum_should_match,
             )
         params = dict(
             qterms=qterms,
@@ -871,7 +925,7 @@ class SearchEngine:
         blocks = self.postings.filter(
             F.col("term").isin(qterms + neg_terms)
         )
-        fn = K.score_and if mode == "and" else K.score_or
+        fn = K.select_kernel(mode, minimum_should_match, len(qterms))
         if after is not None:
             # per-partition: exact scoring, cursor filter, head(topn) —
             # the global TakeOrderedAndProject merge below is unchanged
@@ -1360,7 +1414,7 @@ class SearchEngine:
     def _serve_search(
         self, qterms, idf, topn, offset, k, mode, with_meta, filters=None,
         as_pdf=False, neg_terms: list[str] | None = None,
-        after: tuple[float, int] | None = None,
+        after: tuple[float, int] | None = None, msm: int | None = None,
     ):
         """Term-pruned path: partition-pruned scan of the serve cache (tasks
         ∝ query terms), kernels run driver-side on the collected blocks —
@@ -1380,7 +1434,7 @@ class SearchEngine:
         neg = list(neg_terms or [])
         blocks = self._serve.fetch(list(dict.fromkeys(qterms + neg)))
         blocks, excluded = K.apply_neg(blocks, neg, self._tomb_arr)
-        fn = K.score_and if mode == "and" else K.score_or
+        fn = K.select_kernel(mode, msm, len(qterms))
         if after is not None:
             fn = K.paged(fn, after)
         if not filters:
@@ -1498,6 +1552,7 @@ class SearchEngine:
     def _search_sorted(
         self, qterms, idf, dfs, k, offset, mode, filters, sort_by, with_meta,
         as_pdf=False, neg_terms: list[str] | None = None,
+        msm: int | None = None,
     ):
         """Composite-key top-k (O1/O2/O3): attribute keys can dominate the
         score, so relevance pruning is off (topn=None scores ALL matches);
@@ -1512,7 +1567,7 @@ class SearchEngine:
             qterms=qterms, idf=idf, avgdl=self.avgdl,
             k1=self.bm25.k1, b=self.bm25.b, topn=None,
         )
-        fn = K.score_and if mode == "and" else K.score_or
+        fn = K.select_kernel(mode, msm, len(qterms))
         neg = list(neg_terms or [])
         if self._local_blocks is not None:
             blocks = self._local_blocks[
@@ -1723,7 +1778,7 @@ class SearchEngine:
     def _local_search(
         self, qterms, idf, topn, offset, k, mode, filters, with_meta,
         as_pdf=False, neg_terms: list[str] | None = None,
-        after: tuple[float, int] | None = None,
+        after: tuple[float, int] | None = None, msm: int | None = None,
     ):
         neg = list(neg_terms or [])
         blocks = self._local_blocks[
@@ -1731,7 +1786,7 @@ class SearchEngine:
         ]
         allowed, excluded = self._local_masks(filters)
         blocks, excluded = K.apply_neg(blocks, neg, excluded)
-        fn = K.score_and if mode == "and" else K.score_or
+        fn = K.select_kernel(mode, msm, len(qterms))
         if after is not None:
             fn = K.paged(fn, after)
         r = fn(

@@ -241,6 +241,85 @@ def score_or(
     return _topn(doc, score, topn)
 
 
+def score_msm(
+    blocks: pd.DataFrame,
+    qterms: list[str],
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    topn: int | None,
+    msm: int = 2,
+    allowed: np.ndarray | None = None,
+    excluded: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Disjunctive BM25 with ES ``minimum_should_match``: only docs matching
+    at least ``msm`` distinct query terms qualify; score = sum of the
+    matched terms' contributions (exactly ES's bool.should semantics,
+    Lucene ``MinShouldMatchSumScorer``).
+
+    Exact, and deliberately UNPRUNED: θ-skipping a block (score_or's
+    block-max WAND) would undercount a doc's matched-clause tally, and a
+    count-aware rescue must decode every pruned block's id range anyway —
+    so msm pays the full decode of the query terms' postings (the naive-OR
+    bound). The engine routes the degenerate forms away from this kernel:
+    msm<=1 → score_or (pruned), msm==len(qterms) → score_and
+    (intersection-pruned), msm>len(present terms) → empty.
+
+    Correctness under partitioning: a doc's postings for every term share
+    its doc_part (and hence its cache partition), so per-partition tallies
+    are complete — the same invariant score_and's intersection relies on.
+    """
+    present = [t for t in qterms if (blocks["term"] == t).any()]
+    if len(present) < msm or not present:
+        return _empty()
+    docs_l, vals_l, terms_l = [], [], []
+    for t in present:
+        g = blocks[blocks["term"] == t]
+        ids, tf, dl = _decode_term(g)
+        keep = _apply_mask(ids, allowed, excluded)
+        if not keep.all():
+            ids, tf, dl = ids[keep], tf[keep], dl[keep]
+        if ids.size == 0:
+            continue
+        docs_l.append(ids)
+        vals_l.append(_bm25_contrib(tf, dl, idf[t], k1, b, avgdl))
+        terms_l.append(np.full(ids.size, qterms.index(t), dtype=np.int32))
+    if not docs_l:
+        return _empty()
+    doc, score, nmatch = _sum_contribs_counts(docs_l, vals_l, terms_l)
+    ok = nmatch >= msm
+    return _topn(doc[ok], score[ok], topn)
+
+
+def msm(m: int):
+    """Kernel factory: a ``score_msm`` bound to ``m`` with the standard
+    kernel signature, so every tier substitutes it for score_and/score_or
+    unchanged (same pattern as ``paged``)."""
+
+    def wrapped(blocks, qterms, idf, avgdl, k1, b, topn,
+                allowed=None, excluded=None):
+        return score_msm(blocks, qterms, idf, avgdl, k1, b, topn, msm=m,
+                         allowed=allowed, excluded=excluded)
+
+    return wrapped
+
+
+def select_kernel(mode: str, msm_n: int | None, n_terms: int):
+    """Scoring-kernel dispatch shared by every tier. Degenerate
+    minimum_should_match values route to the cheaper pruned kernels:
+    msm<=1 is plain OR (block-max WAND), msm==n_terms is AND
+    (rarest-first intersection); only 1 < msm < n_terms needs the
+    unpruned counting kernel."""
+    if mode == "and":
+        return score_and
+    if msm_n is None or msm_n <= 1:
+        return score_or
+    if msm_n >= n_terms:
+        return score_and
+    return msm(msm_n)
+
+
 def match_ids(
     blocks: pd.DataFrame,
     qterms: list[str],
@@ -405,6 +484,21 @@ def _sum_contribs(docs_l, vals_l, terms_l):
     uniq, starts = np.unique(docs, return_index=True)
     sums = np.add.reduceat(vals, starts)
     return uniq, sums
+
+
+def _sum_contribs_counts(docs_l, vals_l, terms_l):
+    """_sum_contribs plus the distinct-term match count per doc: each term
+    contributes a given doc at most once (a term's blocks cover disjoint
+    id ranges), so rows-per-doc IS the matched-clause tally."""
+    docs = np.concatenate(docs_l)
+    vals = np.concatenate(vals_l)
+    tpos = np.concatenate(terms_l)
+    order = np.lexsort((tpos, docs))
+    docs, vals = docs[order], vals[order]
+    uniq, starts = np.unique(docs, return_index=True)
+    sums = np.add.reduceat(vals, starts)
+    counts = np.diff(np.append(starts, docs.size))
+    return uniq, sums, counts
 
 
 def _kth_score(docs_l, vals_l, terms_l, k) -> float:

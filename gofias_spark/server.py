@@ -155,6 +155,34 @@ def _after_from_query(q: dict) -> tuple[float, int] | None:
         raise BadRequest(f"bad search_after cursor: {exc}") from None
 
 
+def _msm_from_query(q: dict) -> int | None:
+    raw = q.get("minimum_should_match", [None])[0]
+    if raw is None:
+        return None
+    try:
+        return int(raw)
+    except ValueError:
+        raise BadRequest("minimum_should_match must be an integer") from None
+
+
+def _boosts_from_query(q: dict) -> dict[str, float] | None:
+    """Repeated ``boost=term:weight`` params -> {term: weight} (ES term^w
+    clause boosts). Weight validation (> 0) happens in the engine."""
+    raws = q.get("boost", [])
+    if not raws:
+        return None
+    out: dict[str, float] = {}
+    for raw in raws:
+        term, sep, w = raw.rpartition(":")
+        if not sep or not term:
+            raise BadRequest("boost must be term:weight")
+        try:
+            out[term] = float(w)
+        except ValueError:
+            raise BadRequest(f"bad boost weight {w!r}") from None
+    return out
+
+
 def _page(q: dict, default_size: int) -> tuple[int, int]:
     try:
         size = int(q.get("size", [str(default_size)])[0])
@@ -227,9 +255,9 @@ def make_handler(api: FulltextAPI):
                             raise BadRequest(
                                 f"exclude longer than {MAX_TERM_LEN} chars"
                             )
-                        if match != "and":
+                        if match not in ("and", "or"):
                             raise BadRequest(
-                                "exclude= supports match=and only"
+                                "exclude= supports match=and|or only"
                             )
                     after = _after_from_query(q)
                     if after is not None:
@@ -278,7 +306,8 @@ def make_handler(api: FulltextAPI):
                             _term(q), size=size, from_=from_,
                             filters=_filters_from_query(q), as_pandas=True,
                         )
-                    elif match == "and":
+                    elif match == "and" and not q.get("boost") and \
+                            "minimum_should_match" not in q:
                         pdf = api.search_by_term(
                             _term(q),
                             size=size,
@@ -289,9 +318,32 @@ def make_handler(api: FulltextAPI):
                             must_not=exclude,
                             after=after,
                         )
+                    elif match in ("and", "or"):
+                        # bool.should surface: minimum_should_match= and
+                        # repeated boost=term:weight clause boosts
+                        if sort_by or after is not None:
+                            raise BadRequest(
+                                "match=or supports neither sort= nor "
+                                "search_after= yet"
+                            )
+                        try:
+                            pdf = api.search_bool(
+                                _term(q),
+                                size=size,
+                                from_=from_,
+                                mode=match,
+                                minimum_should_match=_msm_from_query(q),
+                                boosts=_boosts_from_query(q),
+                                filters=_filters_from_query(q),
+                                as_pandas=True,
+                                must_not=exclude,
+                            )
+                        except ValueError as exc:
+                            raise BadRequest(str(exc)) from exc
                     else:
                         raise BadRequest(
-                            "match must be one of and|phrase|fuzzy|wildcard"
+                            "match must be one of and|or|phrase|fuzzy|"
+                            "wildcard"
                         )
                     if q.get("highlight", ["false"])[0].lower() in (
                         "1", "true",

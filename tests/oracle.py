@@ -84,12 +84,18 @@ class OracleIndex:
         offset: int = 0,
         mode: str = "and",
         predicate=None,
+        msm: int | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), AND semantics by default.
 
         ``predicate(attrs_of_doc) -> bool`` composes like the reference's
         bool filter context (unscored pre-filter,
-        elasticAddressRepository.go:449-452)."""
+        elasticAddressRepository.go:449-452).
+
+        ``msm`` = ES minimum_should_match (or-mode): doc must match at
+        least that many distinct query terms. ``boosts`` multiply a term's
+        idf (ES clause boost)."""
         # search-time analyzer is always standard+lowercase, distinct terms
         qterms: list[str] = []
         for t in tokenize(query):
@@ -108,6 +114,8 @@ class OracleIndex:
                 continue
             if not matched:
                 continue
+            if msm is not None and len(matched) < msm:
+                continue
             dl = self.dl[doc_id]
             s = 0.0
             for t in matched:
@@ -117,7 +125,8 @@ class OracleIndex:
                     * (K1 + 1.0)
                     / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
                 )
-                s += self.idf(t) * tfn
+                w = (boosts or {}).get(t, 1.0)
+                s += self.idf(t) * w * tfn
             scored.append((doc_id, s))
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[offset : offset + k]

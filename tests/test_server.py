@@ -395,3 +395,71 @@ def test_facets_route(gateway):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _get(base, "/api/v1/facets?field=lang&term=x&match=not")
     assert exc.value.code == 400
+
+
+def test_bool_msm_boost_route(gateway):
+    """match=or with minimum_should_match= and boost=term:w — the
+    bool.should surface — round-trips through the gateway and matches the
+    API facade."""
+    api, base = gateway
+    q = urllib.parse.quote("merge_6 update_7 shard_8")
+    status, res = _get(
+        base,
+        f"/api/v1/address/term?term={q}&match=or&minimum_should_match=2"
+        "&size=5",
+    )
+    assert status == 200 and len(res["items"]) == 5
+    direct = api.search_bool(
+        "merge_6 update_7 shard_8", size=5, mode="or",
+        minimum_should_match=2,
+    ).collect()
+    assert [i["doc_id"] for i in res["items"]] == [
+        r["doc_id"] for r in direct
+    ]
+
+    # clause boost reorders; boosted gateway result == boosted facade result
+    status, res = _get(
+        base,
+        f"/api/v1/address/term?term={q}&match=or&boost=shard_8:8.0&size=5",
+    )
+    assert status == 200
+    boosted = api.search_bool(
+        "merge_6 update_7 shard_8", size=5, mode="or",
+        boosts={"shard_8": 8.0},
+    ).collect()
+    assert [i["doc_id"] for i in res["items"]] == [
+        r["doc_id"] for r in boosted
+    ]
+
+    # boost also applies on the and-path (routes through search_bool)
+    q2 = urllib.parse.quote("merge_6 update_7")
+    status, res = _get(
+        base,
+        f"/api/v1/address/term?term={q2}&match=and&boost=merge_6:2.0&size=5",
+    )
+    assert status == 200
+    and_boosted = api.search_bool(
+        "merge_6 update_7", size=5, mode="and", boosts={"merge_6": 2.0}
+    ).collect()
+    assert [i["doc_id"] for i in res["items"]] == [
+        r["doc_id"] for r in and_boosted
+    ]
+
+    # validation surfaces as 400, not 500
+    assert _get_status(
+        base, f"/api/v1/address/term?term={q}&match=and"
+        "&minimum_should_match=2&boost=x:1"
+    ) == 400
+    assert _get_status(
+        base, f"/api/v1/address/term?term={q}&match=or"
+        "&minimum_should_match=nope"
+    ) == 400
+    assert _get_status(
+        base, f"/api/v1/address/term?term={q}&match=or&boost=bad"
+    ) == 400
+    assert _get_status(
+        base, f"/api/v1/address/term?term={q}&match=or&boost=shard_8:0"
+    ) == 400
+    assert _get_status(
+        base, f"/api/v1/address/term?term={q}&match=or&sort=lang:asc"
+    ) == 400
