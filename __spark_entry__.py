@@ -258,6 +258,42 @@ def _q_ft_histogram(spark, sf):
     return spark.createDataFrame(pdf, schema="bucket double, cnt long")
 
 
+def _q_ft_cardinality(spark, sf):
+    """ES cardinality aggregation (exact path): distinct doclen values
+    among docs matching an AND query. The distributed plan ends in a
+    map-side-combinable countDistinct over per-partition partial value
+    counts — the shuffle is distinct-values x partitions, never docs."""
+    n = _engine(spark, sf).cardinality("doclen", "table scan")
+    return spark.createDataFrame([(n,)], "cardinality long")
+
+
+def _q_ft_percentiles(spark, sf):
+    """ES percentiles aggregation: EXACT linear-interpolation quantiles
+    (numpy 'linear' == DuckDB quantile_cont; ES itself is t-digest
+    approximate) of doclen over matching docs, computed by weighted
+    interpolation over the grouped (value, cnt) table — the driver never
+    holds per-doc values."""
+    got = _engine(spark, sf).percentiles(
+        "doclen", (25.0, 50.0, 75.0, 95.0), "table scan"
+    )
+    row = tuple(round(got[p], 4) for p in (25.0, 50.0, 75.0, 95.0))
+    return spark.createDataFrame(
+        [row], "p25 double, p50 double, p75 double, p95 double"
+    )
+
+
+def _q_ft_range_agg(spark, sf):
+    """ES range aggregation: doc counts per [from, to) bucket (ES's
+    from-inclusive/to-exclusive contract, open ends, independent —
+    possibly overlapping — ranges), derived from the same grouped
+    value-count table as percentiles: no per-range jobs."""
+    pdf = _engine(spark, sf).range_agg(
+        "doclen", [(None, 300.0), (300.0, 500.0), (500.0, None)],
+        "table scan",
+    )
+    return spark.createDataFrame(pdf, schema="range string, cnt long")
+
+
 def _q_ft_more_like_this(spark, sf):
     """ES more_like_this analogue: the source doc's top-10 tf·idf terms
     (tf >= 2, df >= 5, tf·idf desc then term asc — the ES interestingness
@@ -864,6 +900,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_count": _q_ft_count,
         "ft_facets_lang": _q_ft_facets_lang,
         "ft_histogram": _q_ft_histogram,
+        "ft_cardinality": _q_ft_cardinality,
+        "ft_percentiles": _q_ft_percentiles,
+        "ft_range_agg": _q_ft_range_agg,
         "ft_field_stats": _q_ft_field_stats,
         "ft_more_like_this": _q_ft_more_like_this,
         "ft_significant_terms": _q_ft_significant_terms,
@@ -1156,6 +1195,43 @@ m AS (SELECT doc_id FROM tok WHERE term IN ('table', 'scan')
 SELECT floor(dl.dl / 100) * 100 AS bucket, count(*)::BIGINT AS cnt
 FROM m JOIN dl USING (doc_id)
 GROUP BY 1 ORDER BY 1
+""",
+        "ft_cardinality": f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+m AS (SELECT doc_id FROM tok WHERE term IN ('table', 'scan')
+      GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+SELECT count(DISTINCT dl.dl)::BIGINT AS cardinality
+FROM m JOIN dl USING (doc_id)
+""",
+        "ft_percentiles": f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+m AS (SELECT doc_id FROM tok WHERE term IN ('table', 'scan')
+      GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+SELECT round(quantile_cont(dl.dl, 0.25), 4) AS p25,
+       round(quantile_cont(dl.dl, 0.50), 4) AS p50,
+       round(quantile_cont(dl.dl, 0.75), 4) AS p75,
+       round(quantile_cont(dl.dl, 0.95), 4) AS p95
+FROM m JOIN dl USING (doc_id)
+""",
+        "ft_range_agg": f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+m AS (SELECT doc_id FROM tok WHERE term IN ('table', 'scan')
+      GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+j AS (SELECT dl.dl FROM m JOIN dl USING (doc_id))
+SELECT '*-300.0' AS range, (count(*) FILTER (WHERE dl < 300))::BIGINT AS cnt FROM j
+UNION ALL
+SELECT '300.0-500.0', (count(*) FILTER (WHERE dl >= 300 AND dl < 500))::BIGINT FROM j
+UNION ALL
+SELECT '500.0-*', (count(*) FILTER (WHERE dl >= 500))::BIGINT FROM j
 """,
         "ft_significant_terms": f"""
 WITH tok AS ({TOK}),

@@ -267,6 +267,51 @@ class FulltextAPI:
             field, interval, term, mode=mode, filters=filters
         )
 
+    def cardinality(
+        self,
+        field: str,
+        term: str | None = None,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+        exact: bool = True,
+    ) -> int:
+        """ES cardinality-aggregation analogue; see
+        SearchEngine.cardinality. Returns the distinct-value count."""
+        return self.engine.cardinality(
+            field, term, mode=mode, filters=filters, exact=exact
+        )
+
+    def percentiles(
+        self,
+        field: str,
+        ps: tuple[float, ...] = (25.0, 50.0, 75.0, 95.0, 99.0),
+        term: str | None = None,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+    ) -> dict:
+        """ES percentiles-aggregation analogue (exact linear-interpolation
+        quantiles); see SearchEngine.percentiles. Returns {p: value}."""
+        return self.engine.percentiles(
+            field, ps, term, mode=mode, filters=filters
+        )
+
+    def range_agg(
+        self,
+        field: str,
+        ranges: list,
+        term: str | None = None,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+    ):
+        """ES range-aggregation analogue ([from, to) buckets); see
+        SearchEngine.range_agg. Returns a pandas frame ['range', 'cnt']."""
+        return self.engine.range_agg(
+            field, ranges, term, mode=mode, filters=filters
+        )
+
     def significant_terms(
         self,
         term: str,

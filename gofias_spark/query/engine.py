@@ -2111,6 +2111,160 @@ class SearchEngine:
             field, query, mode, filters, None, float(interval), max_buckets
         )
 
+    def _require_numeric_field(self, field: str, op: str) -> None:
+        if field in ("doc_id", "doc_part") or \
+                field not in self.doc_meta.columns:
+            raise ValueError(f"unknown field {field!r}")
+        dtype = self.doc_meta.schema[field].dataType.simpleString()
+        if dtype not in ("int", "bigint", "smallint", "tinyint", "float",
+                         "double", "decimal"):
+            raise ValueError(f"{op} field {field!r} is {dtype}, not numeric")
+
+    def _matched_value_counts(
+        self, field: str, query: str | None, mode: str,
+        filters: dict | None,
+    ) -> pd.DataFrame:
+        """Complete ``(value, cnt)`` table of ``field`` over the docs
+        matching the query+filters — the shared statistic behind
+        cardinality / percentiles / range_agg. Same three-tier plan as
+        facets (k=None = no top-k cut); the distributed path shuffles only
+        per-partition partial counts (#distinct values x #partitions),
+        never the matched docs themselves."""
+        if field in ("doc_id", "doc_part") or field not in self.doc_meta.columns:
+            raise ValueError(f"unknown field {field!r}")
+        return self._agg_buckets(field, query, mode, filters, None, None,
+                                 None)
+
+    def cardinality(
+        self,
+        field: str,
+        query: str | None = None,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+        exact: bool = True,
+        rsd: float = 0.05,
+    ) -> int:
+        """ES cardinality-aggregation analogue: number of distinct
+        ``field`` values among matching docs (nulls excluded, like ES
+        missing-bucket semantics).
+
+        ``exact=True`` (default) counts from the grouped value table —
+        the group-by is map-side-combinable, so the shuffle is bounded by
+        distinct values x partitions. ES itself is always approximate
+        (HLL++); ``exact=False`` mirrors that with Spark's
+        ``approx_count_distinct`` (HLL++, relative error ``rsd``) — at
+        scale the sketches combine without materializing the value table
+        at all, which is the right plan when distinct values are huge
+        (e.g. cardinality of ``sha256``). The driver tiers (local/serve)
+        are exact either way: the values are already in hand."""
+        if not exact:
+            # approximate: HLL++ over the live, filter-surviving field
+            # column. query=None only (the matched-docs variant would need
+            # the sketch inside the cogroup kernel; the exact path already
+            # bounds that case by distinct-values, not docs).
+            if query is not None:
+                raise ValueError(
+                    "exact=False supports query=None (corpus-wide) "
+                    "cardinality; query-scoped cardinality is exact"
+                )
+            df = self.doc_meta.filter(F.col(field).isNotNull())
+            cond = compile_filters(filters)
+            if cond is not None:
+                df = df.filter(cond)
+            if self._tombstones is not None:
+                df = df.join(
+                    self._tombstones.select("doc_id"), "doc_id", "left_anti"
+                )
+            return int(
+                df.agg(F.approx_count_distinct(field, rsd)).collect()[0][0]
+            )
+        return int(len(self._matched_value_counts(field, query, mode,
+                                                  filters)))
+
+    def percentiles(
+        self,
+        field: str,
+        ps: tuple[float, ...] = (25.0, 50.0, 75.0, 95.0, 99.0),
+        query: str | None = None,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+    ) -> dict[float, float]:
+        """ES percentiles-aggregation analogue over a numeric field of the
+        matching docs. ES computes t-digest approximations; this computes
+        EXACT linear-interpolation quantiles (numpy 'linear' == DuckDB
+        ``quantile_cont``) from the grouped value-count table — weighted
+        interpolation over (value, cnt) rows, so the driver never holds
+        the per-doc values, only the distinct ones. Returns {p: value};
+        empty match -> {p: None}."""
+        self._require_numeric_field(field, "percentiles")
+        for p in ps:
+            if not 0.0 <= p <= 100.0:
+                raise ValueError(f"percentile {p} outside [0, 100]")
+        vc = self._matched_value_counts(field, query, mode, filters)
+        if not len(vc):
+            return {float(p): None for p in ps}
+        vals = vc[field].to_numpy(dtype=np.float64)
+        cnts = vc["cnt"].to_numpy(dtype=np.int64)
+        order = np.argsort(vals, kind="mergesort")
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)          # 1-based rank of each value's LAST copy
+        n = int(cum[-1])
+        out: dict[float, float] = {}
+        for p in ps:
+            h = (p / 100.0) * (n - 1)  # fractional 0-based rank (linear)
+            lo_rank, frac = int(np.floor(h)), h - np.floor(h)
+            # value at 0-based rank r = first i with cum[i] > r
+            i_lo = int(np.searchsorted(cum, lo_rank, side="right"))
+            if frac == 0.0 or lo_rank + 1 >= n:
+                out[float(p)] = float(vals[i_lo])
+                continue
+            i_hi = int(np.searchsorted(cum, lo_rank + 1, side="right"))
+            out[float(p)] = float(
+                vals[i_lo] + frac * (vals[i_hi] - vals[i_lo])
+            )
+        return out
+
+    def range_agg(
+        self,
+        field: str,
+        ranges: list[tuple[float | None, float | None]],
+        query: str | None = None,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+    ) -> pd.DataFrame:
+        """ES range-aggregation analogue: doc counts per user-defined
+        ``[from, to)`` range (ES's from-inclusive / to-exclusive contract;
+        None = open end; ranges may overlap — each is counted
+        independently, exactly like ES). Returns ``['range', 'cnt']``
+        with ES-style keys ``"from-to"`` / ``"*-to"`` / ``"from-*"``, in
+        the order given. Derived from the same grouped value-count table
+        as percentiles — no per-range jobs."""
+        if not ranges:
+            raise ValueError("ranges must be non-empty")
+        self._require_numeric_field(field, "range_agg")
+        vc = self._matched_value_counts(field, query, mode, filters)
+        vals = vc[field].to_numpy(dtype=np.float64) if len(vc) else \
+            np.empty(0, dtype=np.float64)
+        cnts = vc["cnt"].to_numpy(dtype=np.int64) if len(vc) else \
+            np.empty(0, dtype=np.int64)
+        keys, out = [], []
+        for lo, hi in ranges:
+            m = np.ones(vals.size, dtype=bool)
+            if lo is not None:
+                m &= vals >= lo
+            if hi is not None:
+                m &= vals < hi
+            keys.append(
+                f"{'*' if lo is None else float(lo)}-"
+                f"{'*' if hi is None else float(hi)}"
+            )
+            out.append(int(cnts[m].sum()))
+        return pd.DataFrame({"range": keys, "cnt": pd.array(out,
+                                                            dtype="int64")})
+
     def field_stats(
         self,
         field: str,
@@ -2316,7 +2470,9 @@ class SearchEngine:
                 F.count(F.lit(1)).alias("cnt")
             )
             if interval is None:
-                grouped = grouped.orderBy(F.desc("cnt"), F.asc(key)).limit(k)
+                grouped = grouped.orderBy(F.desc("cnt"), F.asc(key))
+                if k is not None:  # k=None: full value-count table
+                    grouped = grouped.limit(k)
             elif max_buckets is not None:
                 grouped = grouped.orderBy(F.asc(key)).limit(max_buckets + 1)
             return _finish(grouped.toPandas())
@@ -2402,7 +2558,9 @@ class SearchEngine:
         )
         grouped = partials.groupBy("value").agg(F.sum("c").alias("cnt"))
         if interval is None:
-            grouped = grouped.orderBy(F.desc("cnt"), F.asc("value")).limit(k)
+            grouped = grouped.orderBy(F.desc("cnt"), F.asc("value"))
+            if k is not None:  # k=None: full value-count table
+                grouped = grouped.limit(k)
         elif max_buckets is not None:
             grouped = grouped.orderBy(F.asc("value")).limit(max_buckets + 1)
         return _finish(grouped.toPandas().rename(columns={"value": key}))

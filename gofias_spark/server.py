@@ -17,6 +17,9 @@ Routes (reference analogues):
     GET /api/v1/facets?field=..[&term=..&match=and|or&size=..]   terms agg
     GET /api/v1/histogram?field=..&interval=..[&term=..&match=..] histogram agg
     GET /api/v1/field_stats?field=..[&term=..&match=..]          stats agg
+    GET /api/v1/cardinality?field=..[&term=..&exact=false]       cardinality agg
+    GET /api/v1/percentiles?field=..[&ps=25,50,99&term=..]       percentiles agg
+    GET /api/v1/range?field=..&ranges=*-100;100-500;500-*[&term=..] range agg
     GET /api/v1/more_like_this?doc_id=..[&size=..]               MLT query
     GET /api/v1/significant_terms?term=..[&size=..&match=..]     sig-terms agg
     GET /api/v1/explain?term=..&doc_id=..                        _explain
@@ -31,9 +34,13 @@ into ES `range` queries per filtered route, addressHandler.go:140-165):
                                         fragments per item (match=and|phrase)
     <field>.gte= .gt= .lte= .lt= .neq=  range predicates (F4), e.g.
                                         doclen.gte=100&doclen.lt=500
-    match=and|phrase|fuzzy|wildcard     match mode on /address/term
+    match=and|or|phrase|fuzzy|wildcard  match mode on /address/term
                                         (default and; the others are
                                         extensions beyond the reference)
+    minimum_should_match=N              bool.should msm (match=or): docs
+                                        matching >= N distinct query terms
+    boost=term:w (repeatable)           ES term^w clause boost (match=
+                                        and|or): w multiplies the term idf
     exclude=..                          bool.must_not analogue (match=and
                                         only): drop docs containing ANY
                                         analyzed term of this string
@@ -421,6 +428,81 @@ def make_handler(api: FulltextAPI):
                             filters=_filters_from_query(q),
                         )
                     except ValueError as exc:  # unknown field / bad interval
+                        raise BadRequest(str(exc)) from exc
+                    self._json({"buckets": _items(pdf)})
+                elif url.path == "/api/v1/cardinality":
+                    field = q.get("field", [""])[0]
+                    if not field:
+                        raise BadRequest("field= is required")
+                    mode = q.get("match", ["and"])[0]
+                    if mode not in ("and", "or"):
+                        raise BadRequest("match must be and|or")
+                    exact = q.get("exact", ["true"])[0].lower() not in (
+                        "0", "false",
+                    )
+                    try:
+                        n = api.cardinality(
+                            field, _term(q) or None, mode=mode,
+                            filters=_filters_from_query(q), exact=exact,
+                        )
+                    except ValueError as exc:
+                        raise BadRequest(str(exc)) from exc
+                    self._json({"cardinality": n})
+                elif url.path == "/api/v1/percentiles":
+                    field = q.get("field", [""])[0]
+                    if not field:
+                        raise BadRequest("field= is required")
+                    mode = q.get("match", ["and"])[0]
+                    if mode not in ("and", "or"):
+                        raise BadRequest("match must be and|or")
+                    try:
+                        ps = tuple(
+                            float(p)
+                            for p in q.get("ps", ["25,50,75,95,99"])[0]
+                            .split(",")
+                        )
+                    except ValueError:
+                        raise BadRequest("ps= must be comma-separated "
+                                         "numbers") from None
+                    try:
+                        vals = api.percentiles(
+                            field, ps, _term(q) or None, mode=mode,
+                            filters=_filters_from_query(q),
+                        )
+                    except ValueError as exc:
+                        raise BadRequest(str(exc)) from exc
+                    self._json({"values": {str(p): v
+                                           for p, v in vals.items()}})
+                elif url.path == "/api/v1/range":
+                    field = q.get("field", [""])[0]
+                    if not field:
+                        raise BadRequest("field= is required")
+                    mode = q.get("match", ["and"])[0]
+                    if mode not in ("and", "or"):
+                        raise BadRequest("match must be and|or")
+                    ranges = []
+                    for raw in q.get("ranges", [""])[0].split(";"):
+                        if not raw:
+                            continue
+                        lo, sep, hi = raw.partition("-")
+                        if not sep:
+                            raise BadRequest("ranges= must be "
+                                             "lo-hi;lo-hi (* = open)")
+                        try:
+                            ranges.append((
+                                None if lo == "*" else float(lo),
+                                None if hi == "*" else float(hi),
+                            ))
+                        except ValueError:
+                            raise BadRequest(
+                                f"bad range bound in {raw!r}"
+                            ) from None
+                    try:
+                        pdf = api.range_agg(
+                            field, ranges, _term(q) or None, mode=mode,
+                            filters=_filters_from_query(q),
+                        )
+                    except ValueError as exc:
                         raise BadRequest(str(exc)) from exc
                     self._json({"buckets": _items(pdf)})
                 elif url.path in ("/api/v1/explain", "/api/v1/termvectors"):

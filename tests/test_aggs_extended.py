@@ -1,0 +1,132 @@
+"""Cardinality / percentiles / range aggregations: every tier must agree
+with a brute-force computation over the collected matching docs, and the
+three aggs share ONE grouped value-count plan (no per-range or per-p jobs).
+
+ES analogues: cardinality (HLL++ — ours is exact by default with an
+opt-in approx_count_distinct path), percentiles (t-digest — ours is exact
+linear interpolation, numpy 'linear' == DuckDB quantile_cont), range
+(from-inclusive / to-exclusive, overlapping ranges counted independently).
+"""
+
+import numpy as np
+import pytest
+
+from gofias_spark.config import IndexConfig
+from gofias_spark.corpus import synth_corpus
+from gofias_spark.index.build import build_segment
+from gofias_spark.query.engine import SearchEngine
+
+CFG = IndexConfig(n_buckets=5, block_size=16)
+Q = "merge_6 update_7"  # ~120 matching docs of 400 under OR, ~25 AND
+
+
+@pytest.fixture(scope="module")
+def root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("aggidx"))
+    build_segment(spark, synth_corpus(spark, 400), root, CFG)
+    return root
+
+
+@pytest.fixture(scope="module")
+def engines(spark, root):
+    dist = SearchEngine(spark, root, serve=False)
+    dist.warm(local_max_blocks=0)
+    serve = SearchEngine(spark, root)
+    serve.warm(local_max_blocks=0)
+    local = SearchEngine(spark, root, cache=False)
+    local.warm()
+    return {"dist": dist, "serve": serve, "local": local}
+
+
+@pytest.fixture(scope="module")
+def matched_meta(engines):
+    """Brute-force truth: meta rows of the docs matching Q (and-mode)."""
+    eng = engines["local"]
+    pdf = eng.search(Q, k=100_000, as_pandas=True)
+    meta = eng._local_meta.set_index("doc_id")
+    return meta.loc[list(pdf["doc_id"])]
+
+
+@pytest.mark.parametrize("tier", ["dist", "serve", "local"])
+def test_cardinality_matches_bruteforce(engines, matched_meta, tier):
+    for field in ("lang", "repo", "doclen"):
+        got = engines[tier].cardinality(field, Q)
+        assert got == matched_meta[field].nunique(), (tier, field)
+
+
+def test_cardinality_corpus_wide(engines):
+    eng = engines["local"]
+    # synth corpus: repo = org{i%7}/project{i%23} -> 7*23 distinct
+    assert eng.cardinality("repo") == 161
+    # approx HLL++ path: exact at this cardinality up to hash collisions;
+    # assert the ES-grade bound (rsd 0.05 -> generous 20% here)
+    approx = eng.cardinality("path", exact=False)
+    exact = eng.cardinality("path")
+    assert abs(approx - exact) <= max(2, 0.2 * exact)
+
+
+def test_cardinality_approx_rejects_query(engines):
+    with pytest.raises(ValueError, match="query=None"):
+        engines["local"].cardinality("lang", Q, exact=False)
+
+
+@pytest.mark.parametrize("tier", ["dist", "serve", "local"])
+def test_percentiles_match_numpy(engines, matched_meta, tier):
+    ps = (0.0, 25.0, 50.0, 75.0, 95.0, 100.0)
+    got = engines[tier].percentiles("doclen", ps, Q)
+    vals = matched_meta["doclen"].to_numpy(dtype=np.float64)
+    for p in ps:
+        assert got[p] == pytest.approx(
+            float(np.percentile(vals, p)), rel=1e-12
+        ), (tier, p)
+
+
+def test_percentiles_empty_match(engines):
+    got = engines["local"].percentiles("doclen", (50.0,), "zzz_absent_term")
+    assert got == {50.0: None}
+
+
+def test_percentiles_validation(engines):
+    eng = engines["local"]
+    with pytest.raises(ValueError, match="not numeric"):
+        eng.percentiles("lang", (50.0,), Q)
+    with pytest.raises(ValueError, match="outside"):
+        eng.percentiles("doclen", (101.0,), Q)
+    with pytest.raises(ValueError, match="unknown field"):
+        eng.percentiles("nope", (50.0,), Q)
+
+
+@pytest.mark.parametrize("tier", ["dist", "serve", "local"])
+def test_range_agg_matches_bruteforce(engines, matched_meta, tier):
+    vals = matched_meta["doclen"].to_numpy(dtype=np.float64)
+    ranges = [(None, 100.0), (100.0, 200.0), (150.0, None), (None, None)]
+    pdf = engines[tier].range_agg("doclen", ranges, Q)
+    assert list(pdf["range"]) == ["*-100.0", "100.0-200.0", "150.0-*", "*-*"]
+    exp = [
+        int((vals < 100).sum()),
+        int(((vals >= 100) & (vals < 200)).sum()),
+        int((vals >= 150).sum()),  # overlapping range counts independently
+        int(vals.size),
+    ]
+    assert list(pdf["cnt"]) == exp, tier
+
+
+def test_range_agg_validation(engines):
+    eng = engines["local"]
+    with pytest.raises(ValueError, match="non-empty"):
+        eng.range_agg("doclen", [], Q)
+    with pytest.raises(ValueError, match="not numeric"):
+        eng.range_agg("lang", [(None, None)], Q)
+
+
+def test_aggs_compose_with_filters(engines, matched_meta):
+    """filters narrow the matched set before aggregation on every tier."""
+    sub = matched_meta[matched_meta["lang"] == "py"]
+    for tier in ("dist", "serve", "local"):
+        eng = engines[tier]
+        f = {"lang": "py"}
+        assert eng.cardinality("repo", Q, filters=f) == sub["repo"].nunique()
+        got = eng.percentiles("doclen", (50.0,), Q, filters=f)
+        assert got[50.0] == pytest.approx(
+            float(np.percentile(sub["doclen"].to_numpy(float), 50.0))
+        )

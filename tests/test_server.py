@@ -463,3 +463,50 @@ def test_bool_msm_boost_route(gateway):
     assert _get_status(
         base, f"/api/v1/address/term?term={q}&match=or&sort=lang:asc"
     ) == 400
+
+
+def test_agg_routes(gateway):
+    """cardinality / percentiles / range aggregation routes round-trip and
+    match the API facade."""
+    api, base = gateway
+    status, res = _get(
+        base, "/api/v1/cardinality?field=repo&term=common_util"
+    )
+    assert status == 200
+    assert res["cardinality"] == api.cardinality("repo", "common_util")
+
+    status, res = _get(
+        base, "/api/v1/percentiles?field=doclen&ps=50,95&term=common_util"
+    )
+    assert status == 200
+    direct = api.percentiles("doclen", (50.0, 95.0), "common_util")
+    assert res["values"] == {"50.0": direct[50.0], "95.0": direct[95.0]}
+
+    status, res = _get(
+        base,
+        "/api/v1/range?field=doclen&ranges=*-100;100-200;200-*"
+        "&term=common_util",
+    )
+    assert status == 200
+    direct = api.range_agg(
+        "doclen", [(None, 100.0), (100.0, 200.0), (200.0, None)],
+        "common_util",
+    )
+    assert [(b["range"], b["cnt"]) for b in res["buckets"]] == list(
+        map(tuple, direct.values.tolist())
+    )
+
+    # errors surface as 400
+    assert _get_status(base, "/api/v1/cardinality?term=x") == 400
+    assert _get_status(
+        base, "/api/v1/percentiles?field=lang&term=common_util"
+    ) == 400
+    assert _get_status(
+        base, "/api/v1/percentiles?field=doclen&ps=abc"
+    ) == 400
+    assert _get_status(
+        base, "/api/v1/range?field=doclen&ranges=nonsense"
+    ) == 400
+    assert _get_status(
+        base, "/api/v1/cardinality?field=lang&term=x&exact=false"
+    ) == 400
