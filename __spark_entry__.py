@@ -294,6 +294,28 @@ def _q_ft_range_agg(spark, sf):
     return spark.createDataFrame(pdf, schema="range string, cnt long")
 
 
+def _q_ft_top_hits(spark, sf):
+    """ES terms-agg + top_hits sub-aggregation: top-3 lang groups by
+    matching-doc count, 2 best-scored hits each (k_per_group=1 would be
+    ES field collapsing). One cogroup job: each doc_part emits per-group
+    partial top-k rows plus a count summary row — the driver merges
+    (k+1) x groups x partitions tiny rows, never the matched docs."""
+    eng = _engine(spark, sf)
+    pdf = eng.top_hits("lang", "table scan", 2, groups=3)
+    pdf = pdf.assign(score=pdf["score"].round(4))
+    sdf = spark.createDataFrame(
+        pdf, schema="lang string, cnt long, doc_id long, score double"
+    )
+    # engine doc_id -> the testdata's original id (encoded in path)
+    return (
+        sdf.join(eng.doc_meta.select("doc_id", "path"), "doc_id")
+        .select(
+            "lang", "cnt",
+            F.col("path").cast("long").alias("doc_id"), "score",
+        )
+    )
+
+
 def _q_ft_more_like_this(spark, sf):
     """ES more_like_this analogue: the source doc's top-10 tf·idf terms
     (tf >= 2, df >= 5, tf·idf desc then term asc — the ES interestingness
@@ -903,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_cardinality": _q_ft_cardinality,
         "ft_percentiles": _q_ft_percentiles,
         "ft_range_agg": _q_ft_range_agg,
+        "ft_top_hits": _q_ft_top_hits,
         "ft_field_stats": _q_ft_field_stats,
         "ft_more_like_this": _q_ft_more_like_this,
         "ft_significant_terms": _q_ft_significant_terms,
@@ -1232,6 +1255,34 @@ UNION ALL
 SELECT '300.0-500.0', (count(*) FILTER (WHERE dl >= 300 AND dl < 500))::BIGINT FROM j
 UNION ALL
 SELECT '500.0-*', (count(*) FILTER (WHERE dl >= 500))::BIGINT FROM j
+""",
+        "ft_top_hits": f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('table', 'scan') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score,
+         count(*) AS matched
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+hits AS (SELECT sc.doc_id, sc.score, d.lang
+         FROM scored sc JOIN documents d USING (doc_id)
+         WHERE sc.matched = 2 AND d.lang IS NOT NULL),
+gcnt AS (SELECT lang, count(*)::BIGINT AS cnt FROM hits GROUP BY lang
+         ORDER BY cnt DESC, lang ASC LIMIT 3)
+SELECT h.lang, g.cnt, h.doc_id, round(h.score, 4) AS score
+FROM hits h JOIN gcnt g USING (lang)
+QUALIFY row_number() OVER (PARTITION BY h.lang
+                           ORDER BY h.score DESC, h.doc_id) <= 2
 """,
         "ft_significant_terms": f"""
 WITH tok AS ({TOK}),

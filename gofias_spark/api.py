@@ -312,6 +312,24 @@ class FulltextAPI:
             field, ranges, term, mode=mode, filters=filters
         )
 
+    def top_hits(
+        self,
+        field: str,
+        term: str,
+        k_per_group: int = 3,
+        *,
+        groups: int = 10,
+        mode: str = "and",
+        filters: dict | None = None,
+    ):
+        """ES terms-agg + top_hits sub-aggregation (k_per_group=1 = ES
+        field collapsing); see SearchEngine.top_hits. Returns a pandas
+        frame [field, 'cnt', 'doc_id', 'score']."""
+        return self.engine.top_hits(
+            field, term, k_per_group, groups=groups, mode=mode,
+            filters=filters,
+        )
+
     def significant_terms(
         self,
         term: str,

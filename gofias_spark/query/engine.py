@@ -2265,6 +2265,170 @@ class SearchEngine:
         return pd.DataFrame({"range": keys, "cnt": pd.array(out,
                                                             dtype="int64")})
 
+    def top_hits(
+        self,
+        group_field: str,
+        query: str,
+        k_per_group: int = 3,
+        *,
+        groups: int = 10,
+        mode: str = "and",
+        filters: dict | None = None,
+    ) -> pd.DataFrame:
+        """ES terms-agg + top_hits sub-aggregation (k_per_group=1 is ES
+        field collapsing): for the top-``groups`` values of
+        ``group_field`` by matching-doc count, the ``k_per_group``
+        best-scored hits. Returns ``[group_field, 'cnt', 'doc_id',
+        'score']`` — groups ordered by (cnt desc, value asc), hits within
+        a group by (score desc, doc_id asc); ``cnt`` is the group's TOTAL
+        match count (ES bucket doc_count), repeated per hit row. Docs with
+        a null group value are omitted (ES missing bucket).
+
+        One job on every tier: the distributed cogroup kernel scores its
+        partition's matches exactly (topn=None — group membership can't be
+        relevance-pruned), then emits per-group partial top-k rows PLUS a
+        count summary row (doc_id=-1) per group; the driver merges
+        (k_per_group+1) x groups-per-partition x partitions tiny rows —
+        never the matched docs."""
+        if group_field in ("doc_id", "doc_part") or \
+                group_field not in self.doc_meta.columns:
+            raise ValueError(f"unknown field {group_field!r}")
+        if k_per_group < 1 or groups < 1:
+            raise ValueError("k_per_group and groups must be >= 1")
+        self._validate_filters(filters)
+        empty = pd.DataFrame({
+            group_field: pd.Series(dtype=object),
+            "cnt": pd.Series(dtype="int64"),
+            "doc_id": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+        })
+        if filters_impossible(filters):
+            return empty
+        qterms = analyze_query(query, self.analyzer)
+        dfs = self._term_dfs(qterms)
+        if mode == "and":
+            if not qterms or any(dfs[t] == 0 for t in qterms):
+                return empty
+        else:
+            qterms = [t for t in qterms if dfs[t] > 0]
+            if not qterms:
+                return empty
+        idf = {t: self._idf(dfs[t]) for t in qterms}
+        params = dict(qterms=qterms, idf=idf, avgdl=self.avgdl,
+                      k1=self.bm25.k1, b=self.bm25.b, topn=None)
+        fn = K.score_and if mode == "and" else K.score_or
+        gf, kpg = group_field, k_per_group
+
+        def _finish(scored: pd.DataFrame) -> pd.DataFrame:
+            """Driver-side merge: rows with doc_id=-1 carry partial group
+            counts; the rest are per-partition top-k candidates."""
+            if not len(scored):
+                return empty
+            is_cnt = scored["doc_id"] < 0
+            counts = (
+                scored[is_cnt].groupby(gf, sort=False)["cnt"].sum()
+            )
+            # cnt desc, value asc (stable mergesort over value-asc order)
+            top_groups = counts.loc[
+                sorted(counts.index)
+            ].sort_values(ascending=False, kind="mergesort").head(groups)
+            hits = scored[~is_cnt & scored[gf].isin(top_groups.index)]
+            hits = hits.sort_values(
+                ["score", "doc_id"], ascending=[False, True],
+                kind="mergesort",
+            ).groupby(gf, sort=False).head(kpg)
+            hits = hits.assign(cnt=hits[gf].map(top_groups).astype("int64"))
+            order = {g: i for i, g in enumerate(top_groups.index)}
+            hits = hits.assign(_g=hits[gf].map(order)).sort_values(
+                ["_g", "score", "doc_id"], ascending=[True, False, True],
+                kind="mergesort",
+            )
+            return hits[[gf, "cnt", "doc_id", "score"]].reset_index(
+                drop=True
+            )
+
+        def _partials(pdf: pd.DataFrame) -> pd.DataFrame:
+            """(group, cnt, doc_id, score) partial rows for one partition:
+            per-group top-k (cnt=0) + one count row per group (doc_id=-1)."""
+            pdf = pdf.dropna(subset=[gf])
+            if not len(pdf):
+                return pdf.assign(cnt=pd.Series(dtype="int64"))[
+                    [gf, "cnt", "doc_id", "score"]
+                ]
+            cnts = pdf.groupby(gf, sort=False).size()
+            top = pdf.sort_values(
+                ["score", "doc_id"], ascending=[False, True],
+                kind="mergesort",
+            ).groupby(gf, sort=False).head(kpg).assign(cnt=0)
+            summary = pd.DataFrame({
+                gf: cnts.index, "cnt": cnts.values,
+                "doc_id": -1, "score": 0.0,
+            })
+            out = pd.concat([top[[gf, "cnt", "doc_id", "score"]], summary],
+                            ignore_index=True)
+            out["cnt"] = out["cnt"].astype("int64")
+            return out
+
+        if self._local_blocks is not None:
+            blocks = self._local_blocks[
+                self._local_blocks["term"].isin(qterms)
+            ]
+            allowed, excluded = self._local_masks(filters)
+            r = fn(blocks, allowed=allowed, excluded=excluded, **params)
+            r = r.merge(
+                self._local_meta.reset_index(drop=True)[["doc_id", gf]],
+                on="doc_id", how="left",
+            )
+            return _finish(_partials(r))
+
+        if self._serve_facet_route(dfs, filters, group_field):
+            blocks = self._serve.fetch(qterms)
+            r = fn(blocks, excluded=self._tomb_arr, **params)
+            if not len(r):
+                return empty
+            cols = list(dict.fromkeys(
+                ["doc_id", gf] + sorted(self._filter_fields(filters))
+            ))
+            meta = self._serve.fetch_meta(r["doc_id"].tolist(), cols)
+            r = r.merge(meta, on="doc_id", how="left")
+            if filters:
+                r = r[pandas_filter_mask(r, filters)]
+            return _finish(_partials(r))
+
+        right = self.doc_meta.filter(F.col(gf).isNotNull())
+        cond = compile_filters(filters)
+        if cond is not None:
+            right = right.filter(cond)
+        if self._tombstones is not None:
+            right = right.join(
+                self._tombstones.select("doc_id"), "doc_id", "left_anti"
+            )
+        right = right.select("doc_part", "doc_id", gf)
+        blocks = self.postings.filter(F.col("term").isin(qterms))
+        gtype = self.doc_meta.schema[gf].dataType.simpleString()
+        out_schema = f"`{gf}` {gtype}, cnt long, doc_id long, score double"
+
+        def cokernel(left: pd.DataFrame, right_pdf: pd.DataFrame
+                     ) -> pd.DataFrame:
+            if len(left) == 0 or len(right_pdf) == 0:
+                return pd.DataFrame({
+                    gf: pd.Series(dtype=object),
+                    "cnt": pd.Series(dtype="int64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                })
+            rids = np.sort(right_pdf["doc_id"].to_numpy(dtype=np.int64))
+            r = fn(left, allowed=rids, **params)
+            r = r.merge(right_pdf[["doc_id", gf]], on="doc_id", how="left")
+            return _partials(r)
+
+        partials = (
+            blocks.groupby("doc_part")
+            .cogroup(right.groupby("doc_part"))
+            .applyInPandas(cokernel, schema=out_schema)
+        )
+        return _finish(partials.toPandas())
+
     def field_stats(
         self,
         field: str,

@@ -20,6 +20,7 @@ Routes (reference analogues):
     GET /api/v1/cardinality?field=..[&term=..&exact=false]       cardinality agg
     GET /api/v1/percentiles?field=..[&ps=25,50,99&term=..]       percentiles agg
     GET /api/v1/range?field=..&ranges=*-100;100-500;500-*[&term=..] range agg
+    GET /api/v1/top_hits?field=..&term=..[&k=3&groups=10]        top-hits agg
     GET /api/v1/more_like_this?doc_id=..[&size=..]               MLT query
     GET /api/v1/significant_terms?term=..[&size=..&match=..]     sig-terms agg
     GET /api/v1/explain?term=..&doc_id=..                        _explain
@@ -505,6 +506,34 @@ def make_handler(api: FulltextAPI):
                     except ValueError as exc:
                         raise BadRequest(str(exc)) from exc
                     self._json({"buckets": _items(pdf)})
+                elif url.path == "/api/v1/top_hits":
+                    field = q.get("field", [""])[0]
+                    if not field:
+                        raise BadRequest("field= is required")
+                    if not _term(q):
+                        raise BadRequest("term= is required")
+                    mode = q.get("match", ["and"])[0]
+                    if mode not in ("and", "or"):
+                        raise BadRequest("match must be and|or")
+                    try:
+                        kpg = int(q.get("k", ["3"])[0])
+                        ngroups = int(q.get("groups", ["10"])[0])
+                    except ValueError:
+                        raise BadRequest(
+                            "k= and groups= must be integers"
+                        ) from None
+                    if not (1 <= kpg <= 100 and 1 <= ngroups <= 1000):
+                        raise BadRequest(
+                            "k must be in [1,100], groups in [1,1000]"
+                        )
+                    try:
+                        pdf = api.top_hits(
+                            field, _term(q), kpg, groups=ngroups,
+                            mode=mode, filters=_filters_from_query(q),
+                        )
+                    except ValueError as exc:
+                        raise BadRequest(str(exc)) from exc
+                    self._json({"hits": _items(pdf)})
                 elif url.path in ("/api/v1/explain", "/api/v1/termvectors"):
                     try:
                         src = int(q.get("doc_id", [""])[0])

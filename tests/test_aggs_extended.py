@@ -130,3 +130,48 @@ def test_aggs_compose_with_filters(engines, matched_meta):
         assert got[50.0] == pytest.approx(
             float(np.percentile(sub["doclen"].to_numpy(float), 50.0))
         )
+
+
+@pytest.mark.parametrize("tier", ["dist", "serve", "local"])
+def test_top_hits_matches_bruteforce(engines, tier):
+    """Per-group top-k == brute force over all scored matches; groups
+    ordered by total count desc then value asc; cnt = ES bucket doc_count."""
+    eng = engines[tier]
+    got = eng.top_hits("lang", Q, 2, groups=3, mode="or")
+    loc = engines["local"]
+    pdf = loc.search(Q, k=100_000, mode="or", as_pandas=True)
+    meta = loc._local_meta.set_index("doc_id")
+    pdf = pdf.assign(lang=meta.loc[list(pdf["doc_id"]), "lang"].values)
+    pdf = pdf.dropna(subset=["lang"])
+    cnts = pdf.groupby("lang").size()
+    top_groups = cnts.loc[sorted(cnts.index)].sort_values(
+        ascending=False, kind="mergesort"
+    ).head(3)
+    exp_rows = []
+    for g in top_groups.index:
+        sub = pdf[pdf["lang"] == g].sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(2)
+        for _, r in sub.iterrows():
+            exp_rows.append((g, int(top_groups[g]), int(r["doc_id"])))
+    assert [
+        (r["lang"], int(r["cnt"]), int(r["doc_id"]))
+        for _, r in got.iterrows()
+    ] == exp_rows, tier
+
+
+def test_top_hits_group_cap_and_validation(engines):
+    eng = engines["local"]
+    one = eng.top_hits("lang", Q, 2, groups=1, mode="or")
+    assert one["lang"].nunique() == 1
+    with pytest.raises(ValueError, match="unknown field"):
+        eng.top_hits("nope", Q)
+    with pytest.raises(ValueError, match=">= 1"):
+        eng.top_hits("lang", Q, 0)
+    assert len(eng.top_hits("lang", "zzz_absent_term")) == 0
+
+
+def test_top_hits_collapse_is_top1_per_group(engines):
+    """k_per_group=1 == ES field collapsing: one best hit per group."""
+    got = engines["local"].top_hits("lang", Q, 1, groups=10, mode="or")
+    assert got["lang"].is_unique

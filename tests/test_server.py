@@ -510,3 +510,23 @@ def test_agg_routes(gateway):
     assert _get_status(
         base, "/api/v1/cardinality?field=lang&term=x&exact=false"
     ) == 400
+
+
+def test_top_hits_route(gateway):
+    api, base = gateway
+    status, res = _get(
+        base, "/api/v1/top_hits?field=lang&term=common_util&k=2&groups=3"
+    )
+    assert status == 200
+    direct = api.top_hits("lang", "common_util", 2, groups=3)
+    assert [
+        (h["lang"], h["cnt"], h["doc_id"]) for h in res["hits"]
+    ] == [
+        (r["lang"], int(r["cnt"]), int(r["doc_id"]))
+        for _, r in direct.iterrows()
+    ]
+    assert _get_status(base, "/api/v1/top_hits?field=lang") == 400
+    assert _get_status(base, "/api/v1/top_hits?term=x") == 400
+    assert _get_status(
+        base, "/api/v1/top_hits?field=lang&term=x&k=1000"
+    ) == 400
