@@ -244,6 +244,135 @@ class IndexStore:
         self.io.move_dir(src, dest)
         return True
 
+    # -- snapshots -----------------------------------------------------------
+    # ES snapshot / Iceberg-snapshot analogue, file-level and self-contained:
+    # a snapshot owns hardlinks (same-FS: O(#index files) metadata ops, zero
+    # data copied — index files are immutable once committed) to every file
+    # the current manifest references, plus the pinned manifest itself. On a
+    # raw object store the link degrades to a server-side copy (S3
+    # CopyObject-style via ObjectStoreIO), still no client data path. Being
+    # self-contained, snapshots survive compact()'s physical cleanup with no
+    # refcounting protocol, and deleting one is a plain prefix delete.
+    # snapshot.json is published LAST — a crash mid-snapshot leaves an
+    # unlisted, re-creatable prefix, never a corrupt snapshot.
+
+    _SNAP_NAME_OK = staticmethod(
+        lambda s: s and all(c.isalnum() or c in "._-" for c in s)
+    )
+
+    def _snap_dir(self, name: str) -> Path:
+        return self.root / "snapshots" / name
+
+    def _manifest_files(self, manifest: dict) -> list[Path]:
+        """Root-relative paths of every data file the manifest references:
+        committed segment dirs, tombstone parquet dirs, stats_delta."""
+        files: list[Path] = []
+        for s in manifest.get("segments", []):
+            seg = self.seg_dir(s)
+            files += [
+                p.relative_to(self.root)
+                for p in sorted(seg.rglob("*")) if p.is_file()
+            ]
+        for f in manifest.get("tombstones", {}).get("files", []):
+            t = self.root / f
+            if t.is_dir():
+                files += [
+                    p.relative_to(self.root)
+                    for p in sorted(t.rglob("*")) if p.is_file()
+                ]
+            elif t.is_file():
+                files.append(Path(f))
+        sd = self.root / "stats_delta"
+        if sd.exists():
+            files += [
+                p.relative_to(self.root)
+                for p in sorted(sd.rglob("*")) if p.is_file()
+            ]
+        return files
+
+    @staticmethod
+    def _link_or_copy(src: Path, dest: Path) -> None:
+        """Hardlink parquet data (immutable); COPY control/log files —
+        lineage.jsonl of an interrupted build is append-mutable, and a
+        hardlink would let a later resume mutate the snapshot's copy."""
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        if src.suffix in (".json", ".jsonl"):
+            shutil.copy2(src, dest)
+            return
+        try:
+            os.link(src, dest)
+        except OSError:  # cross-device / FS without hardlinks
+            shutil.copy2(src, dest)
+
+    def snapshot(self, name: str) -> dict:
+        """Point-in-time snapshot of the committed index state under
+        ``snapshots/<name>/``. Returns the snapshot descriptor."""
+        if not self._SNAP_NAME_OK(name):
+            raise ValueError(f"bad snapshot name {name!r} (alnum . _ -)")
+        if not self.exists():
+            raise ValueError(f"no index at {self.root}")
+        snap = self._snap_dir(name)
+        if (snap / "snapshot.json").exists():
+            raise ValueError(f"snapshot {name!r} already exists")
+        if snap.exists():  # crashed prior attempt: re-create from scratch
+            shutil.rmtree(snap)
+        manifest = self.read_manifest()
+        files = self._manifest_files(manifest)
+        n_bytes = 0
+        for rel in files:
+            src = self.root / rel
+            self._link_or_copy(src, snap / "files" / rel)
+            n_bytes += src.stat().st_size
+        info = {
+            "name": name,
+            "ts": time.time(),
+            "n_files": len(files),
+            "bytes": n_bytes,
+            "manifest": manifest,
+        }
+        self.io.put_text(
+            snap / "snapshot.json", json.dumps(info, indent=2, sort_keys=True)
+        )
+        return info
+
+    def list_snapshots(self) -> list[dict]:
+        d = self.root / "snapshots"
+        if not d.exists():
+            return []
+        out = []
+        for p in sorted(d.glob("*/snapshot.json")):
+            out.append(json.loads(p.read_text()))
+        return out
+
+    def read_snapshot(self, name: str) -> dict:
+        p = self._snap_dir(name) / "snapshot.json"
+        if not p.exists():
+            raise ValueError(f"no snapshot {name!r}")
+        return json.loads(p.read_text())
+
+    def delete_snapshot(self, name: str) -> None:
+        if not (self._snap_dir(name) / "snapshot.json").exists():
+            raise ValueError(f"no snapshot {name!r}")
+        shutil.rmtree(self._snap_dir(name))
+
+    def restore_snapshot(self, name: str, dest_root: str | os.PathLike) -> dict:
+        """Materialize a snapshot as a NEW independent index at
+        ``dest_root`` (refused if an index already exists there): files are
+        hardlinked back (immutability makes sharing safe — deltas/compacts
+        on either index only ADD or UNLINK files, never rewrite), then the
+        pinned manifest is published last, so a crash mid-restore leaves a
+        manifest-less (= nonexistent) index."""
+        info = self.read_snapshot(name)
+        dest = Path(dest_root)
+        if (dest / MANIFEST).exists():
+            raise ValueError(f"index already exists at {dest}")
+        src_root = self._snap_dir(name) / "files"
+        for p in sorted(src_root.rglob("*")):
+            if p.is_file():
+                self._link_or_copy(p, dest / p.relative_to(src_root))
+        IndexStore(dest, io=self.io).write_manifest(dict(info["manifest"]))
+        return info
+
     def cleanup_staging(self) -> None:
         d = self.root / "_staging"
         if d.exists():

@@ -62,6 +62,10 @@ def _sort_by(spec: str | None) -> list[tuple[str, str]] | None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
+    ap.add_argument(
+        "--alias-registry", default=None,
+        help="aliases.json path: --index may then name an alias",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     s = sub.add_parser("search")
@@ -135,9 +139,66 @@ def main() -> None:
 
     sub.add_parser("stats")
 
+    sn = sub.add_parser("snapshot", help="point-in-time snapshot (O(1) "
+                        "hardlinks; survives compact)")
+    sn.add_argument("name")
+    sub.add_parser("snapshots", help="list snapshots")
+    dsn = sub.add_parser("delete-snapshot")
+    dsn.add_argument("name")
+    rs = sub.add_parser("restore", help="materialize a snapshot as a new "
+                        "independent index")
+    rs.add_argument("name")
+    rs.add_argument("dest")
+    al = sub.add_parser("alias", help="alias registry ops "
+                        "(--alias-registry required)")
+    al.add_argument("action", choices=["set", "remove", "list"])
+    al.add_argument("name", nargs="?")
+    al.add_argument("target", nargs="?")
+
     args = ap.parse_args()
+    index = args.index
+    if args.alias_registry:
+        from gofias_spark.index.aliases import AliasRegistry
+        index = AliasRegistry(args.alias_registry).resolve(index)
+
+    # store-only commands: no Spark session needed
+    if args.cmd in ("snapshot", "snapshots", "delete-snapshot", "restore",
+                    "alias"):
+        from gofias_spark.index.aliases import AliasRegistry
+        from gofias_spark.index.store import IndexStore
+        store = IndexStore(index)
+        if args.cmd == "snapshot":
+            info = store.snapshot(args.name)
+            print(json.dumps({k: info[k] for k in
+                              ("name", "ts", "n_files", "bytes")}))
+        elif args.cmd == "snapshots":
+            for s in store.list_snapshots():
+                print(json.dumps({k: s[k] for k in
+                                  ("name", "ts", "n_files", "bytes")}))
+        elif args.cmd == "delete-snapshot":
+            store.delete_snapshot(args.name)
+        elif args.cmd == "restore":
+            info = store.restore_snapshot(args.name, args.dest)
+            print(json.dumps({"restored": args.name, "dest": args.dest,
+                              "n_files": info["n_files"]}))
+        else:  # alias
+            if not args.alias_registry:
+                ap.error("alias requires --alias-registry")
+            reg = AliasRegistry(args.alias_registry)
+            if args.action == "list":
+                print(json.dumps(reg.list()))
+            elif args.action == "set":
+                if not (args.name and args.target):
+                    ap.error("alias set NAME TARGET")
+                reg.set(args.name, args.target)
+            else:
+                if not args.name:
+                    ap.error("alias remove NAME")
+                reg.remove(args.name)
+        return
+
     spark = get_spark("gofias_query")
-    eng = SearchEngine(spark, args.index)
+    eng = SearchEngine(spark, index)
 
     if args.cmd == "search":
         common = dict(
