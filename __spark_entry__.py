@@ -91,6 +91,35 @@ def _engine(spark: SparkSession, sf_dir: str, mode: str = "standard") -> SearchE
     return eng
 
 
+_MF_ENGINES: dict = {}
+
+
+def _mf_engine(spark: SparkSession, sf_dir: str):
+    """Fielded (multi_match) engine over content+lang sub-indexes; doc_ids
+    match across sub-indexes by deterministic key-hash assignment."""
+    if sf_dir in _MF_ENGINES:
+        return _MF_ENGINES[sf_dir]
+    from gofias_spark.query.multifield import MultiFieldEngine, build_fielded
+
+    tag = hashlib.md5(
+        f"{sf_dir}|mf|{__version__}|{FORMAT_VERSION}".encode()
+    ).hexdigest()[:16]
+    root = f"/tmp/gofias_entry_idx/mf_{tag}"
+    cfg = IndexConfig(n_buckets=4, block_size=128)
+    fields = ("content", "lang")
+    if not all(
+        IndexStore(f"{root}/field_{f}").exists() for f in fields
+    ):
+        for f in fields:
+            IndexStore(f"{root}/field_{f}").destroy()
+        build_fielded(spark, _docs_df(spark, sf_dir), root, cfg,
+                      fields=fields)
+    mf = MultiFieldEngine(spark, root, fields=fields)
+    mf.warm()
+    _MF_ENGINES[sf_dir] = mf
+    return mf
+
+
 def _ft(engine_result: DataFrame) -> DataFrame:
     """Engine hits -> (doc_id = original id, score rounded) for oracle compare."""
     return engine_result.select(
@@ -292,6 +321,23 @@ def _q_ft_range_agg(spark, sf):
         "table scan",
     )
     return spark.createDataFrame(pdf, schema="range string, cnt long")
+
+
+def _q_ft_multi_match(spark, sf):
+    """ES multi_match most_fields: per-field BM25 with
+    field-local df/avgdl/dl over content+lang sub-indexes, combined as
+    sum(field_score x field_boost) on doc_id — identical doc_ids across
+    sub-indexes by deterministic key-hash assignment, so no key join.
+    A per-field top-k cut would be incorrect (combined rank is unbounded
+    by per-field ranks): each field contributes its exact full score set;
+    the distributed combine is union + map-side-combinable agg +
+    TakeOrderedAndProject."""
+    mf = _mf_engine(spark, sf)
+    r = mf.multi_match(
+        "vector en", {"content": 1.0, "lang": 0.5}, k=10,
+        type="most_fields", mode="or",
+    )
+    return _ft(r)
 
 
 def _q_ft_top_hits(spark, sf):
@@ -926,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_percentiles": _q_ft_percentiles,
         "ft_range_agg": _q_ft_range_agg,
         "ft_top_hits": _q_ft_top_hits,
+        "ft_multi_match": _q_ft_multi_match,
         "ft_field_stats": _q_ft_field_stats,
         "ft_more_like_this": _q_ft_more_like_this,
         "ft_significant_terms": _q_ft_significant_terms,
@@ -1283,6 +1330,45 @@ SELECT h.lang, g.cnt, h.doc_id, round(h.score, 4) AS score
 FROM hits h JOIN gcnt g USING (lang)
 QUALIFY row_number() OVER (PARTITION BY h.lang
                            ORDER BY h.score DESC, h.doc_id) <= 2
+""",
+        "ft_multi_match": f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('vector', 'en') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+c_scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s GROUP BY tf.doc_id),
+ltok AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(lang), '[a-z0-9_]+')) AS term
+         FROM documents),
+ldl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+        FROM documents d LEFT JOIN ltok t ON d.doc_id = t.doc_id
+        GROUP BY d.doc_id),
+lstats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM ldl),
+ltf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ltok
+        WHERE term IN ('vector', 'en') GROUP BY doc_id, term),
+ldf AS (SELECT term, count(*)::DOUBLE AS df FROM ltf GROUP BY term),
+l_scored AS (
+  SELECT ltf.doc_id,
+         sum(ln(1 + (s.n - ldf.df + 0.5) / (ldf.df + 0.5))
+             * ltf.tf * {K1 + 1.0}
+             / (ltf.tf + {K1} * (1 - {B} + {B} * ldl.dl / s.avgdl))) AS score
+  FROM ltf JOIN ldf USING (term) JOIN ldl ON ltf.doc_id = ldl.doc_id
+  CROSS JOIN lstats s GROUP BY ltf.doc_id)
+SELECT coalesce(c.doc_id, l.doc_id) AS doc_id,
+       round(coalesce(c.score * 1.0, 0) + coalesce(l.score * 0.5, 0),
+             4) AS score
+FROM c_scored c FULL OUTER JOIN l_scored l ON c.doc_id = l.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "ft_significant_terms": f"""
 WITH tok AS ({TOK}),

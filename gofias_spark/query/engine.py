@@ -943,6 +943,55 @@ class SearchEngine:
         )
         return self._attach_meta(topk_pdf, with_meta, as_pandas)
 
+    def score_matches(
+        self,
+        query: str,
+        mode: str = "and",
+        filters: dict | None = None,
+        boosts: dict[str, float] | None = None,
+    ):
+        """``(doc_id, score)`` of ALL matching docs — exact BM25, no top-k
+        cut. Returns pandas on the driver tiers (local searcher / serve
+        cache) and a Spark DataFrame on the distributed tier; the caller
+        decides where to combine (this is the building block of
+        multi-field dis_max/sum scoring, query/multifield.py, where a
+        per-field top-k cut would be incorrect: a doc's COMBINED rank is
+        not bounded by its per-field ranks)."""
+        self._validate_filters(filters)
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        if filters_impossible(filters):
+            return empty
+        qterms = analyze_query(query, self.analyzer)
+        dfs = self._term_dfs(qterms)
+        if mode == "and":
+            if not qterms or any(dfs[t] == 0 for t in qterms):
+                return empty
+        else:
+            qterms = [t for t in qterms if dfs[t] > 0]
+            if not qterms:
+                return empty
+        idf = {t: self._idf(dfs[t]) for t in qterms}
+        if boosts:
+            idf = self._boosted_idf(idf, boosts)
+        params = dict(qterms=qterms, idf=idf, avgdl=self.avgdl,
+                      k1=self.bm25.k1, b=self.bm25.b, topn=None)
+        fn = K.score_and if mode == "and" else K.score_or
+        if self._local_blocks is not None:
+            blocks = self._local_blocks[
+                self._local_blocks["term"].isin(qterms)
+            ]
+            allowed, excluded = self._local_masks(filters)
+            return fn(blocks, allowed=allowed, excluded=excluded, **params)
+        if self._serve_route(dfs, filters):
+            blocks = self._serve.fetch(qterms)
+            r = fn(blocks, excluded=self._tomb_arr, **params)
+            if filters:
+                r = self._filter_candidates(r, filters, None)
+            return r
+        blocks = self.postings.filter(F.col("term").isin(qterms))
+        return self._scored_frame(blocks, fn, params, filters, None)
+
     # -- phrase (slow-phrase: index candidates + stored-content verify) ----
 
     @staticmethod
