@@ -131,3 +131,39 @@ def test_matched_keys_plan_shapes(engine):
     df_f = engine.matched_keys("common_util", filters={"lang": "py"})
     plan_f = C.physical_plan(df_f)
     assert "FlatMapCoGroupsInPandas" in plan_f, plan_f[:2000]
+
+
+def test_multifield_combine_plan(spark, tmp_path_factory):
+    """The distributed multi_match combine must be a map-side-combinable
+    aggregation (partial_max/partial_sum before the exchange) feeding
+    TakeOrderedAndProject — the shuffle carries (doc_id, score) partial
+    rows, never postings."""
+    from gofias_spark.query.multifield import MultiFieldEngine, build_fielded
+
+    root = str(tmp_path_factory.mktemp("mfplan"))
+    build_fielded(
+        spark, synth_corpus(spark, 120), root,
+        IndexConfig(n_buckets=3, block_size=32), fields=("content", "path"),
+    )
+    mf = MultiFieldEngine(spark, root, serve=False)
+    mf.warm(local_max_blocks=0)
+    # "common_util" lives only in content, bare "index" only in path
+    # segments — OR-mode gives both engines a non-empty distributed frame
+    parts = [
+        (f, 1.0, e.score_matches("common_util index", mode="or"))
+        for f, e in mf.engines.items()
+    ]
+    u = None
+    for _, w, r in parts:
+        s = r.select("doc_id", (F.col("score") * F.lit(w)).alias("score"))
+        u = s if u is None else u.unionByName(s)
+    comb = (
+        u.groupBy("doc_id")
+        .agg(F.max("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+    plan = C.physical_plan(comb)
+    assert C.uses_take_ordered(comb)
+    # partial aggregation before the exchange (map-side combine)
+    assert "partial_max" in plan or "partial max" in plan.lower()
