@@ -268,6 +268,37 @@ def _q_ft_wildcard(spark, sf):
     return _ft(_engine(spark, sf).search_wildcard("s?a*", k=10))
 
 
+def _q_ft_query_string(spark, sf):
+    """ES query_string analogue (Lucene-ish syntax compiled onto the
+    engine's primitives, query/querystring.py): '+spark +join fast -scan
+    lang:en' = must spark,join; optional (scoring) fast; exclude docs
+    containing scan; lang=en filter. Score = sum of matched clauses'
+    BM25 contributions (ES bool semantics)."""
+    from gofias_spark.query.querystring import execute_query_string
+
+    return _ft(
+        execute_query_string(
+            _engine(spark, sf), "+spark +join fast -scan lang:en", k=10
+        )
+    )
+
+
+def _q_ft_query_string_wild(spark, sf):
+    """query_string composition path: a must PHRASE clause plus a should
+    WILDCARD clause ('+"merge batch" dup*'). Eligibility = adjacency-
+    verified phrase matches; score = conjunctive phrase BM25 + the OR-sum
+    of the dup* vocabulary variants where present. Expansions uncapped so
+    the DuckDB oracle (vocabulary regexp) is exact."""
+    from gofias_spark.query.querystring import execute_query_string
+
+    return _ft(
+        execute_query_string(
+            _engine(spark, sf), '+"merge batch" dup*', k=10,
+            max_expansions=None,
+        )
+    )
+
+
 def _q_ft_paging(spark, sf):
     return _ft(_engine(spark, sf).search("data query", k=10, offset=5))
 
@@ -962,6 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sort_attr": _q_ft_sort_attr,
         "ft_filter_sort": _q_ft_filter_sort,
         "ft_paging": _q_ft_paging,
+        "ft_query_string": _q_ft_query_string,
+        "ft_query_string_wild": _q_ft_query_string_wild,
         "ft_phrase_top10": _q_ft_phrase,
         "ft_fuzzy_top10": _q_ft_fuzzy,
         "ft_wildcard_top10": _q_ft_wildcard,
@@ -1128,6 +1161,74 @@ scored AS (
 """
 
 
+def _query_string_sql(
+    must: list[str],
+    should_terms: list[str],
+    k: int,
+    lang: str | None = None,
+    must_not: list[str] | None = None,
+    phrase: list[str] | None = None,
+    wildcard_should: str | None = None,
+) -> str:
+    """ES-bool mixed must/should oracle: eligibility = every must term
+    present (and the phrase adjacency when given), none of the must_not
+    terms; score = BM25 sum over ALL matched scoring terms (must + should
+    + wildcard variants)."""
+    from gofias_spark.query.engine import SearchEngine
+
+    score_terms = [f"'{t}'" for t in set(must) | set(should_terms)]
+    tpred = "term IN (" + ", ".join(sorted(score_terms)) + ")"
+    if wildcard_should is not None:
+        rx = SearchEngine._wildcard_regex(wildcard_should)
+        tpred = (
+            f"({tpred} OR term IN (SELECT DISTINCT term FROM tok "
+            f"WHERE regexp_matches(term, '{rx}')))"
+        )
+    filt = (
+        f"JOIN documents fd ON tf.doc_id = fd.doc_id AND fd.lang = '{lang}'"
+        if lang
+        else ""
+    )
+    if phrase:
+        pat = SearchEngine._phrase_pattern(phrase, dialect="re2")
+        filt += (
+            f" JOIN documents pd ON tf.doc_id = pd.doc_id "
+            f"AND regexp_matches(lower(pd.text), '{pat}')"
+        )
+    neg_filt = ""
+    if must_not:
+        neg = ", ".join(f"'{t}'" for t in must_not)
+        neg_filt = (
+            "AND tf.doc_id NOT IN "
+            f"(SELECT DISTINCT doc_id FROM tok WHERE term IN ({neg}))"
+        )
+    must_in = ", ".join(f"'{t}'" for t in sorted(set(must)))
+    return f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE {tpred} GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score,
+         count(DISTINCT CASE WHEN tf.term IN ({must_in})
+                             THEN tf.term END) AS must_cnt
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s {filt}
+  WHERE 1=1 {neg_filt}
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM scored
+WHERE must_cnt = {len(set(must))}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _prefix_bm25_sql(prefix: str, k: int, max_gram: int = 40) -> str:
     """Edge-ngram index semantics: tf(prefix) = tokens starting with it,
     dl = total grams = sum(min(len(token), max_gram)) (min_gram=1)."""
@@ -1233,6 +1334,13 @@ def oracle_sql() -> dict[str, str]:
             sort_lang_first=True,
         ),
         "ft_paging": _bm25_sql(["data", "query"], 10, offset=5),
+        "ft_query_string": _query_string_sql(
+            ["spark", "join"], ["fast"], 10, lang="en", must_not=["scan"]
+        ),
+        "ft_query_string_wild": _query_string_sql(
+            ["merge", "batch"], [], 10, phrase=["merge", "batch"],
+            wildcard_should="dup*",
+        ),
         "ft_phrase_top10": _bm25_sql(
             ["table", "scan"], 10, phrase=["table", "scan"]
         ),

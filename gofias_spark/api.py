@@ -148,6 +148,31 @@ class FulltextAPI:
             filters=filters, as_pandas=as_pandas,
         )
 
+    def query_string(
+        self,
+        qs: str,
+        size: int = 10,
+        from_: int = 0,
+        default_operator: str = "or",
+        minimum_should_match: int | None = None,
+        max_expansions: int | None = 50,
+        as_pandas: bool = False,
+    ):
+        """ES ``query_string`` analogue — Lucene-ish syntax (``+must``,
+        ``-not``, ``"phrase"``, ``field:value`` filters, ``field:[a TO b]``
+        ranges, ``term^boost``, ``wild*``, ``fuzz~``, ``AND/OR/NOT``)
+        compiled onto the engine's structured primitives. See
+        query/querystring.py for grammar and the fast-path/composition
+        execution strategy."""
+        from gofias_spark.query.querystring import execute_query_string
+
+        return execute_query_string(
+            self.engine, qs, k=size, offset=from_,
+            default_operator=default_operator,
+            minimum_should_match=minimum_should_match,
+            max_expansions=max_expansions, as_pandas=as_pandas,
+        )
+
     def suggest(
         self,
         term: str,

@@ -1126,6 +1126,66 @@ class SearchEngine:
         )
         return self._attach_meta(topk_pdf, with_meta, as_pandas)
 
+    def phrase_matches(self, query: str, filters: dict | None = None):
+        """``(doc_id, score)`` of ALL exact-phrase matches — the phrase
+        analogue of ``score_matches`` (same contract: pandas on the driver
+        tiers, Spark DataFrame on the distributed tier). Building block of
+        the query_string executor (query/querystring.py), where a phrase
+        clause combines with other clauses on doc_id, so a pre-combine
+        top-k cut would be unsound. Routing mirrors ``search_phrase``:
+        resident positional sidecar -> serve-tier positional fetch ->
+        distributed ``_phrase_frame``."""
+        self._validate_filters(filters)
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        if filters_impossible(filters):
+            return empty
+        if self.analyzer.mode != "standard":
+            raise ValueError(
+                "phrase_matches requires a standard-analyzer index; "
+                f"this index uses mode={self.analyzer.mode!r}"
+            )
+        seq = tokenize_text(
+            query,
+            AnalyzerConfig(
+                mode="standard", token_pattern=self.analyzer.token_pattern
+            ),
+        )
+        if not seq:
+            return empty
+        qterms = list(dict.fromkeys(seq))
+        dfs = self._term_dfs(qterms)
+        if any(dfs[t] == 0 for t in qterms):
+            return empty
+        score_params = dict(
+            idf={t: self._idf(dfs[t]) for t in qterms},
+            avgdl=self.avgdl, k1=self.bm25.k1, b=self.bm25.b,
+        )
+        if (
+            self._local_positions is not None
+            and "dls" in self._local_positions.columns
+        ):
+            allowed, excl = self._local_masks(filters)
+            sub = self._local_positions[
+                self._local_positions["term"].isin(qterms)
+            ]
+            return _phrase_position_kernel(
+                seq, score_params, excluded_bc=excl, allowed=allowed
+            )(sub)[["doc_id", "score"]]
+        if (
+            self._positions is not None
+            and filters is None
+            and self._serve is not None
+            and self._serve.has_positions
+            and self._serve_route(dfs, None)
+        ):
+            pdf = self._serve.fetch_positions(qterms)
+            return _phrase_position_kernel(
+                seq, score_params, excluded_bc=self._tomb_arr
+            )(pdf)[["doc_id", "score"]]
+        r = self._phrase_frame(seq, filters)
+        return empty if r is None else r.select("doc_id", "score")
+
     def _phrase_frame(
         self, seq: list[str], filters: dict | None
     ) -> DataFrame | None:

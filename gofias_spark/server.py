@@ -11,6 +11,10 @@ behind a thin gateway.
 
 Routes (reference analogues):
     GET /api/v1/address/term?term=..&size=..&from=..[&lang=..]   GetAddressByTerm
+    GET /api/v1/search?q=..[&size=..&from=..&default_operator=..] ES URI
+                                        search: Lucene-ish query_string
+                                        (+must -not "phrase" field:value
+                                        field:[a TO b] term^2 wild* fuzz~)
     GET /api/v1/suggests?term=..&size=..                         GetSuggests
     GET /api/v1/address/guid?repo=..&path=..&commit=..           GetByGuid
     GET /api/v1/count?term=..[&lang=..]                          _count
@@ -370,6 +374,30 @@ def make_handler(api: FulltextAPI):
                             _term(q), [int(x) for x in pdf["doc_id"]]
                         )
                         pdf = pdf.merge(frags, on="doc_id", how="left")
+                    self._json({"items": _items(pdf)})
+                elif url.path == "/api/v1/search":
+                    # ES URI-search analogue (GET /_search?q=...): the
+                    # query_string syntax over the same clamped paging.
+                    # Filters live INSIDE q (field:value / field:>=n), not
+                    # as separate params — one string is the whole query.
+                    raw = q.get("q", [""])[0]
+                    if not raw:
+                        raise BadRequest("q= is required")
+                    if len(raw) > MAX_TERM_LEN:
+                        raise BadRequest(
+                            f"q longer than {MAX_TERM_LEN} chars"
+                        )
+                    size, from_ = _page(q, default_size=10)
+                    dop = q.get("default_operator", ["or"])[0].lower()
+                    try:
+                        pdf = api.query_string(
+                            raw, size=size, from_=from_,
+                            default_operator=dop,
+                            minimum_should_match=_msm_from_query(q),
+                            as_pandas=True,
+                        )
+                    except (ValueError, NotImplementedError) as exc:
+                        raise BadRequest(str(exc)) from exc
                     self._json({"items": _items(pdf)})
                 elif url.path == "/api/v1/suggests":
                     size, _ = _page(q, default_size=10)

@@ -101,6 +101,19 @@ def main() -> None:
              "6-dp display, when ties matter",
     )
 
+    qs = sub.add_parser(
+        "query-string",
+        help="Lucene-ish query syntax: +must -not \"phrase\" field:value "
+             "field:[a TO b] term^2 wild* fuzz~ AND/OR/NOT",
+    )
+    qs.add_argument("query")
+    qs.add_argument("--k", type=int, default=10)
+    qs.add_argument("--offset", type=int, default=0)
+    qs.add_argument("--default-operator", default="or",
+                    choices=["or", "and"])
+    qs.add_argument("--msm", type=int, default=None,
+                    help="minimum_should_match over should clauses")
+
     c = sub.add_parser("count")
     c.add_argument("query", nargs="?")
     c.add_argument("--filter", action="append")
@@ -239,6 +252,19 @@ def main() -> None:
             )
             for frag in frags.get(r["doc_id"], []):
                 print(f"    … {frag} …")
+    elif args.cmd == "query-string":
+        from gofias_spark.query.querystring import execute_query_string
+
+        res = execute_query_string(
+            eng, args.query, k=args.k, offset=args.offset,
+            default_operator=args.default_operator,
+            minimum_should_match=args.msm,
+        )
+        for r in res.collect():
+            print(
+                f"{r['score']:.6f}\t{r['doc_id']}\t{r['repo']}/{r['path']}"
+                f"@{r['commit']}\t{r['lang']}"
+            )
     elif args.cmd == "count":
         print(eng.count(args.query, _filters(args.filter),
                         must_not=args.exclude))

@@ -530,3 +530,58 @@ def test_top_hits_route(gateway):
     assert _get_status(
         base, "/api/v1/top_hits?field=lang&term=x&k=1000"
     ) == 400
+
+
+def test_query_string_route(gateway):
+    """/api/v1/search?q= — ES URI-search analogue over the query_string
+    compiler: fast path, composition (phrase + should), filters inside q,
+    and the 400 contract for syntax/validation errors."""
+    import urllib.parse
+
+    api, base = gateway
+
+    def enc(qs_str, extra=""):
+        return "/api/v1/search?q=" + urllib.parse.quote(qs_str) + extra
+
+    # fast path: +a +b == structured AND search
+    status, res = _get(base, enc("+common_util +helper", "&size=5"))
+    assert status == 200 and len(res["items"]) == 5
+    direct = api.search_by_term("common_util helper", size=5).collect()
+    assert [i["doc_id"] for i in res["items"]] == [
+        r["doc_id"] for r in direct
+    ]
+
+    # composition: phrase must + term should, filter inside q
+    status, res = _get(
+        base, enc('+"common_util helper" func lang:py', "&size=5")
+    )
+    assert status == 200
+    assert all(i["lang"] == "py" for i in res["items"])
+    direct = api.query_string(
+        '+"common_util helper" func lang:py', size=5, as_pandas=True
+    )
+    assert [i["doc_id"] for i in res["items"]] == direct["doc_id"].tolist()
+    # every hit really contains the adjacency
+    pm = api.engine.phrase_matches("common_util helper")
+    if not hasattr(pm, "iloc"):
+        pm = pm.toPandas()
+    phrase_ids = set(pm["doc_id"])
+    assert all(i["doc_id"] in phrase_ids for i in res["items"])
+
+    # default_operator + msm params pass through
+    status, res = _get(
+        base,
+        enc("common_util helper func",
+            "&minimum_should_match=2&size=5"),
+    )
+    assert status == 200 and len(res["items"]) == 5
+
+    # 400 contract: missing q, bad syntax, unknown field, bad msm
+    assert _get_status(base, "/api/v1/search") == 400
+    assert _get_status(base, enc("bogusfield:x y")) == 400
+    assert _get_status(base, enc("lang:py")) == 400  # only filters
+    assert _get_status(base, enc("term~2")) == 400
+    assert _get_status(
+        base, enc("common_util", "&minimum_should_match=zero")
+    ) == 400
+    assert _get_status(base, enc("x" * 2000)) == 400
