@@ -253,6 +253,15 @@ def _q_ft_phrase(spark, sf):
     return _ft(_engine(spark, sf).search_phrase("table scan", k=10))
 
 
+def _q_ft_phrase_slop(spark, sf):
+    """Proximity phrase (ES match_phrase slop / span_near in_order=true):
+    'key scan' within a window of <=2 intervening tokens, in order. Runs
+    the positional-sidecar greedy-chain kernel (engine._phrase_position_
+    kernel slop branch); the DuckDB oracle expresses the same two-term
+    window as a bounded-gap regex over the content."""
+    return _ft(_engine(spark, sf).search_phrase("key scan", k=10, slop=2))
+
+
 def _q_ft_fuzzy(spark, sf):
     """Fuzzy single-token match (ES fuzziness analogue): SymSpell
     deletion-neighborhood expansion over the term dictionary (levenshtein
@@ -996,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_query_string": _q_ft_query_string,
         "ft_query_string_wild": _q_ft_query_string_wild,
         "ft_phrase_top10": _q_ft_phrase,
+        "ft_phrase_slop": _q_ft_phrase_slop,
         "ft_fuzzy_top10": _q_ft_fuzzy,
         "ft_wildcard_top10": _q_ft_wildcard,
         "ft_count": _q_ft_count,
@@ -1072,6 +1082,7 @@ def _bm25_sql(
     dl_range: tuple[int, int] | None = None,
     sort_lang_first: bool = False,
     phrase: list[str] | None = None,
+    slop: int = 0,
     fuzzy: str | None = None,
     wildcard: str | None = None,
     must_not: list[str] | None = None,
@@ -1098,7 +1109,9 @@ def _bm25_sql(
         else ""
     )
     if phrase:
-        pat = SearchEngine._phrase_pattern(phrase, dialect="re2")
+        # two-term proximity == one bounded gap, so the re2 regex equals
+        # the kernel's total-window semantics (engine._phrase_pattern)
+        pat = SearchEngine._phrase_pattern(phrase, dialect="re2", slop=slop)
         filt += (
             f" JOIN documents pd ON tf.doc_id = pd.doc_id "
             f"AND regexp_matches(lower(pd.text), '{pat}')"
@@ -1343,6 +1356,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ft_phrase_top10": _bm25_sql(
             ["table", "scan"], 10, phrase=["table", "scan"]
+        ),
+        "ft_phrase_slop": _bm25_sql(
+            ["key", "scan"], 10, phrase=["key", "scan"], slop=2
         ),
         "ft_fuzzy_top10": _bm25_sql([], 10, mode="or", fuzzy="fash"),
         "ft_wildcard_top10": _bm25_sql(

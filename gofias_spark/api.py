@@ -104,13 +104,15 @@ class FulltextAPI:
         from_: int = 0,
         filters: dict | None = None,
         as_pandas: bool = False,
+        slop: int = 0,
     ):
         """Exact-phrase match (ES match_phrase analogue; extension beyond
-        the reference's operator=and routes). See
-        SearchEngine.search_phrase for the slow-phrase plan."""
+        the reference's operator=and routes); ``slop`` relaxes adjacency
+        to in-order proximity (ES match_phrase slop). See
+        SearchEngine.search_phrase for the plans."""
         return self.engine.search_phrase(
             phrase, k=size, offset=from_, filters=filters,
-            as_pandas=as_pandas,
+            as_pandas=as_pandas, slop=slop,
         )
 
     def search_fuzzy(

@@ -48,7 +48,8 @@ RESULT_SCHEMA = "doc_id long, score double"
 
 
 def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
-                            excluded_bc=None, allowed: np.ndarray | None = None):
+                            excluded_bc=None, allowed: np.ndarray | None = None,
+                            slop: int = 0):
     """applyInPandas kernel over one doc_part of the positional sidecar:
     decode the phrase terms' position blocks, find the doc_ids where the
     token sequence ``seq`` occurs consecutively. Runs on the sidecar's own
@@ -167,15 +168,39 @@ def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
                 owner, vals = owner[m], vals[m]
             return owner * big + vals
 
-        keys = term_keys(seq[0], 0)
-        for j, t in enumerate(seq[1:], 1):
-            if keys.size == 0:
-                break
-            # both sides ascending: owner blocks are in candidate order and
-            # positions ascend within a posting
-            keys = np.intersect1d(
-                keys, term_keys(t, j), assume_unique=True
-            )
+        if slop:
+            # ordered proximity (ES span_near in_order=true / match_phrase
+            # slop analogue, restricted to in-order matches): positions
+            # strictly increase term-to-term and the whole span fits a
+            # window of len(seq)-1+slop tokens. Greedy chaining is exact —
+            # advancing every chain to the SMALLEST same-owner next-term
+            # position > current minimizes the end position for a given
+            # start, so a start survives iff SOME in-order match starting
+            # there fits the window. All-numpy: one searchsorted per term.
+            keysets = {t: term_keys(t, 0) for t in dict.fromkeys(seq)}
+            start = cur = keysets[seq[0]]
+            for t in seq[1:]:
+                nxt_set = keysets[t]
+                if cur.size == 0 or nxt_set.size == 0:
+                    start = cur = cur[:0]
+                    break
+                nxt_i = np.searchsorted(nxt_set, cur, side="right")
+                ok = nxt_i < nxt_set.size
+                nxt = nxt_set[np.minimum(nxt_i, nxt_set.size - 1)]
+                ok &= (nxt // big) == (cur // big)
+                start, cur = start[ok], nxt[ok]
+            fits = (cur - start) <= np.int64(len(seq) - 1 + slop)
+            keys = start[fits]
+        else:
+            keys = term_keys(seq[0], 0)
+            for j, t in enumerate(seq[1:], 1):
+                if keys.size == 0:
+                    break
+                # both sides ascending: owner blocks are in candidate
+                # order and positions ascend within a posting
+                keys = np.intersect1d(
+                    keys, term_keys(t, j), assume_unique=True
+                )
         owners = np.unique(keys // big) if keys.size else keys
         verified = cand[owners] if owners.size else cand[:0]
         if score_params is None:
@@ -196,6 +221,49 @@ def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
         return pd.DataFrame({"doc_id": verified, "score": scores})
 
     return kernel
+
+
+def _sloppy_verify_udf(seq: list[str], slop: int, analyzer):
+    """Boolean pandas UDF: does lowercased content contain an in-order
+    occurrence of ``seq`` inside a ``len(seq)-1+slop`` token window? Same
+    semantics as the positional kernel's slop branch (greedy chaining is
+    exact — see there), re-derived from content for indexes built without
+    the positional sidecar. Tokenization is the engine's own
+    ``tokenize_text`` so verify parity with the index is definitional."""
+    import bisect
+
+    from gofias_spark.analyzer import tokenize_text as _tok
+
+    cfg = AnalyzerConfig(mode="standard", token_pattern=analyzer.token_pattern)
+    uniq = list(dict.fromkeys(seq))
+    window = len(seq) - 1 + slop
+
+    def _ok(text: str) -> bool:
+        occ: dict[str, list[int]] = {t: [] for t in uniq}
+        for i, tok in enumerate(_tok(text or "", cfg)):
+            if tok in occ:
+                occ[tok].append(i)
+        if any(not occ[t] for t in uniq):
+            return False
+        for s in occ[seq[0]]:
+            cur, dead = s, False
+            for t in seq[1:]:
+                j = bisect.bisect_right(occ[t], cur)
+                if j == len(occ[t]):
+                    dead = True
+                    break
+                cur = occ[t][j]
+            if dead:
+                break  # later starts only chain further right
+            if cur - s <= window:
+                return True
+        return False
+
+    @F.pandas_udf("boolean")
+    def verify(content: pd.Series) -> pd.Series:
+        return content.map(_ok)
+
+    return verify
 
 
 def _lev_le1(a: str, b: str) -> bool:
@@ -995,18 +1063,27 @@ class SearchEngine:
     # -- phrase (slow-phrase: index candidates + stored-content verify) ----
 
     @staticmethod
-    def _phrase_pattern(seq: list[str], dialect: str = "java") -> str:
+    def _phrase_pattern(seq: list[str], dialect: str = "java",
+                        slop: int = 0) -> str:
         """Token-adjacency regex over ``lower(content)``. The analyzer
         tokenizes on ``\\w+`` runs, so two tokens are adjacent in the token
         stream iff only non-word characters separate them in the text.
         ``(?U)`` keeps Java's ``\\W`` aligned with the Python tokenizer's
         unicode ``\\w``; the ``re2`` dialect (DuckDB oracles) spells the
-        ASCII class out — identical semantics on ASCII corpora."""
+        ASCII class out — identical semantics on ASCII corpora.
+
+        ``slop`` allows up to that many intervening tokens per gap. For a
+        TWO-term phrase this regex is exactly the positional kernel's
+        total-window proximity semantics (one gap == the whole budget);
+        for longer phrases a per-gap regex would over-accept vs the shared
+        window, so callers only use slop>0 here when len(seq)==2."""
         if dialect == "java":
-            b, gap, flags = r"\W", r"\W+", "(?s)(?U)"
+            b, gap, word, flags = r"\W", r"\W+", r"\w+", "(?s)(?U)"
         else:  # re2
-            b, gap, flags = "[^a-z0-9_]", "[^a-z0-9_]+", ""
-        return f"{flags}(^|{b}){gap.join(seq)}({b}|$)"
+            b, gap, word = "[^a-z0-9_]", "[^a-z0-9_]+", "[a-z0-9_]+"
+            flags = ""
+        joiner = f"(?:{gap}{word}){{0,{slop}}}{gap}" if slop else gap
+        return f"{flags}(^|{b}){joiner.join(seq)}({b}|$)"
 
     def search_phrase(
         self,
@@ -1016,10 +1093,18 @@ class SearchEngine:
         filters: dict | None = None,
         with_meta: bool = True,
         as_pandas: bool = False,
+        slop: int = 0,
     ):
         """Exact phrase top-k (ES ``match_phrase`` analogue — an extension
         beyond the reference, which only issues operator=and matches,
         elasticAddressRepository.go:483).
+
+        ``slop`` relaxes adjacency to ordered proximity (ES
+        ``match_phrase`` slop / ``span_near(in_order=true)``): the terms
+        must occur in query order with the whole span inside a window of
+        ``len(terms)-1+slop`` tokens — i.e. at most ``slop`` extra tokens
+        spread across the gaps. Scores are unchanged (the conjunctive BM25
+        sum; proximity only filters, like ES's phrase query scoring).
 
         The index stores no positions, so this is the classic *slow phrase*
         plan: (1) conjunctive candidates from the postings — every phrase
@@ -1067,6 +1152,7 @@ class SearchEngine:
                      avgdl=self.avgdl, k1=self.bm25.k1, b=self.bm25.b),
                 excluded_bc=excl,
                 allowed=allowed,
+                slop=slop,
             )(sub)
             r = res.sort_values(
                 ["score", "doc_id"], ascending=[False, True],
@@ -1109,13 +1195,14 @@ class SearchEngine:
                 dict(idf={t: self._idf(dfs[t]) for t in qterms},
                      avgdl=self.avgdl, k1=self.bm25.k1, b=self.bm25.b),
                 excluded_bc=self._tomb_arr,
+                slop=slop,
             )(pdf)
             topk_pdf = res.sort_values(
                 ["score", "doc_id"], ascending=[False, True],
                 kind="mergesort",
             ).iloc[offset : offset + k]
             return self._attach_meta(topk_pdf, with_meta, as_pandas)
-        verified = self._phrase_frame(seq, filters)
+        verified = self._phrase_frame(seq, filters, slop=slop)
         if verified is None:
             return self._empty_result(with_meta, as_pdf=as_pandas)
         topk_pdf = (
@@ -1126,7 +1213,8 @@ class SearchEngine:
         )
         return self._attach_meta(topk_pdf, with_meta, as_pandas)
 
-    def phrase_matches(self, query: str, filters: dict | None = None):
+    def phrase_matches(self, query: str, filters: dict | None = None,
+                       slop: int = 0):
         """``(doc_id, score)`` of ALL exact-phrase matches — the phrase
         analogue of ``score_matches`` (same contract: pandas on the driver
         tiers, Spark DataFrame on the distributed tier). Building block of
@@ -1170,7 +1258,8 @@ class SearchEngine:
                 self._local_positions["term"].isin(qterms)
             ]
             return _phrase_position_kernel(
-                seq, score_params, excluded_bc=excl, allowed=allowed
+                seq, score_params, excluded_bc=excl, allowed=allowed,
+                slop=slop,
             )(sub)[["doc_id", "score"]]
         if (
             self._positions is not None
@@ -1181,13 +1270,13 @@ class SearchEngine:
         ):
             pdf = self._serve.fetch_positions(qterms)
             return _phrase_position_kernel(
-                seq, score_params, excluded_bc=self._tomb_arr
+                seq, score_params, excluded_bc=self._tomb_arr, slop=slop
             )(pdf)[["doc_id", "score"]]
-        r = self._phrase_frame(seq, filters)
+        r = self._phrase_frame(seq, filters, slop=slop)
         return empty if r is None else r.select("doc_id", "score")
 
     def _phrase_frame(
-        self, seq: list[str], filters: dict | None
+        self, seq: list[str], filters: dict | None, slop: int = 0
     ) -> DataFrame | None:
         """Lazy (doc_id, score) frame of verified phrase matches, or None
         when a phrase term is absent from the vocabulary (short-circuit —
@@ -1226,7 +1315,8 @@ class SearchEngine:
                 )
                 return pos.groupby("doc_part").applyInPandas(
                     _phrase_position_kernel(
-                        seq, score_params, excluded_bc=self._tomb_bc
+                        seq, score_params, excluded_bc=self._tomb_bc,
+                        slop=slop,
                     ),
                     schema=RESULT_SCHEMA,
                 )
@@ -1236,17 +1326,29 @@ class SearchEngine:
             blocks = self.postings.filter(F.col("term").isin(qterms))
             scored = self._scored_frame(blocks, K.score_and, params, filters)
             matched = pos.groupby("doc_part").applyInPandas(
-                _phrase_position_kernel(seq), schema="doc_id long"
+                _phrase_position_kernel(seq, slop=slop), schema="doc_id long"
             )
             return scored.join(F.broadcast(matched), "doc_id")
         blocks = self.postings.filter(F.col("term").isin(qterms))
         scored = self._scored_frame(blocks, K.score_and, params, filters)
         if min(dfs[t] for t in qterms) <= 1_000_000:
             scored = F.broadcast(scored)
-        pat = self._phrase_pattern(seq)
         content = self.doc_meta.select(
             "doc_id", F.lower(F.col("content")).alias("_content_lc")
         )
+        if slop and len(seq) > 2:
+            # a per-gap regex budget over-accepts vs the kernel's shared
+            # window for 3+ terms, so the positionless fallback verifies
+            # with the SAME greedy chain over tokenized candidate content
+            # (Arrow-batched pandas UDF; bounded by the rarest term's df —
+            # the disclosed slow-phrase shape, like the rlike plan below)
+            verify = _sloppy_verify_udf(seq, slop, self.analyzer)
+            return (
+                content.join(scored, "doc_id")
+                .filter(verify(F.col("_content_lc")))
+                .drop("_content_lc")
+            )
+        pat = self._phrase_pattern(seq, slop=slop)
         return (
             content.join(scored, "doc_id")
             .filter(F.col("_content_lc").rlike(pat))

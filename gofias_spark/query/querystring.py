@@ -17,6 +17,7 @@ Supported syntax (the useful union of query_string / simple_query_string):
     +required -excluded       occur prefixes (must / must_not)
     a AND b, a OR b, NOT c    uppercase connectors (flat, no parens)
     "exact phrase"            match_phrase clause
+    "proximity phrase"~N      match_phrase with slop N (in-order)
     lang:en repo:corpus       attribute match = exact filter (the engine's
                               match-on-keyword semantics, reference T7)
     -lang:en                  negated attribute filter ({"neq": v})
@@ -82,6 +83,7 @@ class Clause:
     text: str            # payload (term(s) / phrase / pattern)
     occur: str           # must | should | must_not
     boost: float = 1.0
+    slop: int = 0        # phrase clauses only ("..."~N Lucene proximity)
 
 
 @dataclass
@@ -96,7 +98,7 @@ _TOKEN_RX = re.compile(
     r"""
     (?P<prefix>[+-]?)
     (?:
-        "(?P<phrase>[^"]*)"
+        "(?P<phrase>[^"]*)"(?:~(?P<slop>[0-9]+))?
       | (?P<rfield>[^\s"^:\[]+):\[(?P<range>[^\]]*)\]
       | (?P<bare>[^\s"^]+)
     )
@@ -208,7 +210,8 @@ def parse_query_string(
             text = m.group("phrase").strip()
             if text:
                 clauses.append(Clause("phrase", text, occur,
-                                      float(boost) if boost else 1.0))
+                                      float(boost) if boost else 1.0,
+                                      slop=int(m.group("slop") or 0)))
             continue
         bare = m.group("bare")
         if ":" in bare:
@@ -259,7 +262,7 @@ def _clause_frame(engine, c: Clause, filters, max_expansions):
     if c.kind == "term":
         r = engine.score_matches(c.text, mode="and", filters=filters)
     elif c.kind == "phrase":
-        r = engine.phrase_matches(c.text, filters=filters)
+        r = engine.phrase_matches(c.text, filters=filters, slop=c.slop)
     elif c.kind == "wildcard":
         variants = engine.wildcard_terms(c.text, max_expansions)
         if not variants:

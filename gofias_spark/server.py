@@ -89,6 +89,8 @@ _SORT_FIELDS = (
 MAX_SIZE = 1000
 MAX_FROM = 10000
 MAX_TERM_LEN = 1024  # analyzer cost is O(len); clamp like size/from
+MAX_SLOP = 50  # ES caps phrase slop via index.query.default_field limits;
+               # verification cost grows with the window, clamp like size
 
 
 class BadRequest(ValueError):
@@ -292,9 +294,19 @@ def make_handler(api: FulltextAPI):
                             raise BadRequest(
                                 "match=phrase does not support sort="
                             )
+                        try:
+                            slop = int(q.get("slop", ["0"])[0])
+                        except ValueError as e:
+                            raise BadRequest("slop must be an integer") \
+                                from e
+                        if not 0 <= slop <= MAX_SLOP:
+                            raise BadRequest(
+                                f"slop must be in [0, {MAX_SLOP}]"
+                            )
                         pdf = api.search_phrase(
                             _term(q), size=size, from_=from_,
                             filters=_filters_from_query(q), as_pandas=True,
+                            slop=slop,
                         )
                     elif match == "fuzzy":
                         if sort_by:

@@ -28,6 +28,10 @@ DOCS = [
     ("d8", "alpha alpha beta"),
     ("d9", "gamma delta"),
     ("d10", "beta beta beta"),
+    ("d11", "alpha one two beta"),
+    ("d12", "alpha one two three beta"),
+    ("d13", "beta one alpha two beta"),
+    ("d14", "alpha gamma beta gamma x gamma"),
 ]
 SCHEMA = (
     "repo string, path string, commit string, lang string, content string"
@@ -94,6 +98,79 @@ def test_all_four_phrase_paths_agree(engines, q):
     assert _rows(ep.search_phrase(q, k=20)) == want    # local one-pass
     assert _rows(epd.search_phrase(q, k=20)) == want   # distributed one-pass
     assert _rows(eps.search_phrase(q, k=20)) == want   # serve-tier one-pass
+
+
+def _sloppy_oracle(rows, phrase, slop):
+    """Brute force over every in-order position combination (independent of
+    the engine's greedy chain): doc matches iff some strictly-increasing
+    assignment of positions to the phrase terms spans <= n-1+slop."""
+    import itertools
+    import re
+
+    out = set()
+    seq = phrase.split()
+    for path, text in rows:
+        toks = re.findall(r"\w+", text.lower())
+        occ = [[i for i, t in enumerate(toks) if t == w] for w in seq]
+        for combo in itertools.product(*occ):
+            if all(b > a for a, b in zip(combo, combo[1:])) and \
+                    combo[-1] - combo[0] <= len(seq) - 1 + slop:
+                out.add(path)
+                break
+    return out
+
+
+SLOPPY = [
+    ("alpha beta", 1),     # d3/d7-style one-gap docs now match
+    ("alpha beta", 2),     # d11 (two intervening tokens) joins
+    ("alpha beta", 3),     # d12 joins
+    ("beta beta", 2),      # duplicate terms: strictly increasing positions
+    ("alpha gamma gamma", 3),  # 3 terms, shared window budget (d14)
+    ("alpha two beta", 1),     # 3 terms in order with one gap (d13)
+    ("gamma alpha", 5),    # wrong order stays empty (in_order semantics)
+]
+
+
+@pytest.mark.parametrize("q,slop", SLOPPY, ids=str)
+def test_sloppy_phrase_all_paths_match_bruteforce(engines, q, slop):
+    """Every execution tier (local sidecar, distributed one-pass, serve
+    tier, positionless content-verify fallback) agrees with a brute-force
+    position-combination oracle on proximity semantics."""
+    ep, epd, eps, es = engines
+    want = _sloppy_oracle(DOCS, q, slop)
+    for eng in (ep, epd, eps, es):
+        got = {r["path"] for r in eng.search_phrase(q, k=50, slop=slop)
+               .collect()}
+        assert got == want, (eng, q, slop)
+
+
+def test_slop_zero_is_exact_phrase(engines):
+    ep, *_ = engines
+    for q in ("alpha beta", "beta beta", "alpha beta gamma"):
+        assert _rows(ep.search_phrase(q, k=50, slop=0)) == \
+            _rows(ep.search_phrase(q, k=50))
+
+
+def test_sloppy_scores_are_conjunctive_bm25(engines):
+    """Proximity only filters; survivors keep the exact conjunctive BM25
+    score (same contract as exact phrase vs mode=and search)."""
+    ep, *_ = engines
+    hits = ep.search_phrase("alpha beta", k=50, slop=2).collect()
+    scored = {r["path"]: r["score"]
+              for r in ep.search("alpha beta", k=50, mode="and").collect()}
+    assert hits
+    for r in hits:
+        assert r["score"] == pytest.approx(scored[r["path"]], rel=1e-12)
+
+
+def test_sloppy_phrase_with_filters(engines):
+    ep, epd, eps, es = engines
+    f = {"doclen": {"lte": 4}}
+    want = _rows(es.search_phrase("alpha beta", filters=f, slop=2))
+    for eng in (ep, epd, eps):
+        assert _rows(
+            eng.search_phrase("alpha beta", filters=f, slop=2)
+        ) == want
 
 
 def test_positional_with_filters_and_paging(engines):

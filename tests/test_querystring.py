@@ -109,6 +109,16 @@ def test_parse_kinds_and_boost():
     ]
 
 
+def test_parse_phrase_slop():
+    pq = parse_query_string('"a b"~2 "c d"~1^3 "e f"')
+    got = [(c.kind, c.text, c.slop, c.boost) for c in pq.clauses]
+    assert got == [
+        ("phrase", "a b", 2, 1.0),
+        ("phrase", "c d", 1, 3.0),
+        ("phrase", "e f", 0, 1.0),
+    ]
+
+
 def test_parse_ranges():
     pq = parse_query_string(
         "doclen:>=3 doclen:<7 x", filter_fields=FIELDS
@@ -208,6 +218,17 @@ def test_mixed_must_should_scores(eng):
 def test_phrase_clause_equals_search_phrase(eng):
     direct = eng.search_phrase("alpha beta", as_pandas=True)
     assert ranked(qs(eng, '+"alpha beta"')) == ranked(direct)
+
+
+def test_sloppy_phrase_clause_equals_search_phrase(eng, cold):
+    # 'alpha common' is adjacent nowhere in DOCS; slop=2 admits d0 (gap 2),
+    # d1 and d2 (gap 1) — so the clause exercises real proximity semantics
+    for e in (eng, cold):
+        direct = eng.search_phrase("alpha common", slop=2, as_pandas=True)
+        assert ranked(qs(e, '+"alpha common"~2')) == ranked(direct)
+        assert len(direct)  # slop actually admits docs here
+        exact = eng.search_phrase("alpha common", as_pandas=True)
+        assert len(direct) > len(exact)
 
 
 def test_phrase_with_negation(eng):

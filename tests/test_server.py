@@ -349,6 +349,24 @@ def test_match_phrase_and_fuzzy_routes(gateway):
         r["doc_id"] for r in direct
     ]
 
+    # slop= relaxes adjacency to in-order proximity on the phrase route:
+    # 'helper 1' is adjacent NOWHERE (the planted line is "common_util
+    # helper(common_util, 1)" — one token between), so exact returns 0
+    # and slop=1 returns every even doc
+    status, res_slop = _get(
+        base,
+        "/api/v1/address/term?term=helper+1&match=phrase&size=50&slop=1",
+    )
+    assert status == 200 and len(res_slop["items"]) == 50
+    direct = api.search_phrase("helper 1", size=50, slop=1).collect()
+    assert [i["doc_id"] for i in res_slop["items"]] == [
+        r["doc_id"] for r in direct
+    ]
+    status, res_exact = _get(
+        base, "/api/v1/address/term?term=helper+1&match=phrase&size=50"
+    )
+    assert status == 200 and res_exact["items"] == []
+
     # contract errors are 400s, not 500s
     assert _get_status(base, "/api/v1/address/term?term=x&match=bogus") == 400
     assert _get_status(
@@ -356,6 +374,15 @@ def test_match_phrase_and_fuzzy_routes(gateway):
     ) == 400
     assert _get_status(
         base, "/api/v1/address/term?term=a+b&match=phrase&sort=lang:asc"
+    ) == 400
+    assert _get_status(
+        base, "/api/v1/address/term?term=a+b&match=phrase&slop=-1"
+    ) == 400
+    assert _get_status(
+        base, "/api/v1/address/term?term=a+b&match=phrase&slop=999"
+    ) == 400
+    assert _get_status(
+        base, "/api/v1/address/term?term=a+b&match=phrase&slop=x"
     ) == 400
 
 
