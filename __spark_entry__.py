@@ -737,6 +737,22 @@ def _q_ann_lsh(spark, sf):  # approximate -> rows-only
     )
 
 
+def _q_hybrid_rrf(spark, sf):
+    """Hybrid lexical+vector retrieval (ES 8 retriever.rrf analogue):
+    BM25 OR-match top-50 from the inverted index fused with brute-force
+    cosine top-50 against the fixture query vector via reciprocal-rank
+    fusion (1/(60+rank), Cormack et al. 2009). Branch ranks break ties by
+    doc id; the DuckDB oracle re-derives both branches in SQL."""
+    from gofias_spark.operators.hybrid import hybrid_topk
+
+    eng = _engine(spark, sf)
+    lex = eng.search("merge batch", k=50, mode="or").select(
+        F.col("path").cast("long").alias("doc_id"), "score"
+    )
+    vecs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return hybrid_topk(lex, vecs, _query_vec(spark, sf), k=10, k_each=50)
+
+
 def _q_src_xml_scan(spark, sf):
     """S3 analogue: round-trip the nation table through attribute-only XML
     and scan it back with the distributed XML source (sources/xml.py)."""
@@ -1040,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": _q_pipeline_curate,
         # similarity / multimodal
         "sim_cosine_top10": _q_sim_cosine,
+        "hybrid_rrf_top10": _q_hybrid_rrf,
         "sim_ann_lsh_top10": _q_ann_lsh,  # approximate, rows-only
         "sim_ivf_top10": _q_ivf,  # approximate, rows-only
         "dedup_embedding_cosine": _q_neardup_cosine,
@@ -1758,6 +1775,44 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """,
         "src_xml_scan": """
 SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+""",
+        "hybrid_rrf_top10": f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('merge', 'batch') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+lex AS (SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+        FROM (SELECT * FROM scored
+              ORDER BY score DESC, doc_id ASC LIMIT 50)),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cos AS (SELECT vec_id AS doc_id,
+               list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+        FROM embeddings e CROSS JOIN q
+        ORDER BY cosine DESC, vec_id ASC LIMIT 50),
+cosr AS (SELECT doc_id,
+                row_number() OVER
+                  (ORDER BY round(cosine, 6) DESC, doc_id ASC) AS r
+         FROM cos),
+u AS (SELECT doc_id, 1.0 / (60 + r) AS c FROM lex
+      UNION ALL SELECT doc_id, 1.0 / (60 + r) FROM cosr),
+f AS (SELECT doc_id, round(sum(c), 6) AS rrf FROM u GROUP BY doc_id)
+SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 10
 """,
         "dedup_embedding_cosine": """
 WITH p AS (
