@@ -327,6 +327,51 @@ def _q_ft_histogram(spark, sf):
     return spark.createDataFrame(pdf, schema="bucket double, cnt long")
 
 
+def _q_ft_terms_stats(spark, sf):
+    """ES terms aggregation with nested stats sub-agg: per-lang buckets of
+    the docs matching an AND query with {doc_count, value_count, min, max,
+    avg, sum} of doclen inside each bucket (engine.terms_stats). The
+    distributed plan emits ONE partial stats row per (partition, value) —
+    map-side combined, shuffle carries scalars only."""
+    pdf = _engine(spark, sf).terms_stats("lang", "doclen", "table scan",
+                                         k=5)
+    pdf = pdf.assign(avg=pdf["avg"].round(6))
+    return spark.createDataFrame(
+        pdf,
+        schema=("lang string, cnt long, vc long, min double, max double, "
+                "avg double, sum double"),
+    )
+
+
+def _q_ft_composite(spark, sf):
+    """ES composite aggregation (after-key paging): the page of lang
+    buckets AFTER cursor 'de', value-ascending with doc counts over the
+    matching docs — the walk-all-buckets counterpart of facets
+    (engine.composite_agg)."""
+    pdf = _engine(spark, sf).composite_agg(
+        "lang", size=2, after="de", query="table scan"
+    )
+    return spark.createDataFrame(pdf, schema="lang string, cnt long")
+
+
+def _q_ft_suggest_term(spark, sf):
+    """ES term suggester ('did you mean'): vocabulary terms at edit
+    distance 1 from 'fash' (itself excluded), by df desc, term asc —
+    SymSpell deletion-neighborhood candidates + levenshtein verify,
+    vocabulary-sized work (engine.suggest_terms)."""
+    pdf = _engine(spark, sf).suggest_terms("fash", k=5)
+    return spark.createDataFrame(pdf, schema="term string, df long")
+
+
+def _q_ft_complete_prefix(spark, sf):
+    """ES completion-suggester analogue: dictionary terms with prefix
+    'sca', hottest first (df desc, term asc). Warm tier = resident stats
+    dict (no job); cold tier = StartsWith-pruned term_stats scan
+    (engine.complete_prefix)."""
+    pdf = _engine(spark, sf).complete_prefix("sca", k=5)
+    return spark.createDataFrame(pdf, schema="term string, df long")
+
+
 def _q_ft_cardinality(spark, sf):
     """ES cardinality aggregation (exact path): distinct doclen values
     among docs matching an AND query. The distributed plan ends in a
@@ -582,6 +627,29 @@ def _q_curate_boilerplate(spark, sf):
         ),
     )
     return frequent_lines(docs, text_col="text", min_doc_frac=0.05)
+
+
+def _q_curate_redact_pii(spark, sf):
+    """PII/link redaction (operators/textstats.py redact_pii): URLs,
+    emails, IPs and phone-shaped spans replaced with <KIND> tokens +
+    per-kind raw-text match counts — the C4/Dolma-style scrub pass as
+    chained codegen'd regexp_replace/regexp_count (zero shuffle). The
+    corpus has no natural PII, so each doc gets a DETERMINISTIC
+    contact-line suffix (same derivation in the DuckDB oracle)."""
+    from gofias_spark.operators.textstats import redact_pii
+
+    d = F.col("doc_id").cast("string")
+    aug = _documents(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), d,
+            F.lit("@example.com at https://host"), d,
+            F.lit(".io/p?q=1 from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1-202-555-0199"),
+        ).alias("content"),
+    )
+    return redact_pii(aug)
 
 
 def _q_curate_decontaminate(spark, sf):
@@ -1027,6 +1095,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_count": _q_ft_count,
         "ft_facets_lang": _q_ft_facets_lang,
         "ft_histogram": _q_ft_histogram,
+        "ft_terms_stats": _q_ft_terms_stats,
+        "ft_composite_page": _q_ft_composite,
+        "ft_suggest_term": _q_ft_suggest_term,
+        "ft_complete_prefix": _q_ft_complete_prefix,
         "ft_cardinality": _q_ft_cardinality,
         "ft_percentiles": _q_ft_percentiles,
         "ft_range_agg": _q_ft_range_agg,
@@ -1046,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact,
         "curate_boilerplate": _q_curate_boilerplate,
         "curate_decontaminate": _q_curate_decontaminate,
+        "curate_redact_pii": _q_curate_redact_pii,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_minhash_lsh": _q_minhash_lsh,  # approximate, rows-only
@@ -1407,6 +1480,41 @@ SELECT floor(dl.dl / 100) * 100 AS bucket, count(*)::BIGINT AS cnt
 FROM m JOIN dl USING (doc_id)
 GROUP BY 1 ORDER BY 1
 """,
+        "ft_terms_stats": f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+m AS (SELECT doc_id FROM tok WHERE term IN ('table', 'scan')
+      GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+SELECT d.lang, count(*)::BIGINT AS cnt, count(dl.dl)::BIGINT AS vc,
+       min(dl.dl) AS min, max(dl.dl) AS max,
+       round(sum(dl.dl) / count(dl.dl), 6) AS avg, sum(dl.dl) AS sum
+FROM m JOIN documents d USING (doc_id) JOIN dl USING (doc_id)
+WHERE d.lang IS NOT NULL
+GROUP BY d.lang ORDER BY cnt DESC, d.lang ASC LIMIT 5
+""",
+        "ft_composite_page": f"""
+WITH tok AS ({TOK}),
+m AS (SELECT doc_id FROM tok WHERE term IN ('table', 'scan')
+      GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+SELECT d.lang, count(*)::BIGINT AS cnt
+FROM m JOIN documents d USING (doc_id)
+WHERE d.lang IS NOT NULL AND d.lang > 'de'
+GROUP BY d.lang ORDER BY d.lang ASC LIMIT 2
+""",
+        "ft_suggest_term": f"""
+WITH tok AS ({TOK})
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+WHERE levenshtein(term, 'fash') <= 1 AND term <> 'fash'
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 5
+""",
+        "ft_complete_prefix": f"""
+WITH tok AS ({TOK})
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+WHERE term LIKE 'sca%'
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 5
+""",
         "ft_cardinality": f"""
 WITH tok AS ({TOK}),
 dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
@@ -1603,6 +1711,30 @@ dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
        FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
        GROUP BY d.doc_id)
 SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 4) AS avgdl FROM dl
+""",
+        "curate_redact_pii": r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com at https://host'
+              || doc_id || '.io/p?q=1 from 10.0.' || (doc_id % 256)
+              || '.7 call +1-202-555-0199' AS content
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(content,
+         'https?://[^\s<>"'']+', '<URL>', 'g'),
+         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+         '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+         '\+\d[\d\-()]{7,}\d', '<PHONE>', 'g') AS redacted,
+       len(regexp_extract_all(content, 'https?://[^\s<>"'']+'))::BIGINT
+         AS n_url,
+       len(regexp_extract_all(content,
+         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT
+         AS n_email,
+       len(regexp_extract_all(content,
+         '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ip,
+       len(regexp_extract_all(content, '\+\d[\d\-()]{7,}\d'))::BIGINT
+         AS n_phone
+FROM aug
 """,
         "curate_decontaminate": r"""
 WITH src AS (

@@ -387,6 +387,51 @@ class FulltextAPI:
             doc_id, k=size, filters=filters, as_pandas=as_pandas
         )
 
+    def terms_stats(
+        self,
+        group_field: str,
+        metric_field: str,
+        term: str | None = None,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+        size: int = 10,
+    ):
+        """ES terms agg + nested stats sub-aggregation; see
+        SearchEngine.terms_stats. Returns a pandas frame
+        [group, cnt, vc, min, max, avg, sum]."""
+        return self.engine.terms_stats(
+            group_field, metric_field, term, mode=mode, filters=filters,
+            k=size,
+        )
+
+    def composite_agg(
+        self,
+        field: str,
+        size: int = 10,
+        after=None,
+        term: str | None = None,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+    ):
+        """ES composite aggregation (after-key bucket paging); see
+        SearchEngine.composite_agg. Returns a pandas frame [field, cnt]."""
+        return self.engine.composite_agg(
+            field, size=size, after=after, query=term, mode=mode,
+            filters=filters,
+        )
+
+    def suggest_terms(self, term: str, size: int = 5):
+        """ES term suggester ('did you mean'); see
+        SearchEngine.suggest_terms. Returns a pandas frame [term, df]."""
+        return self.engine.suggest_terms(term, k=size)
+
+    def complete_prefix(self, prefix: str, size: int = 5):
+        """ES completion-suggester analogue over the term dictionary; see
+        SearchEngine.complete_prefix. Returns a pandas frame [term, df]."""
+        return self.engine.complete_prefix(prefix, k=size)
+
     def field_stats(
         self,
         field: str,

@@ -118,6 +118,55 @@ def fingerprints(
     )
 
 
+# PII / link scrubbing: the pre-training redaction pass (C4/Dolma-style).
+# Patterns are deliberately lookaround-free so the SAME source strings are
+# valid in Java regex (Spark JVM, codegen'd regexp_replace), RE2 (DuckDB
+# oracles), and Python re. Order matters and is part of the contract: URLs
+# first (an email inside a URL redacts as the URL), then emails, IPs,
+# phone-shaped tails.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("url", r"https?://[^\s<>\"']+"),
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+\d[\d\-()]{7,}\d"),
+]
+
+
+def redact_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    kinds: list[str] | None = None,
+) -> DataFrame:
+    """Redact links/emails/IPs/phone-shaped spans with ``<KIND>`` tokens
+    and report per-kind match counts.
+
+    Returns ``(id_col, redacted, n_<kind>...)``. Counts are independent
+    per-kind matches against the RAW text (an email inside a URL counts
+    for both); the redaction itself applies sequentially in
+    ``PII_PATTERNS`` order, so overlapping spans redact once as the
+    earlier kind. Everything is a JVM column expression — chained
+    ``regexp_replace`` + ``regexp_count`` inside whole-stage codegen; at
+    100 TB this is a pure map stage with zero shuffle and the filters/
+    projections around it still push down to the scan."""
+    sel = [p for p in PII_PATTERNS if kinds is None or p[0] in kinds]
+    if kinds is not None and len(sel) != len(kinds):
+        known = {k for k, _ in PII_PATTERNS}
+        raise ValueError(f"unknown PII kinds {sorted(set(kinds) - known)}")
+    red = F.col(text_col)
+    for kind, pat in sel:
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return docs.select(
+        F.col(id_col),
+        red.alias("redacted"),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pat))
+            .cast("long").alias(f"n_{kind}")
+            for kind, pat in sel
+        ],
+    )
+
+
 def _norm_line(col):
     """Line normalization shared by detect + strip: collapse whitespace,
     trim, lowercase. Java \\s == [ \\t\\n\\x0B\\f\\r]; the python scrub UDF

@@ -1426,6 +1426,66 @@ class SearchEngine:
         terms = [c for c, _ in out]
         return terms[:max_expansions] if max_expansions else terms
 
+    # -- suggesters (term-dictionary lookups) -------------------------------
+
+    def suggest_terms(self, term: str, k: int = 5) -> pd.DataFrame:
+        """ES *term suggester* ("did you mean"): vocabulary terms within
+        edit distance 1 of ``term`` (itself excluded), hottest first
+        (df desc, term asc). Candidates via the SymSpell deletion-
+        neighborhood equi-join of :meth:`fuzzy_terms` — vocabulary-sized,
+        never corpus-sized; df from the warm stats dict (no job) or the
+        term-pruned stats scan. Returns ``[term, df]``."""
+        toks = tokenize_text(
+            term,
+            AnalyzerConfig(
+                mode="standard", token_pattern=self.analyzer.token_pattern
+            ),
+        )
+        if len(toks) != 1:
+            raise ValueError(
+                f"term suggester takes a single token, got {toks!r}"
+            )
+        t = toks[0]
+        cands = [c for c in self.fuzzy_terms(t) if c != t]
+        dfs = self._term_dfs(cands)
+        out = sorted(
+            ((c, dfs[c]) for c in cands if dfs[c] > 0),
+            key=lambda p: (-p[1], p[0]),
+        )[:k]
+        return pd.DataFrame(
+            {"term": [c for c, _ in out],
+             "df": pd.Series([d for _, d in out], dtype="int64")}
+        )
+
+    def complete_prefix(self, prefix: str, k: int = 5) -> pd.DataFrame:
+        """ES *completion suggester* analogue over the term dictionary:
+        vocabulary terms starting with ``prefix``, hottest first (df desc,
+        term asc). Warm tier answers from the resident stats dict with no
+        job; cold tier is a term-dictionary scan whose StartsWith predicate
+        pushes down to the parquet term_stats files (term-sorted, so
+        row-group pruned). Returns ``[term, df]``."""
+        p = prefix.lower()
+        if not p:
+            raise ValueError("prefix must be non-empty")
+        if self._stats_cache is not None:
+            out = sorted(
+                ((t, n) for t, n in self._stats_cache.items()
+                 if t.startswith(p)),
+                key=lambda x: (-x[1], x[0]),
+            )[:k]
+        else:
+            rows = (
+                self._stats.filter(F.col("term").startswith(p))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(k)
+                .collect()
+            )
+            out = [(r["term"], int(r["df"])) for r in rows]
+        return pd.DataFrame(
+            {"term": [t for t, _ in out],
+             "df": pd.Series([n for _, n in out], dtype="int64")}
+        )
+
     # -- wildcard (term-dictionary expansion) -------------------------------
 
     @staticmethod
@@ -2639,6 +2699,275 @@ class SearchEngine:
             .applyInPandas(cokernel, schema=out_schema)
         )
         return _finish(partials.toPandas())
+
+    def terms_stats(
+        self,
+        group_field: str,
+        metric_field: str,
+        query: str | None = None,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+        k: int = 10,
+    ) -> pd.DataFrame:
+        """ES terms aggregation with a nested *stats* sub-aggregation: for
+        the top-``k`` values of ``group_field`` by matching-doc count, the
+        ``{count, min, max, avg, sum}`` of ``metric_field`` inside the
+        bucket. Returns ``[group_field, cnt, vc, min, max, avg, sum]`` —
+        buckets ordered (cnt desc, value asc); ``cnt`` is the bucket's doc
+        count (ES doc_count, docs with a non-null group value), ``vc`` the
+        metric's value count (nulls ignored, ES missing semantics; min/max/
+        avg are NaN when vc=0). Same tiering as facets; the distributed
+        path's cogroup kernel emits ONE partial stats row per (partition,
+        value) — map-side combined, so the shuffle carries #values x
+        #partitions scalar rows, never matched docs."""
+        if group_field in ("doc_id", "doc_part") or \
+                group_field not in self.doc_meta.columns:
+            raise ValueError(f"unknown field {group_field!r}")
+        self._require_numeric_field(metric_field, "terms_stats metric")
+        if group_field == metric_field:
+            raise ValueError("group and metric fields must differ")
+        self._validate_filters(filters)
+        gf, mf = group_field, metric_field
+        empty = pd.DataFrame({
+            gf: pd.Series(dtype=object),
+            "cnt": pd.Series(dtype="int64"),
+            "vc": pd.Series(dtype="int64"),
+            "min": pd.Series(dtype="float64"),
+            "max": pd.Series(dtype="float64"),
+            "avg": pd.Series(dtype="float64"),
+            "sum": pd.Series(dtype="float64"),
+        })
+        if filters_impossible(filters):
+            return empty
+
+        def _partials(pdf: pd.DataFrame) -> pd.DataFrame:
+            """(value, c, vc, mn, mx, sm) per group value of one pandas
+            chunk (a partition's matches, or the whole driver-side set)."""
+            pdf = pdf.dropna(subset=[gf])
+            if not len(pdf):
+                return pd.DataFrame({
+                    "value": [], "c": [], "vc": [], "mn": [], "mx": [],
+                    "sm": [],
+                })
+            m = pd.to_numeric(pdf[mf], errors="coerce").astype("float64")
+            g = pdf.assign(_m=m).groupby(gf, sort=False)["_m"]
+            out = g.agg(c="size", vc="count", mn="min", mx="max", sm="sum")
+            return out.reset_index().rename(columns={gf: "value"})
+
+        def _finish(partials: pd.DataFrame) -> pd.DataFrame:
+            if not len(partials):
+                return empty
+            agg = partials.groupby("value", sort=False).agg(
+                cnt=("c", "sum"), vc=("vc", "sum"), mn=("mn", "min"),
+                mx=("mx", "max"), sm=("sm", "sum"),
+            ).reset_index()
+            agg = agg.sort_values(
+                ["cnt", "value"], ascending=[False, True],
+                kind="mergesort",
+            ).head(k)
+            out = pd.DataFrame({
+                gf: agg["value"].to_numpy(),
+                "cnt": agg["cnt"].astype("int64").to_numpy(),
+                "vc": agg["vc"].astype("int64").to_numpy(),
+                "min": agg["mn"].to_numpy(dtype="float64"),
+                "max": agg["mx"].to_numpy(dtype="float64"),
+                "sum": agg["sm"].to_numpy(dtype="float64"),
+            })
+            vc = out["vc"].to_numpy()
+            out["avg"] = np.where(
+                vc > 0, out["sum"].to_numpy() / np.maximum(vc, 1), np.nan
+            )
+            # 0-value buckets: ES reports sum 0, min/max/avg null
+            out.loc[out["vc"] == 0, ["min", "max"]] = np.nan
+            return out[[gf, "cnt", "vc", "min", "max", "avg", "sum"]] \
+                .reset_index(drop=True)
+
+        if query is None:
+            df = self.doc_meta.filter(F.col(gf).isNotNull())
+            cond = compile_filters(filters)
+            if cond is not None:
+                df = df.filter(cond)
+            if self._tombstones is not None:
+                df = df.join(
+                    self._tombstones.select("doc_id"), "doc_id", "left_anti"
+                )
+            grouped = df.groupBy(gf).agg(
+                F.count(F.lit(1)).alias("c"),
+                F.count(mf).alias("vc"),
+                F.min(mf).cast("double").alias("mn"),
+                F.max(mf).cast("double").alias("mx"),
+                F.sum(mf).cast("double").alias("sm"),
+            ).orderBy(F.desc("c"), F.asc(gf)).limit(k)
+            return _finish(
+                grouped.toPandas().rename(columns={gf: "value"})
+            )
+
+        qterms = analyze_query(query, self.analyzer)
+        dfs = self._term_dfs(qterms)
+        if mode == "and":
+            if not qterms or any(dfs[t] == 0 for t in qterms):
+                return empty
+        else:
+            qterms = [t for t in qterms if dfs[t] > 0]
+            if not qterms:
+                return empty
+
+        if self._local_blocks is not None:
+            lb = self._local_blocks[self._local_blocks["term"].isin(qterms)]
+            allowed, excluded = self._local_masks(filters)
+            ids = K.match_ids(lb, qterms, mode, allowed=allowed,
+                              excluded=excluded)
+            if ids.size == 0:
+                return empty
+            sub = self._local_meta.loc[
+                self._local_meta["doc_id"].isin(ids), [gf, mf]
+            ]
+            return _finish(_partials(sub))
+
+        if self._serve_terms_stats_route(dfs, filters, gf, mf):
+            ids = K.match_ids(
+                self._serve.fetch(qterms), qterms, mode,
+                excluded=self._tomb_arr,
+            )
+            if ids.size == 0:
+                return empty
+            cols = list(dict.fromkeys(
+                ["doc_id", gf, mf] + sorted(self._filter_fields(filters))
+            ))
+            meta = self._serve.fetch_meta(ids.tolist(), cols)
+            if filters:
+                meta = meta[pandas_filter_mask(meta, filters)]
+            return _finish(_partials(meta[[gf, mf]]))
+
+        right = self.doc_meta.filter(F.col(gf).isNotNull())
+        cond = compile_filters(filters)
+        if cond is not None:
+            right = right.filter(cond)
+        if self._tombstones is not None:
+            right = right.join(
+                self._tombstones.select("doc_id"), "doc_id", "left_anti"
+            )
+        right = right.select("doc_part", "doc_id", gf, mf)
+        blocks = self.postings.filter(F.col("term").isin(qterms))
+        vtype = self.doc_meta.schema[gf].dataType.simpleString()
+        fmode, fterms = mode, qterms
+
+        def cokernel(left: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "value": pd.Series(dtype=object),
+                "c": pd.Series(dtype="int64"),
+                "vc": pd.Series(dtype="int64"),
+                "mn": pd.Series(dtype="float64"),
+                "mx": pd.Series(dtype="float64"),
+                "sm": pd.Series(dtype="float64"),
+            })
+            if len(left) == 0 or len(right_pdf) == 0:
+                return out
+            rids = np.sort(right_pdf["doc_id"].to_numpy(dtype=np.int64))
+            cand = K.match_ids(left, fterms, fmode, allowed=rids)
+            if cand.size == 0:
+                return out
+            p = _partials(
+                right_pdf.loc[right_pdf["doc_id"].isin(cand), [gf, mf]]
+            )
+            return p.astype({"c": "int64", "vc": "int64"})
+
+        partials = (
+            blocks.groupby("doc_part")
+            .cogroup(right.groupby("doc_part"))
+            .applyInPandas(
+                cokernel,
+                schema=(f"value {vtype}, c long, vc long, mn double, "
+                        "mx double, sm double"),
+            )
+        )
+        # combine + top-k in Spark (map-side partial agg), finish driver-side
+        combined = partials.groupBy("value").agg(
+            F.sum("c").alias("c"), F.sum("vc").alias("vc"),
+            F.min("mn").alias("mn"), F.max("mx").alias("mx"),
+            F.sum("sm").alias("sm"),
+        ).orderBy(F.desc("c"), F.asc("value")).limit(k)
+        return _finish(combined.toPandas())
+
+    def _serve_terms_stats_route(self, dfs, filters, gf, mf) -> bool:
+        """Serve route needs sidecar coverage of BOTH the group and metric
+        fields; same budget as the facet route."""
+        if self._serve is None:
+            return False
+        if self._tombstones is not None and self._tomb_arr is None:
+            return False
+        if self._cache_lacks_terms(dfs):
+            return False
+        need = {gf, mf} | self._filter_fields(filters)
+        if not need <= self._serve.meta_columns():
+            return False
+        return self._route_vol(dfs) <= min(
+            self._serve_filtered_max // 4,
+            self._serve_max,
+            self._serve.df_threshold,
+        )
+
+    def composite_agg(
+        self,
+        field: str,
+        size: int = 10,
+        after=None,
+        query: str | None = None,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+    ) -> pd.DataFrame:
+        """ES *composite* aggregation (after-key bucket paging): the first
+        ``size`` ``(value, cnt)`` buckets of ``field`` with value > ``after``
+        in ascending value order — the cursor-paging counterpart of facets,
+        for walking ALL buckets of a high-cardinality field without a
+        result-window cap. Resume by passing the last value of the previous
+        page as ``after`` (the after_key).
+
+        Unfiltered tier is fully pushed down: value > after prunes the
+        scan, groupBy + orderBy(value).limit(size) plans with map-side
+        partial aggregation and a TakeOrdered cut. Query tiers reuse the
+        matched-value-count machinery; the after/size slice applies to the
+        (value, cnt) table, which is #distinct-values sized — the same
+        envelope ES's own composite agg pays per page."""
+        if field in ("doc_id", "doc_part") or \
+                field not in self.doc_meta.columns:
+            raise ValueError(f"unknown field {field!r}")
+        if size < 1:
+            raise ValueError("size must be >= 1")
+        if query is None:
+            self._validate_filters(filters)
+            empty = pd.DataFrame({
+                field: pd.Series(dtype=object),
+                "cnt": pd.Series(dtype="int64"),
+            })
+            if filters_impossible(filters):
+                return empty
+            df = self.doc_meta.filter(F.col(field).isNotNull())
+            if after is not None:
+                df = df.filter(F.col(field) > F.lit(after))
+            cond = compile_filters(filters)
+            if cond is not None:
+                df = df.filter(cond)
+            if self._tombstones is not None:
+                df = df.join(
+                    self._tombstones.select("doc_id"), "doc_id", "left_anti"
+                )
+            out = (
+                df.groupBy(field).agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy(F.asc(field)).limit(size)
+                .toPandas()
+            )
+            out["cnt"] = out["cnt"].astype("int64")
+            return out
+        vc = self._matched_value_counts(field, query, mode, filters)
+        if after is not None:
+            vc = vc[vc[field] > after]
+        return (
+            vc.sort_values(field, kind="mergesort").head(size)
+            .reset_index(drop=True)
+        )
 
     def field_stats(
         self,

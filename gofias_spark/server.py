@@ -25,6 +25,10 @@ Routes (reference analogues):
     GET /api/v1/percentiles?field=..[&ps=25,50,99&term=..]       percentiles agg
     GET /api/v1/range?field=..&ranges=*-100;100-500;500-*[&term=..] range agg
     GET /api/v1/top_hits?field=..&term=..[&k=3&groups=10]        top-hits agg
+    GET /api/v1/terms_stats?group=..&metric=..[&term=..&size=..] terms+stats
+    GET /api/v1/composite?field=..[&size=..&after=..&term=..]    composite agg
+    GET /api/v1/suggest_terms?term=..[&size=..]                  term suggester
+    GET /api/v1/complete?prefix=..[&size=..]                     completion
     GET /api/v1/more_like_this?doc_id=..[&size=..]               MLT query
     GET /api/v1/significant_terms?term=..[&size=..&match=..]     sig-terms agg
     GET /api/v1/explain?term=..&doc_id=..                        _explain
@@ -447,6 +451,70 @@ def make_handler(api: FulltextAPI):
                     except ValueError as exc:  # unknown field
                         raise BadRequest(str(exc)) from exc
                     self._json({"buckets": _items(pdf)})
+                elif url.path == "/api/v1/terms_stats":
+                    group = q.get("group", [""])[0]
+                    metric = q.get("metric", [""])[0]
+                    if not group or not metric:
+                        raise BadRequest("group= and metric= are required")
+                    size, _ = _page(q, default_size=10)
+                    mode = q.get("match", ["and"])[0]
+                    if mode not in ("and", "or"):
+                        raise BadRequest("match must be and|or")
+                    try:
+                        pdf = api.terms_stats(
+                            group, metric, _term(q) or None, mode=mode,
+                            filters=_filters_from_query(q), size=size,
+                        )
+                    except ValueError as exc:
+                        raise BadRequest(str(exc)) from exc
+                    self._json({"buckets": _items(pdf)})
+                elif url.path == "/api/v1/composite":
+                    field = q.get("field", [""])[0]
+                    if not field:
+                        raise BadRequest("field= is required")
+                    size, _ = _page(q, default_size=10)
+                    mode = q.get("match", ["and"])[0]
+                    if mode not in ("and", "or"):
+                        raise BadRequest("match must be and|or")
+                    after = q.get("after", [None])[0]
+                    if after is not None:
+                        # numeric group fields page with numeric cursors
+                        after = _coerce(field, after)
+                    try:
+                        pdf = api.composite_agg(
+                            field, size=size, after=after,
+                            term=_term(q) or None, mode=mode,
+                            filters=_filters_from_query(q),
+                        )
+                    except ValueError as exc:
+                        raise BadRequest(str(exc)) from exc
+                    after_key = (
+                        pdf[field].iloc[-1] if len(pdf) else None
+                    )
+                    if hasattr(after_key, "item"):
+                        after_key = after_key.item()
+                    self._json(
+                        {"buckets": _items(pdf), "after_key": after_key}
+                    )
+                elif url.path == "/api/v1/suggest_terms":
+                    size, _ = _page(q, default_size=5)
+                    try:
+                        pdf = api.suggest_terms(_term(q), size=size)
+                    except ValueError as exc:
+                        raise BadRequest(str(exc)) from exc
+                    self._json({"suggestions": _items(pdf)})
+                elif url.path == "/api/v1/complete":
+                    prefix = q.get("prefix", [""])[0]
+                    if len(prefix) > MAX_TERM_LEN:
+                        raise BadRequest(
+                            f"prefix longer than {MAX_TERM_LEN} chars"
+                        )
+                    size, _ = _page(q, default_size=5)
+                    try:
+                        pdf = api.complete_prefix(prefix, size=size)
+                    except ValueError as exc:
+                        raise BadRequest(str(exc)) from exc
+                    self._json({"suggestions": _items(pdf)})
                 elif url.path == "/api/v1/histogram":
                     field = q.get("field", [""])[0]
                     if not field:

@@ -175,3 +175,141 @@ def test_top_hits_collapse_is_top1_per_group(engines):
     """k_per_group=1 == ES field collapsing: one best hit per group."""
     got = engines["local"].top_hits("lang", Q, 1, groups=10, mode="or")
     assert got["lang"].is_unique
+
+
+@pytest.mark.parametrize("tier", ["dist", "serve", "local"])
+def test_terms_stats_matches_bruteforce(engines, matched_meta, tier):
+    got = engines[tier].terms_stats("lang", "doclen", Q, k=10)
+    want = (
+        matched_meta.dropna(subset=["lang"])
+        .groupby("lang")["doclen"]
+        .agg(cnt="size", vc="count", mn="min", mx="max", sm="sum")
+        .reset_index()
+        .sort_values(["cnt", "lang"], ascending=[False, True],
+                     kind="mergesort")
+    )
+    assert list(got["lang"]) == list(want["lang"]), tier
+    assert list(got["cnt"]) == list(want["cnt"]), tier
+    assert list(got["vc"]) == list(want["vc"]), tier
+    assert np.allclose(got["min"], want["mn"].astype(float))
+    assert np.allclose(got["max"], want["mx"].astype(float))
+    assert np.allclose(got["sum"], want["sm"].astype(float))
+    assert np.allclose(
+        got["avg"], want["sm"].astype(float) / want["vc"].astype(float)
+    )
+
+
+def test_terms_stats_validation_and_filters(engines, matched_meta):
+    eng = engines["local"]
+    with pytest.raises(ValueError, match="unknown field"):
+        eng.terms_stats("bogus", "doclen", Q)
+    with pytest.raises(ValueError, match="not numeric"):
+        eng.terms_stats("lang", "repo", Q)
+    with pytest.raises(ValueError, match="must differ"):
+        eng.terms_stats("doclen", "doclen", Q)
+    f = {"doclen": {"gte": 100}}
+    got = eng.terms_stats("lang", "doclen", Q, filters=f)
+    sub = matched_meta[matched_meta["doclen"] >= 100]
+    want_cnt = sub.groupby("lang").size()
+    assert {r[0]: r[1] for r in got[["lang", "cnt"]].itertuples(index=False)} \
+        == want_cnt.to_dict()
+
+
+def test_terms_stats_corpus_wide_no_query(engines, spark):
+    eng = engines["local"]
+    got = eng.terms_stats("lang", "doclen", None, k=3)
+    meta = eng._local_meta
+    want = (
+        meta.groupby("lang")["doclen"]
+        .agg(cnt="size", sm="sum")
+        .reset_index()
+        .sort_values(["cnt", "lang"], ascending=[False, True],
+                     kind="mergesort")
+        .head(3)
+    )
+    assert list(got["lang"]) == list(want["lang"])
+    assert np.allclose(got["sum"], want["sm"].astype(float))
+
+
+@pytest.mark.parametrize("tier", ["dist", "serve", "local"])
+def test_composite_agg_pages_cover_all_buckets(engines, matched_meta, tier):
+    eng = engines[tier]
+    want = (
+        matched_meta.dropna(subset=["repo"]).groupby("repo").size()
+        .sort_index()
+    )
+    pages, after = [], None
+    while True:
+        page = eng.composite_agg("repo", size=7, after=after, query=Q)
+        if not len(page):
+            break
+        pages.append(page)
+        after = page["repo"].iloc[-1]
+    import pandas as pd
+
+    walked = pd.concat(pages, ignore_index=True)
+    assert list(walked["repo"]) == list(want.index), tier
+    assert list(walked["cnt"]) == list(want.values), tier
+    # pages are disjoint and value-ascending
+    assert walked["repo"].is_monotonic_increasing
+    assert walked["repo"].is_unique
+
+
+def test_composite_agg_unfiltered_and_numeric_after(engines):
+    eng = engines["local"]
+    p1 = eng.composite_agg("doclen", size=5)
+    p2 = eng.composite_agg("doclen", size=5, after=p1["doclen"].iloc[-1])
+    assert p2["doclen"].min() > p1["doclen"].max()
+    meta = eng._local_meta
+    want = meta.groupby("doclen").size().sort_index()
+    assert list(p1["doclen"]) == list(want.index[:5])
+    assert list(p1["cnt"]) == list(want.values[:5])
+
+
+def test_suggest_terms_and_complete(engines):
+    import re
+
+    eng = engines["local"]
+    # brute-force over the resident vocabulary
+    vocab = eng._stats_cache
+    assert vocab
+
+    def lev1(a, b):
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        s, t = (a, b) if la < lb else (b, a)
+        for i in range(len(t)):
+            if t[:i] + t[i + 1:] == s:
+                return True
+        return False
+
+    got = eng.suggest_terms("merge_6x", k=5)
+    want = sorted(
+        ((t, n) for t, n in vocab.items() if lev1(t, "merge_6x")),
+        key=lambda p: (-p[1], p[0]),
+    )[:5]
+    assert list(got.itertuples(index=False, name=None)) == want
+    assert "merge_6x" not in set(got["term"])
+
+    got = eng.complete_prefix("merge_6", k=5)
+    want = sorted(
+        ((t, n) for t, n in vocab.items() if t.startswith("merge_6")),
+        key=lambda p: (-p[1], p[0]),
+    )[:5]
+    assert list(got.itertuples(index=False, name=None)) == want
+
+    # cold tier (no stats cache): StartsWith-pruned dictionary scan
+    dist = engines["dist"]
+    if dist._stats_cache is None:
+        got_cold = dist.complete_prefix("merge_6", k=5)
+        assert list(got_cold.itertuples(index=False, name=None)) == want
+
+    with pytest.raises(ValueError, match="single token"):
+        eng.suggest_terms("two words")
+    with pytest.raises(ValueError, match="non-empty"):
+        eng.complete_prefix("")

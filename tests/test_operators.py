@@ -270,3 +270,43 @@ def test_decontaminate(spark):
     # at n=11 the 12-token run contains matching windows -> doc 2 flags too
     got11 = {r["id"] for r in decontaminate(train, bench, n=11).collect()}
     assert got11 == {1, 2}
+
+
+def test_redact_pii(spark):
+    from gofias_spark.operators.textstats import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail me at bob@corp.io or +1-555-123-4567 now"),
+            (1, "see https://ex.io/a?u=eve@ex.io and 10.0.0.1"),
+            (2, "no pii here at all"),
+            (3, "two urls http://a.io http://b.io/x"),
+        ],
+        "doc_id long, content string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert rows[0]["redacted"] == "mail me at <EMAIL> or <PHONE> now"
+    assert (rows[0]["n_email"], rows[0]["n_phone"]) == (1, 1)
+    # email inside a URL: redacts once as the URL (order contract) but
+    # counts for BOTH kinds (raw-text counts)
+    assert rows[1]["redacted"] == "see <URL> and <IP>"
+    assert (rows[1]["n_url"], rows[1]["n_email"], rows[1]["n_ip"]) == \
+        (1, 1, 1)
+    assert rows[2]["redacted"] == "no pii here at all"
+    assert sum(rows[2][c] for c in
+               ("n_url", "n_email", "n_ip", "n_phone")) == 0
+    assert rows[3]["redacted"] == "two urls <URL> <URL>"
+    assert rows[3]["n_url"] == 2
+
+
+def test_redact_pii_kinds_subset_and_validation(spark):
+    from gofias_spark.operators.textstats import redact_pii
+
+    docs = spark.createDataFrame(
+        [(0, "bob@corp.io on 10.0.0.1")], "doc_id long, content string"
+    )
+    r = redact_pii(docs, kinds=["email"]).collect()[0]
+    assert r["redacted"] == "<EMAIL> on 10.0.0.1"
+    assert r["n_email"] == 1 and "n_ip" not in r.asDict()
+    with pytest.raises(ValueError, match="unknown PII kinds"):
+        redact_pii(docs, kinds=["email", "ssn"])

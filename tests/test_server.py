@@ -612,3 +612,68 @@ def test_query_string_route(gateway):
         base, enc("common_util", "&minimum_should_match=zero")
     ) == 400
     assert _get_status(base, enc("x" * 2000)) == 400
+
+
+def test_terms_stats_route(gateway):
+    api, base = gateway
+    status, res = _get(
+        base,
+        "/api/v1/terms_stats?group=lang&metric=doclen&term=common_util"
+        "&size=3",
+    )
+    assert status == 200 and res["buckets"]
+    direct = api.terms_stats("lang", "doclen", "common_util", size=3)
+    assert [b["lang"] for b in res["buckets"]] == list(direct["lang"])
+    assert [b["cnt"] for b in res["buckets"]] == list(direct["cnt"])
+    assert [b["sum"] for b in res["buckets"]] == list(direct["sum"])
+    assert _get_status(base, "/api/v1/terms_stats?group=lang") == 400
+    assert _get_status(
+        base, "/api/v1/terms_stats?group=lang&metric=lang"
+    ) == 400
+    assert _get_status(
+        base, "/api/v1/terms_stats?group=bogus&metric=doclen"
+    ) == 400
+
+
+def test_composite_route_pages(gateway):
+    api, base = gateway
+    # walk all lang buckets in 2-bucket pages via after_key
+    walked, after = [], None
+    while True:
+        path = "/api/v1/composite?field=lang&term=common_util&size=2"
+        if after is not None:
+            path += f"&after={after}"
+        status, res = _get(base, path)
+        assert status == 200
+        if not res["buckets"]:
+            assert res["after_key"] is None
+            break
+        walked += res["buckets"]
+        assert res["after_key"] == res["buckets"][-1]["lang"]
+        after = res["after_key"]
+    full = api.facets("lang", "common_util", size=1000)
+    assert sorted(b["lang"] for b in walked) == sorted(full["lang"])
+    assert {b["lang"]: b["cnt"] for b in walked} == {
+        r[0]: r[1] for r in full.itertuples(index=False)
+    }
+    assert _get_status(base, "/api/v1/composite?term=x") == 400
+
+
+def test_suggester_routes(gateway):
+    api, base = gateway
+    status, res = _get(base, "/api/v1/suggest_terms?term=common_utik")
+    assert status == 200
+    direct = api.suggest_terms("common_utik")
+    assert [(s["term"], s["df"]) for s in res["suggestions"]] == list(
+        direct.itertuples(index=False, name=None)
+    )
+    assert res["suggestions"][0]["term"] == "common_util"
+
+    status, res = _get(base, "/api/v1/complete?prefix=common&size=3")
+    assert status == 200
+    direct = api.complete_prefix("common", size=3)
+    assert [(s["term"], s["df"]) for s in res["suggestions"]] == list(
+        direct.itertuples(index=False, name=None)
+    )
+    assert _get_status(base, "/api/v1/suggest_terms?term=a+b") == 400
+    assert _get_status(base, "/api/v1/complete?prefix=") == 400
