@@ -780,6 +780,137 @@ def _q_pipeline_curate(spark, sf):
     )
 
 
+def _q_text_repetition(spark, sf):
+    """Gopher-style within-doc repetition quality gates (Rae et al. 2021
+    §A1.1): duplicate-line fraction, duplicate-line char fraction, and
+    top-bigram char coverage — ONE Arrow-batched map-only pass, the
+    machine-generated/template-spam filter of a pre-training pipeline."""
+    return TS.repetition_features(
+        _documents(spark, sf), text_col="text"
+    ).orderBy("doc_id")
+
+
+def _q_sample_stratified(spark, sf):
+    """Deterministic stratified sampling for dataset mixing: keep iff
+    md5-hash(doc_id)/2^32 < rate(lang). Pure map — no shuffle, no RNG
+    state; the same rows are selected at ANY partitioning or cluster
+    size, which is what makes this oracle (and reproducible dataset
+    cards) possible, unlike DataFrame.sample."""
+    from gofias_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _documents(spark, sf),
+        {"en": 0.5, "de": 0.25, "fr": 0.1},
+        stratum_col="lang",
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
+def _q_pack_sequences(spark, sf):
+    """Token-budget sequence packing (training-shard assignment): walk
+    docs in id order, bin = floor(tokens-before/budget). Distributed
+    prefix sum — range partition, tiny per-partition subtotals to the
+    driver, offsets broadcast back, per-partition running sums; the only
+    full-data exchange is the single range repartition."""
+    from gofias_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(
+        _documents(spark, sf), budget=2048, text_col="text", num_parts=8
+    ).orderBy("doc_id")
+
+
+PERCOLATE_QUERIES = {
+    "q_dup_key": "dup key fast",
+    "q_spark_join": "spark join",
+    "q_table_scan": "table scan",
+    "q_vector": "vector",
+}
+
+
+def _q_percolate(spark, sf):
+    """ES percolator analogue (reverse search): tag every doc with the
+    registered queries it satisfies (AND semantics, engine analyzer).
+    The query-term table rides a BROADCAST join into the exploded
+    distinct-token stream; the only exchange is the map-side-combinable
+    (doc, query) match counts."""
+    from gofias_spark.operators.percolate import percolate
+
+    return percolate(
+        _documents(spark, sf), PERCOLATE_QUERIES, text_col="text"
+    ).orderBy("doc_id", "query_id")
+
+
+def _q_evt_date_histogram(spark, sf):
+    """ES date_histogram (calendar_interval=day) with a terms sub-bucket
+    and sum/avg metric sub-aggs over the events table: one map-side-
+    combinable groupBy on the date_trunc'd key — shuffle carries only
+    #buckets x #event_types x #partitions partial rows."""
+    from gofias_spark.operators.events import date_histogram
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return date_histogram(ev, "day")
+
+
+def _q_evt_sessionize(spark, sf):
+    """Gap-based sessionization (30-min timeout): the canonical stateful
+    stream operator in its deterministic batch form — one hash exchange
+    on user_id, then per-user lag + running sum of session breaks; no
+    global window anywhere."""
+    from gofias_spark.operators.events import sessionize
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return sessionize(ev, gap_minutes=30).orderBy(
+        "user_id", "ts", "event_id"
+    )
+
+
+def _q_ft_rescore(spark, sf):
+    """ES rescore API: top-30 BM25 window re-ranked by base + 2 x
+    phrase_score for window docs containing the phrase adjacently — the
+    cheap-first-pass/adjacency-boost plan. One top-window search plus one
+    doc_id-pruned phrase-matches pass; driver merge is window-sized."""
+    eng = _engine(spark, sf)
+    return _ft(
+        eng.rescore(
+            "table scan", "table scan", k=10, window_size=30,
+            rescore_weight=2.0,
+        )
+    )
+
+
+def _q_ft_function_score(spark, sf):
+    """ES function_score/field_value_factor: score x ln(1 + 0.1 x doclen)
+    — a document-length prior shaping relevance. All matches are scored
+    (the modifier can reorder arbitrarily); the distributed combine joins
+    two-column (doc_id, score) matches against a pruned meta scan with
+    the SAME numpy modifier on every tier."""
+    eng = _engine(spark, sf)
+    return _ft(
+        eng.function_score(
+            "table scan", k=10, field="doclen", modifier="log1p",
+            factor=0.1,
+        )
+    )
+
+
+def _q_ft_collapse(spark, sf):
+    """ES field collapsing: top-5 hits, at most one per lang, groups
+    ranked by their BEST hit (unlike top_hits' count ranking) — result
+    diversification. Distributed reduction is a map-side-combinable
+    max_by groupBy shuffling one struct per group per partition."""
+    eng = _engine(spark, sf)
+    pdf = eng.collapse("lang", "table scan", k=5)
+    pdf = pdf.assign(score=pdf["score"].round(4))
+    sdf = spark.createDataFrame(
+        pdf, schema="lang string, doc_id long, score double"
+    )
+    return (
+        sdf.join(eng.doc_meta.select("doc_id", "path"), "doc_id")
+        .select(
+            "lang", F.col("path").cast("long").alias("doc_id"), "score"
+        )
+    )
+
+
 def _query_vec(spark, sf):
     row = (
         spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -1114,6 +1245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_naive_bm25": _q_ft_naive,
         "ft_term_stats": _q_ft_term_stats,
         "ft_global_stats": _q_ft_global_stats,
+        "ft_rescore": _q_ft_rescore,
+        "ft_function_score": _q_ft_function_score,
+        "ft_collapse": _q_ft_collapse,
         # corpus curation
         "dedup_exact_groups": _q_dedup_exact,
         "curate_boilerplate": _q_curate_boilerplate,
@@ -1126,6 +1260,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_langid,
         "text_token_counts": _q_token_counts,
         "text_fingerprints": _q_fingerprints,
+        "text_repetition": _q_text_repetition,
+        "sample_stratified": _q_sample_stratified,
+        "pack_sequences": _q_pack_sequences,
+        "percolate_match": _q_percolate,
         "pipeline_curate": _q_pipeline_curate,
         # similarity / multimodal
         "sim_cosine_top10": _q_sim_cosine,
@@ -1149,6 +1287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_geo_nearest": _q_rel_geo_nearest,
         "rel_date_filter": _q_rel_date_filter,
         "rel_merge_coalesce": _q_rel_merge_coalesce,
+        # event-stream analytics
+        "evt_date_histogram": _q_evt_date_histogram,
+        "evt_sessionize": _q_evt_sessionize,
         # sources
         "src_xml_scan": _q_src_xml_scan,
     }
@@ -1402,6 +1543,103 @@ tfh AS (SELECT doc_id, term, count(*)::BIGINT AS tf,
         FROM tok GROUP BY doc_id, term),
 bits AS (SELECT doc_id, {bit_cols} FROM tfh GROUP BY doc_id)
 SELECT doc_id, {sim_expr} AS simhash FROM bits
+"""
+
+
+def _scored_cte(terms: list[str]) -> str:
+    """Shared BM25 CTE chain (tok/dl/stats/tf/df/scored with a ``matched``
+    distinct-term count) over the given term set — the building block of
+    the rescore / function_score / collapse oracles."""
+    tin = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ({tin}) GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score,
+         count(*) AS matched
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id)"""
+
+
+def _rescore_sql() -> str:
+    """ES rescore oracle: top-30 window by base AND-score over
+    {table, scan}, combined = 1.0*base + 2.0*phrase_score for window docs
+    matching the phrase adjacently (re2 regex == the positional kernel's
+    adjacency, engine._phrase_pattern)."""
+    pat = SearchEngine._phrase_pattern(["table", "scan"], dialect="re2")
+    return f"""{_scored_cte(["table", "scan"])},
+win AS (SELECT doc_id, score FROM scored WHERE matched = 2
+        ORDER BY score DESC, doc_id ASC LIMIT 30),
+ph AS (SELECT s.doc_id, s.score FROM scored s
+       JOIN documents pd ON s.doc_id = pd.doc_id
+        AND regexp_matches(lower(pd.text), '{pat}')
+       WHERE s.matched = 2)
+SELECT w.doc_id,
+       round(1.0 * w.score + 2.0 * coalesce(p.score, 0), 4) AS score
+FROM win w LEFT JOIN ph p USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _function_score_sql() -> str:
+    """field_value_factor oracle: score x ln(1 + 0.1 x doclen) over the
+    AND-matches of {table, scan} (doclen == dl for the standard
+    analyzer)."""
+    return f"""{_scored_cte(["table", "scan"])}
+SELECT s.doc_id, round(s.score * ln(1 + 0.1 * dl.dl), 4) AS score
+FROM scored s JOIN dl ON s.doc_id = dl.doc_id
+WHERE s.matched = 2
+ORDER BY score DESC, s.doc_id ASC LIMIT 10
+"""
+
+
+def _collapse_sql() -> str:
+    """Field-collapse oracle: best hit per lang among the AND-matches of
+    {table, scan}, groups ranked by their best hit's score."""
+    return f"""{_scored_cte(["table", "scan"])},
+r AS (SELECT d.lang, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY d.lang
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rn
+      FROM scored s JOIN documents d USING (doc_id)
+      WHERE s.matched = 2 AND d.lang IS NOT NULL)
+SELECT lang, doc_id, round(score, 4) AS score FROM r WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT 5
+"""
+
+
+def _percolate_sql() -> str:
+    """Percolator oracle: the registered queries' analyzed terms as a
+    VALUES table joined against per-doc distinct tokens; a (doc, query)
+    pair matches when every query term is present. Terms come from the
+    SAME analyzer as the operator, so parity is definitional."""
+    from gofias_spark.analyzer import analyze_query
+
+    rows = []
+    for qid, text in sorted(PERCOLATE_QUERIES.items()):
+        terms = sorted(set(analyze_query(text, AnalyzerConfig())))
+        rows += [f"('{qid}', '{t}', {len(terms)})" for t in terms]
+    vals = ", ".join(rows)
+    return f"""
+WITH tok AS (SELECT doc_id,
+                    unnest(list_distinct(regexp_extract_all(lower(text),
+                           '[a-z0-9_]+'))) AS term
+             FROM documents)
+SELECT t.doc_id, v.query_id
+FROM tok t JOIN (VALUES {vals}) v(query_id, term, n_terms)
+  ON t.term = v.term
+GROUP BY t.doc_id, v.query_id, v.n_terms
+HAVING count(*) = v.n_terms
+ORDER BY t.doc_id, v.query_id
 """
 
 
@@ -2051,5 +2289,87 @@ GROUP BY o_orderstatus
 SELECT o_orderkey,
        coalesce(nullif(o_orderpriority, '1-URGENT'), o_orderstatus) AS effective
 FROM orders WHERE o_orderkey % 97 = 0
+""",
+        "ft_rescore": _rescore_sql(),
+        "ft_function_score": _function_score_sql(),
+        "ft_collapse": _collapse_sql(),
+        "text_repetition": """
+WITH L AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, chr(10)),
+                l -> trim(l, ' ' || chr(9) || chr(13) || chr(11) || chr(12))
+                     != '')) AS line
+  FROM documents),
+lc AS (SELECT doc_id, line, count(*) AS c FROM L GROUP BY doc_id, line),
+ls AS (SELECT doc_id,
+              1.0 - count(*)::DOUBLE / sum(c) AS dlf,
+              coalesce(sum(CASE WHEN c > 1 THEN c * length(line) END),
+                       0)::DOUBLE / sum(c * length(line)) AS dlcf
+       FROM lc GROUP BY doc_id),
+T AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+      FROM documents),
+tch AS (SELECT doc_id,
+               coalesce(list_aggregate(list_transform(toks,
+                        t -> length(t)), 'sum'), 0) AS tok_chars
+        FROM T),
+B AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+            FROM T WHERE len(toks) >= 2)),
+bc AS (SELECT doc_id, w1, w2, count(*) AS c FROM B GROUP BY doc_id, w1, w2),
+bt AS (SELECT doc_id, w1, w2, c,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, w1 ASC, w2 ASC) AS rn
+       FROM bc)
+SELECT d.doc_id,
+       round(coalesce(ls.dlf, 0), 4) AS dup_line_frac,
+       round(coalesce(ls.dlcf, 0), 4) AS dup_line_char_frac,
+       round(coalesce(bt.c * (length(bt.w1) + length(bt.w2))::DOUBLE
+                      / nullif(t.tok_chars, 0), 0), 4)
+           AS top_bigram_char_frac
+FROM documents d
+LEFT JOIN ls ON d.doc_id = ls.doc_id
+LEFT JOIN (SELECT * FROM bt WHERE rn = 1) bt ON d.doc_id = bt.doc_id
+LEFT JOIN tch t ON d.doc_id = t.doc_id
+ORDER BY d.doc_id
+""",
+        "sample_stratified": """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0
+      < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                   WHEN 'fr' THEN 0.1 ELSE 0.0 END)
+ORDER BY doc_id
+""",
+        "pack_sequences": """
+WITH T AS (SELECT doc_id,
+                  len(regexp_extract_all(lower(text),
+                      '[a-z0-9_]+'))::BIGINT AS n_tokens
+           FROM documents)
+SELECT doc_id, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+FROM T ORDER BY doc_id
+""",
+        "percolate_match": _percolate_sql(),
+        "evt_date_histogram": """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
+       count(*)::BIGINT AS cnt,
+       round(sum(value), 4) AS sum_value, round(avg(value), 4) AS avg_value
+FROM events WHERE ts IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "evt_sessionize": """
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE ts IS NOT NULL),
+b AS (SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id
+                          ORDER BY ts ASC, event_id ASC))
+SELECT event_id, user_id, ts,
+       (sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       )::BIGINT AS session_seq
+FROM b ORDER BY user_id, ts, event_id
 """,
     }

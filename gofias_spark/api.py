@@ -387,6 +387,64 @@ class FulltextAPI:
             doc_id, k=size, filters=filters, as_pandas=as_pandas
         )
 
+    def rescore(
+        self,
+        term: str,
+        rescore_term: str,
+        size: int = 10,
+        *,
+        window_size: int = 50,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        mode: str = "and",
+        slop: int = 0,
+        as_pandas: bool = False,
+    ):
+        """ES rescore API analogue (phrase rescorer over the top window);
+        see SearchEngine.rescore."""
+        return self.engine.rescore(
+            term, rescore_term, k=size, window_size=window_size,
+            query_weight=query_weight, rescore_weight=rescore_weight,
+            mode=mode, slop=slop, as_pandas=as_pandas,
+        )
+
+    def function_score(
+        self,
+        term: str,
+        size: int = 10,
+        *,
+        field: str = "doclen",
+        modifier: str = "log1p",
+        factor: float = 1.0,
+        boost_mode: str = "multiply",
+        mode: str = "and",
+        filters: dict | None = None,
+        as_pandas: bool = False,
+    ):
+        """ES function_score / field_value_factor analogue; see
+        SearchEngine.function_score."""
+        return self.engine.function_score(
+            term, k=size, field=field, modifier=modifier, factor=factor,
+            boost_mode=boost_mode, mode=mode, filters=filters,
+            as_pandas=as_pandas,
+        )
+
+    def collapse(
+        self,
+        field: str,
+        term: str,
+        size: int = 10,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+    ):
+        """ES field-collapsing analogue (best hit per field value, groups
+        ranked by best score); see SearchEngine.collapse. Returns a pandas
+        frame [field, doc_id, score]."""
+        return self.engine.collapse(
+            field, term, k=size, mode=mode, filters=filters
+        )
+
     def terms_stats(
         self,
         group_field: str,

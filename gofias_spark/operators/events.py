@@ -1,0 +1,114 @@
+"""Event-stream analytics operators: date-histogram rollups and gap-based
+sessionization over a timestamped event table.
+
+The reference's search surface is Elasticsearch, whose aggregation DSL
+pairs every index with ``date_histogram`` rollups (the engine's facets /
+histogram / percentiles already mirror the numeric aggs; this completes
+the time dimension). Sessionization is the canonical stateful-stream
+operator (Structured Streaming expresses it with
+``applyInPandasWithState``); the batch formulation here is the
+deterministic, oracle-checkable equivalent used for backfills.
+
+Scale shape:
+  * ``date_histogram`` — one map-side-combinable groupBy on a derived
+    bucket column (``date_trunc`` is a pure function of the row), shuffle
+    bounded by #buckets x #event_types x #partitions partial rows, never
+    the events.
+  * ``sessionize`` — one shuffle keyed on ``user_id`` (the window
+    partition key); within a user, the session id is a running sum of
+    gap-break flags, computed per-partition after the hash exchange —
+    no global window, so 10^12 events parallelize across users. A skewed
+    power-user key is bounded by that user's own event count (mitigable
+    upstream by splitting on (user_id, day) when sessions never span
+    days).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def date_histogram(
+    events: DataFrame,
+    interval: str = "day",
+    ts_col: str = "ts",
+    group_col: str | None = "event_type",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """ES ``date_histogram`` (calendar_interval=``interval``) with an
+    optional terms sub-bucket and avg/sum metric sub-aggregations:
+    one row per (bucket, group) with ``cnt``, ``sum_value``, ``avg_value``.
+    Buckets with no events are omitted (ES min_doc_count=1 — densifying a
+    sparse range is a driver-side one-liner, not a distributed concern).
+
+    ``interval`` is any ``date_trunc`` unit (year/quarter/month/week/day/
+    hour/minute). Plans as scan -> partial hash agg -> exchange of the
+    tiny partial rows -> final agg: the classic map-side-combine rollup.
+    """
+    if interval.lower() not in (
+        "year", "quarter", "month", "week", "day", "hour", "minute",
+    ):
+        raise ValueError(f"unsupported date_histogram interval {interval!r}")
+    keys = [F.date_trunc(interval, F.col(ts_col)).alias("bucket")]
+    if group_col is not None:
+        keys.append(F.col(group_col))
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if value_col is not None:
+        aggs += [
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+            F.round(F.avg(value_col), 4).alias("avg_value"),
+        ]
+    out = events.filter(F.col(ts_col).isNotNull()).groupBy(*keys).agg(*aggs)
+    order = ["bucket"] + ([group_col] if group_col else [])
+    return out.orderBy(*order)
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based session assignment: within a user's time-ordered events,
+    a new session starts when the gap from the previous event exceeds
+    ``gap_minutes``. Returns one row per event:
+    ``(event_id, user_id, ts, session_seq)`` where ``session_seq`` is the
+    user's 1-based session number — deterministic, so batch backfills and
+    the streaming formulation (session windows with watermarks) agree.
+
+    The window is partitioned by ``user_col``: one hash exchange, then a
+    per-user linear scan (lag + running sum of break flags). No global
+    ordering anywhere.
+    """
+    if gap_minutes <= 0:
+        raise ValueError("gap_minutes must be > 0")
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(),
+                                             F.col(id_col).asc())
+    prev_ts = F.lag(ts_col).over(w)
+    # exact integer microseconds (unix_micros), not a double cast of the
+    # timestamp: double(ts) rounds to ~2^-22 s near epoch-scale values, so
+    # two rounded doubles subtracted could flip a gap sitting exactly at
+    # the timeout — integer arithmetic matches any SQL oracle bit-for-bit
+    # NTZ columns cast to TIMESTAMP first (unix_micros requires it); the
+    # session-tz interpretation shifts both ends identically, so gaps are
+    # unaffected (sessions never straddle a DST jump under UTC sessions)
+    gap_us = (
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        - F.unix_micros(prev_ts.cast("timestamp"))
+    )
+    new_sess = F.when(
+        prev_ts.isNull() | (gap_us > gap_minutes * 60_000_000.0), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(id_col, user_col, ts_col, new_sess.alias("_brk"))
+        .withColumn(
+            "session_seq",
+            F.sum("_brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .drop("_brk")
+    )

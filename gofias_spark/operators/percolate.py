@@ -1,0 +1,75 @@
+"""Percolation — reverse search: match a corpus of documents against a
+set of REGISTERED queries (ES percolator analogue).
+
+The forward engine answers "which docs match this query"; percolation
+answers "which stored queries match each doc" — the shape of streaming
+alert/routing/classification pipelines (tag every incoming document with
+the saved searches it satisfies). ``SearchEngine.search_many`` covers the
+scored many-queries direction; this is the boolean doc->queries direction
+over raw document text, no index required.
+
+Scale shape: the registered query set is small (thousands) and the corpus
+is the big side, so the query terms ride a BROADCAST join into the
+exploded distinct-token stream — no shuffle of doc tokens against
+queries. The only exchange is the (doc, query) partial-match counts:
+map-side-combinable groupBy bounded by #docs x #queries-with-any-hit,
+never token volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gofias_spark.analyzer import analyze_query
+from gofias_spark.config import AnalyzerConfig
+from gofias_spark.query.naive import tokens_col
+
+
+def percolate(
+    docs: DataFrame,
+    queries: dict[str, str],
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    analyzer: AnalyzerConfig | None = None,
+) -> DataFrame:
+    """Match every doc against every registered query (AND semantics —
+    the reference's operator=and match, elasticAddressRepository.go:483):
+    a doc matches a query iff it contains ALL the query's analyzed terms.
+    Returns ``(id_col, query_id)`` pairs, one per match.
+
+    ``queries`` maps query_id -> query text; each is analyzed with the
+    same analyzer as the engine (default: standard lowercase word
+    tokenizer), so percolation agrees with ``engine.search`` on
+    membership. Queries that analyze to zero terms match nothing (ES
+    match_none), mirroring ``search()``'s empty-query contract.
+    """
+    cfg = analyzer or AnalyzerConfig()
+    if cfg.mode != "standard":
+        raise ValueError("percolate requires a standard analyzer")
+    rows = []
+    for qid, text in sorted(queries.items()):
+        terms = sorted(set(analyze_query(text, cfg)))
+        for t in terms:
+            rows.append((str(qid), t, len(terms)))
+    spark = docs.sparkSession
+    if not rows:
+        return spark.createDataFrame(
+            [], schema=f"{id_col} long, query_id string"
+        ).limit(0)
+    qdf = spark.createDataFrame(
+        rows, schema="query_id string, term string, n_terms int"
+    )
+    doc_terms = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias(
+            "term"
+        ),
+    )
+    return (
+        doc_terms.join(F.broadcast(qdf), "term")
+        .groupBy(id_col, "query_id", "n_terms")
+        .agg(F.count(F.lit(1)).alias("matched"))
+        .filter(F.col("matched") == F.col("n_terms"))
+        .select(id_col, "query_id")
+    )

@@ -262,3 +262,79 @@ def strip_frequent_lines(
         .withColumn("n_lines_removed", F.col("_scrub.n_removed"))
         .drop("_scrub")
     )
+
+
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "content"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 repetition filters): the standard
+    pre-training quality gates for machine-generated / template spam.
+
+    Per doc:
+      * ``dup_line_frac``      — 1 - distinct(lines)/lines over non-blank
+        raw lines (identity on the raw line text; blank = whitespace-only)
+      * ``dup_line_char_frac`` — chars inside lines occurring >1 time /
+        total non-blank line chars (every occurrence of a duplicated line
+        counts)
+      * ``top_bigram_char_frac`` — chars covered by the most frequent word
+        bigram (count x combined token length, ties -> lexicographically
+        smallest bigram) / total token chars; 0 when < 2 tokens
+
+    All three are pure per-row functions — ONE Arrow-batched pandas UDF,
+    a map-only stage with no shuffle at any corpus size (fractions are
+    rounded to 4 JVM-side, HALF_UP like the DuckDB oracle). (Bigram counting
+    is per-doc Counter work inside the Arrow batch: cross-doc
+    vectorization buys nothing here because the hot loop is already
+    O(tokens) with tiny constants, unlike the analyzer's vocab-scaled
+    gram expansion.)"""
+    word = re.compile("[a-z0-9_]+")
+
+    @F.pandas_udf(
+        "struct<dup_line_frac: double, dup_line_char_frac: double, "
+        "top_bigram_char_frac: double>"
+    )
+    def rep(s: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        dlf, dlcf, tbcf = [], [], []
+        for t in s:
+            t = t or ""
+            lines = [l for l in t.split("\n") if l.strip()]
+            if lines:
+                cnt = Counter(lines)
+                n = len(lines)
+                dlf.append(1.0 - len(cnt) / n)
+                tot = sum(len(l) for l in lines)
+                dup = sum(len(l) * c for l, c in cnt.items() if c > 1)
+                dlcf.append(dup / tot if tot else 0.0)
+            else:
+                dlf.append(0.0)
+                dlcf.append(0.0)
+            toks = word.findall(t.lower())
+            tok_chars = sum(len(w) for w in toks)
+            if len(toks) < 2 or tok_chars == 0:
+                tbcf.append(0.0)
+                continue
+            bg = Counter(zip(toks, toks[1:]))
+            # max count, ties -> lexicographically smallest bigram
+            top, c = min(bg.items(), key=lambda kv: (-kv[1], kv[0]))
+            tbcf.append(c * (len(top[0]) + len(top[1])) / tok_chars)
+        return pd.DataFrame(
+            {
+                "dup_line_frac": dlf,
+                "dup_line_char_frac": dlcf,
+                "top_bigram_char_frac": tbcf,
+            }
+        )
+
+    out = docs.select(F.col(id_col), rep(F.col(text_col)).alias("_r"))
+    # rounding happens JVM-side (HALF_UP, matching SQL round()) — a python
+    # round() inside the UDF would banker's-round exact halves like 1/32
+    # the other way and break oracle parity at the 4th decimal
+    return out.select(
+        id_col,
+        F.round("_r.dup_line_frac", 4).alias("dup_line_frac"),
+        F.round("_r.dup_line_char_frac", 4).alias("dup_line_char_frac"),
+        F.round("_r.top_bigram_char_frac", 4).alias("top_bigram_char_frac"),
+    )

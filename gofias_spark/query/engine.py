@@ -3807,6 +3807,270 @@ class SearchEngine:
             return self._empty_result(True, as_pdf=False)
         return self.spark.createDataFrame(r)
 
+    # -- rescore / function_score / collapse (composed ES-surface ops) ----
+
+    def _attr_for_ids(self, ids: list[int], fields: list[str]) -> pd.DataFrame:
+        """Driver-side attribute lookup for a list of doc_ids, tier-aware:
+        resident local meta, chunked serve-sidecar reads (the same
+        262k-slice bound as _filter_candidates, so the pyarrow isin
+        expression stays bounded), or a pruned doc_meta scan as the
+        fallback. Returns ``['doc_id'] + fields``."""
+        cols = ["doc_id"] + list(fields)
+        if self._local_meta is not None:
+            m = self._local_meta.reset_index(drop=True)
+            return m[m["doc_id"].isin(ids)][cols]
+        if self._serve is not None:
+            step = 262_144
+            parts = [
+                self._serve.fetch_meta(ids[i : i + step], cols)
+                for i in range(0, len(ids), step)
+            ]
+            if parts:
+                return pd.concat(parts, ignore_index=True)
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+        return self.doc_meta.select(*cols).filter(
+            F.col("doc_id").isin(ids)
+        ).toPandas()
+
+    def rescore(
+        self,
+        query: str,
+        rescore_query: str,
+        k: int = 10,
+        *,
+        window_size: int = 50,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        mode: str = "and",
+        slop: int = 0,
+        offset: int = 0,
+        with_meta: bool = True,
+        as_pandas: bool = False,
+    ):
+        """ES rescore API analogue with a match_phrase rescorer — the
+        classic "cheap BM25 first pass, adjacency-boost the head" plan:
+        the top-``window_size`` hits of the base query are re-ranked by
+
+            query_weight * base_score + rescore_weight * phrase_score
+
+        where phrase_score is the phrase query's BM25 sum on window docs
+        containing ``rescore_query`` as an exact phrase (``slop`` relaxes
+        adjacency, as in search_phrase) and 0 otherwise. Docs outside the
+        window keep their base ranking below the window (ES semantics), so
+        the returned page must fit inside it: ``window_size >= offset+k``
+        is enforced rather than silently mixing re-scored and raw ranks.
+
+        Cost shape: one normal top-window search plus ONE phrase-matches
+        pass restricted to the window's doc_ids — on the distributed tier
+        the phrase side is doc_id-pruned before collection, so the driver
+        merge is always window-sized."""
+        if window_size < offset + k:
+            raise ValueError(
+                f"window_size ({window_size}) must cover offset+k "
+                f"({offset + k}): docs outside the rescore window keep "
+                "base order and cannot appear in a re-ranked page"
+            )
+        if not query_weight >= 0 or not rescore_weight >= 0:
+            raise ValueError("weights must be >= 0")
+        base = self.search(
+            query, k=window_size, mode=mode, with_meta=False, as_pandas=True
+        )
+        if len(base) == 0:
+            return self._empty_result(with_meta, as_pdf=as_pandas)
+        pm = self.phrase_matches(rescore_query, slop=slop)
+        if isinstance(pm, DataFrame):
+            ids = [int(x) for x in base["doc_id"]]
+            pm = pm.filter(F.col("doc_id").isin(ids)).toPandas()
+        merged = base.merge(
+            pm.rename(columns={"score": "_rs"}), on="doc_id", how="left"
+        )
+        merged["score"] = (
+            query_weight * merged["score"]
+            + rescore_weight * merged["_rs"].fillna(0.0)
+        )
+        out = (
+            merged[["doc_id", "score"]]
+            .sort_values(
+                ["score", "doc_id"], ascending=[False, True],
+                kind="mergesort",
+            )
+            .iloc[offset : offset + k]
+            .reset_index(drop=True)
+        )
+        return self._attach_meta(out, with_meta, as_pandas)
+
+    @staticmethod
+    def _fv_modifier(modifier: str, factor: float, missing: float):
+        """Shared field-value-factor arithmetic: ONE numpy function used
+        verbatim on every tier (driver pandas and inside the distributed
+        pandas UDF), so cross-tier rank identity holds bit-for-bit, the
+        same contract the BM25 kernels keep."""
+        if modifier not in ("none", "log1p", "sqrt"):
+            raise ValueError(f"unknown modifier {modifier!r}")
+
+        def fv(vals: np.ndarray) -> np.ndarray:
+            x = np.where(np.isnan(vals), float(missing), vals) * factor
+            if modifier == "log1p":
+                return np.log1p(x)
+            if modifier == "sqrt":
+                return np.sqrt(x)
+            return x
+
+        return fv
+
+    def function_score(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        field: str = "doclen",
+        modifier: str = "log1p",
+        factor: float = 1.0,
+        missing: float = 0.0,
+        boost_mode: str = "multiply",
+        mode: str = "and",
+        filters: dict | None = None,
+        offset: int = 0,
+        with_meta: bool = True,
+        as_pandas: bool = False,
+    ):
+        """ES function_score / field_value_factor analogue: every match's
+        BM25 score is combined with ``modifier(factor * doc[field])`` —
+        ``multiply`` (relevance shaped by a document prior, e.g. length or
+        freshness) or ``sum``. ``missing`` substitutes for null field
+        values BEFORE factor/modifier (ES's ``missing`` param).
+
+        The modifier can reorder arbitrarily, so relevance pruning is off:
+        ALL matches are scored (exactly like composite sorts, engine O1).
+        Driver tiers read the field from the resident/serve meta sidecar;
+        the distributed tier joins the (doc_id, score) matches — two
+        columns, never postings — against a pruned doc_meta scan and
+        applies the SAME numpy modifier in an Arrow-batched UDF, keeping
+        scores bit-identical across tiers. Top-k is a per-partition heap
+        merge (TakeOrderedAndProject), no global sort."""
+        if boost_mode not in ("multiply", "sum"):
+            raise ValueError("boost_mode must be multiply|sum")
+        self._require_numeric_field(field, "function_score")
+        fv = self._fv_modifier(modifier, factor, missing)
+        sm = self.score_matches(query, mode=mode, filters=filters)
+        if isinstance(sm, pd.DataFrame):
+            if len(sm) == 0:
+                return self._empty_result(with_meta, as_pdf=as_pandas)
+            ids = [int(x) for x in sm["doc_id"]]
+            attr = self._attr_for_ids(ids, [field])
+            merged = sm.merge(attr, on="doc_id", how="left")
+            vals = fv(merged[field].to_numpy(dtype=np.float64))
+            base = merged["score"].to_numpy(dtype=np.float64)
+            merged["score"] = (
+                base * vals if boost_mode == "multiply" else base + vals
+            )
+            out = (
+                merged[["doc_id", "score"]]
+                .sort_values(
+                    ["score", "doc_id"], ascending=[False, True],
+                    kind="mergesort",
+                )
+                .iloc[offset : offset + k]
+                .reset_index(drop=True)
+            )
+            return self._attach_meta(out, with_meta, as_pandas)
+
+        @F.pandas_udf("double")
+        def fv_udf(v: pd.Series) -> pd.Series:
+            return pd.Series(fv(v.to_numpy(dtype=np.float64)))
+
+        joined = sm.join(self.doc_meta.select("doc_id", field), "doc_id")
+        fv_col = fv_udf(F.col(field).cast("double"))
+        score = (
+            F.col("score") * fv_col
+            if boost_mode == "multiply"
+            else F.col("score") + fv_col
+        )
+        topk_pdf = (
+            joined.select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(offset + k)
+            .toPandas()
+            .iloc[offset : offset + k]
+        )
+        return self._attach_meta(topk_pdf, with_meta, as_pandas)
+
+    def collapse(
+        self,
+        group_field: str,
+        query: str,
+        k: int = 10,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+    ) -> pd.DataFrame:
+        """ES field-collapsing analogue: the top-``k`` hits where only the
+        BEST hit per ``group_field`` value counts — result diversification
+        (one hit per repo / per domain / per license bucket). Unlike
+        ``top_hits`` (groups ranked by match COUNT), collapse ranks groups
+        by their best hit's score: ``(group, doc_id, score)`` rows ordered
+        (score desc, doc_id asc), at most one row per group, null groups
+        omitted (ES missing-bucket semantics).
+
+        Group membership can't be relevance-pruned (a group's best hit may
+        sit anywhere in the score range), so ALL matches are scored; the
+        distributed reduction is a map-side-combinable ``max_by`` groupBy
+        whose shuffle carries one (group, best-hit) struct per group per
+        partition — never the matched docs."""
+        if group_field in ("doc_id", "doc_part") or \
+                group_field not in self.doc_meta.columns:
+            raise ValueError(f"unknown field {group_field!r}")
+        empty = pd.DataFrame({
+            group_field: pd.Series(dtype="object"),
+            "doc_id": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+        })
+        sm = self.score_matches(query, mode=mode, filters=filters)
+        if isinstance(sm, pd.DataFrame):
+            if len(sm) == 0:
+                return empty
+            ids = [int(x) for x in sm["doc_id"]]
+            attr = self._attr_for_ids(ids, [group_field])
+            merged = sm.merge(attr, on="doc_id", how="left")
+            merged = merged[merged[group_field].notna()]
+            if len(merged) == 0:
+                return empty
+            best = (
+                merged.sort_values(
+                    ["score", "doc_id"], ascending=[False, True],
+                    kind="mergesort",
+                )
+                .groupby(group_field, sort=False)
+                .head(1)
+                .head(k)
+            )
+            return best[[group_field, "doc_id", "score"]].reset_index(
+                drop=True
+            )
+        joined = sm.join(
+            self.doc_meta.select("doc_id", group_field), "doc_id"
+        ).filter(F.col(group_field).isNotNull())
+        # max_by over (score, -doc_id): highest score wins, doc_id asc
+        # breaks ties — the same (score desc, doc_id asc) contract as
+        # search(). Partial max_by combines map-side.
+        best = joined.groupBy(group_field).agg(
+            F.expr(
+                "max_by(named_struct('doc_id', doc_id, 'score', score), "
+                "named_struct('s', score, 'd', -doc_id))"
+            ).alias("_hit")
+        )
+        out = (
+            best.select(
+                group_field,
+                F.col("_hit.doc_id").alias("doc_id"),
+                F.col("_hit.score").alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .toPandas()
+        )
+        return out if len(out) else empty
+
     def explain_query(
         self, query: str, filters: dict | None = None, mode: str = "and",
         must_not: str | None = None,
