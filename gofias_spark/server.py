@@ -30,6 +30,11 @@ Routes (reference analogues):
     GET /api/v1/suggest_terms?term=..[&size=..]                  term suggester
     GET /api/v1/complete?prefix=..[&size=..]                     completion
     GET /api/v1/more_like_this?doc_id=..[&size=..]               MLT query
+    GET /api/v1/rescore?term=..&rescore=..[&window=50&size=..
+        &query_weight=1&rescore_weight=1&slop=0&match=..]        rescore API
+    GET /api/v1/function_score?term=..[&field=doclen&modifier=log1p
+        &factor=1&boost_mode=multiply&match=..]                  function_score
+    GET /api/v1/collapse?field=..&term=..[&size=..&match=..]     field collapse
     GET /api/v1/significant_terms?term=..[&size=..&match=..]     sig-terms agg
     GET /api/v1/explain?term=..&doc_id=..                        _explain
     GET /api/v1/termvectors?doc_id=..                            _termvectors
@@ -681,6 +686,86 @@ def make_handler(api: FulltextAPI):
                         filters=_filters_from_query(q), as_pandas=True,
                     )
                     self._json({"items": _items(pdf)})
+                elif url.path == "/api/v1/rescore":
+                    if not _term(q):
+                        raise BadRequest("term= is required")
+                    rq = q.get("rescore", [""])[0]
+                    if not rq:
+                        raise BadRequest("rescore= is required")
+                    if len(rq) > MAX_TERM_LEN:
+                        raise BadRequest(
+                            f"rescore longer than {MAX_TERM_LEN} chars"
+                        )
+                    size, _ = _page(q, default_size=10)
+                    mode = q.get("match", ["and"])[0]
+                    if mode not in ("and", "or"):
+                        raise BadRequest("match must be and|or")
+                    try:
+                        window = int(q.get("window", ["50"])[0])
+                        qw = float(q.get("query_weight", ["1.0"])[0])
+                        rw = float(q.get("rescore_weight", ["1.0"])[0])
+                        slop = int(q.get("slop", ["0"])[0])
+                    except ValueError:
+                        raise BadRequest(
+                            "window/slop must be integers, weights floats"
+                        ) from None
+                    if not 1 <= window <= MAX_SIZE:
+                        raise BadRequest(
+                            f"window must be in [1, {MAX_SIZE}]"
+                        )
+                    if not 0 <= slop <= MAX_SLOP:
+                        raise BadRequest(f"slop must be in [0, {MAX_SLOP}]")
+                    try:
+                        pdf = api.rescore(
+                            _term(q), rq, size=size, window_size=window,
+                            query_weight=qw, rescore_weight=rw, mode=mode,
+                            slop=slop, as_pandas=True,
+                        )
+                    except ValueError as exc:  # window < size etc.
+                        raise BadRequest(str(exc)) from exc
+                    self._json({"items": _items(pdf)})
+                elif url.path == "/api/v1/function_score":
+                    if not _term(q):
+                        raise BadRequest("term= is required")
+                    size, _ = _page(q, default_size=10)
+                    mode = q.get("match", ["and"])[0]
+                    if mode not in ("and", "or"):
+                        raise BadRequest("match must be and|or")
+                    field = q.get("field", ["doclen"])[0]
+                    modifier = q.get("modifier", ["log1p"])[0]
+                    boost_mode = q.get("boost_mode", ["multiply"])[0]
+                    try:
+                        factor = float(q.get("factor", ["1.0"])[0])
+                    except ValueError:
+                        raise BadRequest("factor must be a float") from None
+                    try:
+                        pdf = api.function_score(
+                            _term(q), size=size, field=field,
+                            modifier=modifier, factor=factor,
+                            boost_mode=boost_mode, mode=mode,
+                            filters=_filters_from_query(q), as_pandas=True,
+                        )
+                    except ValueError as exc:  # bad modifier/field/mode
+                        raise BadRequest(str(exc)) from exc
+                    self._json({"items": _items(pdf)})
+                elif url.path == "/api/v1/collapse":
+                    field = q.get("field", [""])[0]
+                    if not field:
+                        raise BadRequest("field= is required")
+                    if not _term(q):
+                        raise BadRequest("term= is required")
+                    size, _ = _page(q, default_size=10)
+                    mode = q.get("match", ["and"])[0]
+                    if mode not in ("and", "or"):
+                        raise BadRequest("match must be and|or")
+                    try:
+                        pdf = api.collapse(
+                            field, _term(q), size=size, mode=mode,
+                            filters=_filters_from_query(q),
+                        )
+                    except ValueError as exc:  # unknown field
+                        raise BadRequest(str(exc)) from exc
+                    self._json({"hits": _items(pdf)})
                 elif url.path == "/api/v1/field_stats":
                     field = q.get("field", [""])[0]
                     if not field:

@@ -677,3 +677,71 @@ def test_suggester_routes(gateway):
     )
     assert _get_status(base, "/api/v1/suggest_terms?term=a+b") == 400
     assert _get_status(base, "/api/v1/complete?prefix=") == 400
+
+
+def test_rescore_route(gateway):
+    api, base = gateway
+    status, res = _get(
+        base,
+        "/api/v1/rescore?term=common_util&rescore=common_util"
+        "&window=20&size=5&rescore_weight=2.0",
+    )
+    assert status == 200 and len(res["items"]) == 5
+    direct = api.rescore(
+        "common_util", "common_util", size=5, window_size=20,
+        rescore_weight=2.0, as_pandas=True,
+    )
+    assert [i["doc_id"] for i in res["items"]] == [
+        int(x) for x in direct["doc_id"]
+    ]
+    assert _get_status(base, "/api/v1/rescore?term=x") == 400  # no rescore=
+    assert _get_status(
+        base, "/api/v1/rescore?term=x&rescore=y&window=2&size=5"
+    ) == 400  # window < size
+    assert _get_status(
+        base, "/api/v1/rescore?term=x&rescore=y&window=zz"
+    ) == 400
+
+
+def test_function_score_route(gateway):
+    api, base = gateway
+    status, res = _get(
+        base,
+        "/api/v1/function_score?term=common_util&field=doclen"
+        "&modifier=log1p&factor=0.1&size=5",
+    )
+    assert status == 200 and len(res["items"]) == 5
+    direct = api.function_score(
+        "common_util", size=5, field="doclen", modifier="log1p",
+        factor=0.1, as_pandas=True,
+    )
+    assert [i["doc_id"] for i in res["items"]] == [
+        int(x) for x in direct["doc_id"]
+    ]
+    assert _get_status(
+        base, "/api/v1/function_score?term=x&modifier=bogus"
+    ) == 400
+    assert _get_status(
+        base, "/api/v1/function_score?term=x&field=lang"
+    ) == 400  # non-numeric field
+    assert _get_status(
+        base, "/api/v1/function_score?term=x&factor=zz"
+    ) == 400
+
+
+def test_collapse_route(gateway):
+    api, base = gateway
+    status, res = _get(
+        base, "/api/v1/collapse?field=lang&term=common_util&size=5"
+    )
+    assert status == 200 and len(res["hits"]) > 0
+    direct = api.collapse("lang", "common_util", size=5)
+    assert [
+        (h["lang"], h["doc_id"]) for h in res["hits"]
+    ] == [(r["lang"], int(r["doc_id"])) for _, r in direct.iterrows()]
+    langs = [h["lang"] for h in res["hits"]]
+    assert len(langs) == len(set(langs))  # one hit per group
+    assert _get_status(base, "/api/v1/collapse?term=x") == 400  # no field
+    assert _get_status(
+        base, "/api/v1/collapse?field=nosuch&term=x"
+    ) == 400
