@@ -432,8 +432,11 @@ class SearchEngine:
         self._fuzzy_map: dict[str, list[str]] | None = None
         self._fuzzy_map_token: str | None = None
         self._positions = self._load_positions()
+        # doclen rides along (8 bytes/doc): function_score's distributed
+        # join then hits the doc_id-partitioned cache — only the scored
+        # side exchanges, instead of shuffling a full doc_meta scan
         self._meta_slim = self.doc_meta.select(
-            "doc_id", "repo", "path", "commit", "lang", "sha256"
+            "doc_id", "repo", "path", "commit", "lang", "sha256", "doclen"
         )
         if cache:
             # Latency path: a parquet-read union has no partitioning info, so
@@ -3979,7 +3982,15 @@ class SearchEngine:
         def fv_udf(v: pd.Series) -> pd.Series:
             return pd.Series(fv(v.to_numpy(dtype=np.float64)))
 
-        joined = sm.join(self.doc_meta.select("doc_id", field), "doc_id")
+        # the cached meta frame is hash-partitioned on doc_id, so this
+        # join exchanges only the (doc_id, score) matches; fields outside
+        # the cache fall back to a doc_meta scan
+        attr_src = (
+            self._meta_slim
+            if field in self._meta_slim.columns
+            else self.doc_meta
+        )
+        joined = sm.join(attr_src.select("doc_id", field), "doc_id")
         fv_col = fv_udf(F.col(field).cast("double"))
         score = (
             F.col("score") * fv_col
@@ -4047,8 +4058,13 @@ class SearchEngine:
             return best[[group_field, "doc_id", "score"]].reset_index(
                 drop=True
             )
+        attr_src = (
+            self._meta_slim
+            if group_field in self._meta_slim.columns
+            else self.doc_meta
+        )
         joined = sm.join(
-            self.doc_meta.select("doc_id", group_field), "doc_id"
+            attr_src.select("doc_id", group_field), "doc_id"
         ).filter(F.col(group_field).isNotNull())
         # max_by over (score, -doc_id): highest score wins, doc_id asc
         # breaks ties — the same (score desc, doc_id asc) contract as
