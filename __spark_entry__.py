@@ -911,6 +911,13 @@ def _q_ft_collapse(spark, sf):
     )
 
 
+def _q_ft_regexp(spark, sf):
+    """ES regexp term query: anchored pattern expanded against the term
+    dictionary (vocabulary-sized scan, like wildcard/fuzzy), variants
+    scored disjunctively with per-variant idf."""
+    return _ft(_engine(spark, sf).search_regexp("s(c|t)a[a-z]*", k=10))
+
+
 def _query_vec(spark, sf):
     row = (
         spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -1246,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_term_stats": _q_ft_term_stats,
         "ft_global_stats": _q_ft_global_stats,
         "ft_rescore": _q_ft_rescore,
+        "ft_regexp_top10": _q_ft_regexp,
         "ft_function_score": _q_ft_function_score,
         "ft_collapse": _q_ft_collapse,
         # corpus curation
@@ -1316,6 +1324,7 @@ def _bm25_sql(
     slop: int = 0,
     fuzzy: str | None = None,
     wildcard: str | None = None,
+    regex: str | None = None,
     must_not: list[str] | None = None,
     msm: int | None = None,
     boosts: dict[str, float] | None = None,
@@ -1331,6 +1340,11 @@ def _bm25_sql(
         tpred = (
             "term IN (SELECT DISTINCT term FROM tok "
             f"WHERE regexp_matches(term, '{rx}'))"
+        )
+    elif regex is not None:
+        tpred = (
+            "term IN (SELECT DISTINCT term FROM tok "
+            f"WHERE regexp_matches(term, '^(?:{regex})$'))"
         )
     else:
         tpred = "term IN (" + ", ".join(f"'{t}'" for t in terms) + ")"
@@ -1691,6 +1705,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_fuzzy_top10": _bm25_sql([], 10, mode="or", fuzzy="fash"),
         "ft_wildcard_top10": _bm25_sql(
             [], 10, mode="or", wildcard="s?a*"
+        ),
+        "ft_regexp_top10": _bm25_sql(
+            [], 10, mode="or", regex="s(c|t)a[a-z]*"
         ),
         "ft_count": f"""
 WITH tok AS ({TOK}),

@@ -150,6 +150,25 @@ class FulltextAPI:
             filters=filters, as_pandas=as_pandas,
         )
 
+    def search_regexp(
+        self,
+        pattern: str,
+        size: int = 100,
+        from_: int = 0,
+        max_expansions: int | None = 50,
+        filters: dict | None = None,
+        as_pandas: bool = False,
+    ):
+        """Regexp term query (ES ``regexp`` analogue): anchored pattern
+        expanded against the term dictionary (vocabulary-sized scan,
+        capped at ``max_expansions`` most-frequent variants), scored
+        disjunctively. Lookaround/backreferences are rejected (not
+        portable across the engine's tiers)."""
+        return self.engine.search_regexp(
+            pattern, k=size, offset=from_, max_expansions=max_expansions,
+            filters=filters, as_pandas=as_pandas,
+        )
+
     def query_string(
         self,
         qs: str,

@@ -321,9 +321,18 @@ def compile_filters(filters: dict | None):
             cond = cond & F.col("path").startswith(val)
         elif isinstance(val, dict):
             for op, v in val.items():
-                if op not in _RANGE_OPS:
+                if op == "exists":
+                    # ES exists/missing query: presence test, the ONE
+                    # predicate a null passes (when exists=False)
+                    cond = cond & (
+                        F.col(field).isNotNull()
+                        if v
+                        else F.col(field).isNull()
+                    )
+                elif op in _RANGE_OPS:
+                    cond = cond & _RANGE_OPS[op](F.col(field), F.lit(v))
+                else:
                     raise ValueError(f"unknown range operator {op!r}")
-                cond = cond & _RANGE_OPS[op](F.col(field), F.lit(v))
         elif isinstance(val, (list, tuple, set)):
             cond = cond & F.col(field).isin(list(val))
         else:
@@ -348,6 +357,9 @@ def pandas_filter_mask(pdf: pd.DataFrame, filters: dict) -> pd.Series:
         notna = s.notna()
         if isinstance(val, dict):
             for op, v in val.items():
+                if op == "exists":
+                    mask &= notna if v else ~notna
+                    continue
                 if op not in _RANGE_OPS:
                     raise ValueError(f"unknown range operator {op!r}")
                 sub = np.zeros(len(pdf), dtype=bool)
@@ -722,6 +734,13 @@ class SearchEngine:
                 raise ValueError(f"unknown filter field {field!r}")
             numeric = isinstance(dt, T.NumericType)
             for op, v in val.items():
+                if op == "exists":
+                    if not isinstance(v, bool):
+                        raise ValueError(
+                            f"filter {field}.exists: operand {v!r} must "
+                            "be a bool"
+                        )
+                    continue
                 ok = (
                     isinstance(v, (int, float)) and not isinstance(v, bool)
                     if numeric
@@ -1557,6 +1576,81 @@ class SearchEngine:
         choice, consistent with search_fuzzy.) Reuses ``search()``, so
         serve-tier / filter / sort routing apply unchanged."""
         variants = self.wildcard_terms(pattern, max_expansions)
+        if not variants:
+            return self._empty_result(
+                with_meta, sort_by=sort_by, as_pdf=as_pandas
+            )
+        return self.search(
+            " ".join(variants),
+            k=k,
+            offset=offset,
+            mode="or",
+            filters=filters,
+            with_meta=with_meta,
+            sort_by=sort_by,
+            as_pandas=as_pandas,
+        )
+
+    # ES regexp-query dialect guard: Python re (driver dict path), Java
+    # rlike (Spark path), and RE2 (DuckDB oracles) agree on the basic
+    # syntax but diverge on lookaround/backreferences — reject those so a
+    # pattern means the same thing on every tier.
+    _REGEXP_UNPORTABLE = ("(?=", "(?!", "(?<", "\\1", "\\2", "\\3", "\\4",
+                          "\\5", "\\6", "\\7", "\\8", "\\9")
+
+    def regexp_terms(
+        self, pattern: str, max_expansions: int | None = None
+    ) -> list[str]:
+        """Vocabulary terms fully matching a regular expression (ES
+        ``regexp`` query semantics: anchored — the whole term must match),
+        most-frequent first (df desc, term asc). Same vocabulary-sized
+        scan as wildcard_terms: the term dictionary, never the corpus."""
+        import re as _re
+
+        for bad in self._REGEXP_UNPORTABLE:
+            if bad in pattern:
+                raise ValueError(
+                    "regexp patterns with lookaround/backreferences are "
+                    "not portable across the engine's tiers "
+                    f"(found {bad!r})"
+                )
+        rx = f"^(?:{pattern.lower()})$"
+        try:
+            crx = _re.compile(rx)
+        except _re.error as exc:
+            raise ValueError(f"invalid regexp {pattern!r}: {exc}") from exc
+        if self._stats_cache is not None:
+            out = [
+                (t, n) for t, n in self._stats_cache.items() if crx.match(t)
+            ]
+        else:
+            rows = (
+                self._stats.filter(F.col("term").rlike(rx))
+                .select("term", "df")
+                .collect()
+            )
+            out = [(r["term"], int(r["df"])) for r in rows]
+        out.sort(key=lambda p: (-p[1], p[0]))
+        terms = [t for t, _ in out]
+        return terms[:max_expansions] if max_expansions else terms
+
+    def search_regexp(
+        self,
+        pattern: str,
+        k: int = 10,
+        offset: int = 0,
+        max_expansions: int | None = None,
+        filters: dict | None = None,
+        with_meta: bool = True,
+        sort_by: list[tuple[str, str]] | None = None,
+        as_pandas: bool = False,
+    ):
+        """Regexp term query (ES ``regexp`` analogue): expand the anchored
+        pattern against the term dictionary, then score as a disjunctive
+        match with per-variant idf — the same rewrite-then-search() shape
+        as wildcard/fuzzy, so serve-tier / filter / sort routing apply
+        unchanged."""
+        variants = self.regexp_terms(pattern, max_expansions)
         if not variants:
             return self._empty_result(
                 with_meta, sort_by=sort_by, as_pdf=as_pandas

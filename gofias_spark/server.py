@@ -48,7 +48,7 @@ into ES `range` queries per filtered route, addressHandler.go:140-165):
                                         fragments per item (match=and|phrase)
     <field>.gte= .gt= .lte= .lt= .neq=  range predicates (F4), e.g.
                                         doclen.gte=100&doclen.lt=500
-    match=and|or|phrase|fuzzy|wildcard  match mode on /address/term
+    match=and|or|phrase|fuzzy|wildcard|regexp  match mode on /address/term
                                         (default and; the others are
                                         extensions beyond the reference)
     minimum_should_match=N              bool.should msm (match=or): docs
@@ -125,7 +125,7 @@ def _filters_from_query(q: dict) -> dict | None:
         if "." not in key:
             continue
         field, op = key.rsplit(".", 1)
-        if op not in _RANGE_OPS:
+        if op not in _RANGE_OPS and op != "exists":
             continue
         if field not in _RANGE_FIELDS:
             raise BadRequest(
@@ -134,7 +134,13 @@ def _filters_from_query(q: dict) -> dict | None:
             )
         if not isinstance(f.get(field, {}), dict):
             raise BadRequest(f"field {field!r} has both equality and range")
-        f.setdefault(field, {})[op] = _coerce(field, vals[0])
+        if op == "exists":
+            v = vals[0].lower()
+            if v not in ("true", "false", "1", "0"):
+                raise BadRequest(f"{field}.exists must be true|false")
+            f.setdefault(field, {})[op] = v in ("true", "1")
+        else:
+            f.setdefault(field, {})[op] = _coerce(field, vals[0])
     return f or None
 
 
@@ -339,6 +345,19 @@ def make_handler(api: FulltextAPI):
                             _term(q), size=size, from_=from_,
                             filters=_filters_from_query(q), as_pandas=True,
                         )
+                    elif match == "regexp":
+                        if sort_by:
+                            raise BadRequest(
+                                "match=regexp does not support sort="
+                            )
+                        try:
+                            pdf = api.search_regexp(
+                                _term(q), size=size, from_=from_,
+                                filters=_filters_from_query(q),
+                                as_pandas=True,
+                            )
+                        except ValueError as exc:  # bad/unportable regex
+                            raise BadRequest(str(exc)) from exc
                     elif match == "and" and not q.get("boost") and \
                             "minimum_should_match" not in q:
                         pdf = api.search_by_term(
@@ -376,7 +395,7 @@ def make_handler(api: FulltextAPI):
                     else:
                         raise BadRequest(
                             "match must be one of and|or|phrase|fuzzy|"
-                            "wildcard"
+                            "wildcard|regexp"
                         )
                     if q.get("highlight", ["false"])[0].lower() in (
                         "1", "true",

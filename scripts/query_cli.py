@@ -74,9 +74,10 @@ def main() -> None:
     s.add_argument("--offset", type=int, default=0)
     s.add_argument("--mode", default="and", choices=["and", "or"])
     s.add_argument(
-        "--match", default=None, choices=["phrase", "fuzzy", "wildcard"],
+        "--match", default=None,
+        choices=["phrase", "fuzzy", "wildcard", "regexp"],
         help="r3 extensions: exact-phrase / edit-distance-1 / */? pattern "
-             "matching (default: plain --mode match)",
+             "/ anchored-regexp matching (default: plain --mode match)",
     )
     s.add_argument("--filter", action="append")
     s.add_argument(
@@ -143,6 +144,38 @@ def main() -> None:
     ml.add_argument("doc_id", type=int)
     ml.add_argument("--k", type=int, default=10)
     ml.add_argument("--filter", action="append")
+
+    rsc = sub.add_parser("rescore", help="phrase-rescored top window "
+                         "(ES rescore API)")
+    rsc.add_argument("query")
+    rsc.add_argument("rescore_query")
+    rsc.add_argument("--k", type=int, default=10)
+    rsc.add_argument("--window", type=int, default=50)
+    rsc.add_argument("--query-weight", type=float, default=1.0)
+    rsc.add_argument("--rescore-weight", type=float, default=1.0)
+    rsc.add_argument("--slop", type=int, default=0)
+    rsc.add_argument("--mode", default="and", choices=["and", "or"])
+
+    fsc = sub.add_parser("function-score", help="field_value_factor "
+                         "scoring modifier (ES function_score)")
+    fsc.add_argument("query")
+    fsc.add_argument("--k", type=int, default=10)
+    fsc.add_argument("--field", default="doclen")
+    fsc.add_argument("--modifier", default="log1p",
+                     choices=["none", "log1p", "sqrt"])
+    fsc.add_argument("--factor", type=float, default=1.0)
+    fsc.add_argument("--boost-mode", default="multiply",
+                     choices=["multiply", "sum"])
+    fsc.add_argument("--mode", default="and", choices=["and", "or"])
+    fsc.add_argument("--filter", action="append")
+
+    cl = sub.add_parser("collapse", help="best hit per field value "
+                        "(ES field collapsing)")
+    cl.add_argument("field")
+    cl.add_argument("query")
+    cl.add_argument("--k", type=int, default=10)
+    cl.add_argument("--mode", default="and", choices=["and", "or"])
+    cl.add_argument("--filter", action="append")
 
     g = sub.add_parser("get")
     g.add_argument("--repo")
@@ -229,6 +262,8 @@ def main() -> None:
             res = eng.search_fuzzy(args.query, **common)
         elif args.match == "wildcard":
             res = eng.search_wildcard(args.query, **common)
+        elif args.match == "regexp":
+            res = eng.search_regexp(args.query, **common)
         else:
             res = eng.search(
                 args.query,
@@ -288,6 +323,37 @@ def main() -> None:
         )
         for _, r in pdf.iterrows():
             print(f"{r['score']:.6f}\t{int(r['hits'])}\t{r['term']}")
+    elif args.cmd == "rescore":
+        res = eng.rescore(
+            args.query, args.rescore_query, k=args.k,
+            window_size=args.window, query_weight=args.query_weight,
+            rescore_weight=args.rescore_weight, slop=args.slop,
+            mode=args.mode,
+        )
+        for r in res.collect():
+            print(
+                f"{r['score']:.6f}\t{r['doc_id']}\t{r['repo']}/{r['path']}"
+                f"@{r['commit']}\t{r['lang']}"
+            )
+    elif args.cmd == "function-score":
+        res = eng.function_score(
+            args.query, k=args.k, field=args.field,
+            modifier=args.modifier, factor=args.factor,
+            boost_mode=args.boost_mode, mode=args.mode,
+            filters=_filters(args.filter),
+        )
+        for r in res.collect():
+            print(
+                f"{r['score']:.6f}\t{r['doc_id']}\t{r['repo']}/{r['path']}"
+                f"@{r['commit']}\t{r['lang']}"
+            )
+    elif args.cmd == "collapse":
+        pdf = eng.collapse(
+            args.field, args.query, k=args.k, mode=args.mode,
+            filters=_filters(args.filter),
+        )
+        for _, r in pdf.iterrows():
+            print(f"{r['score']:.6f}\t{int(r['doc_id'])}\t{r[args.field]}")
     elif args.cmd == "more-like-this":
         res = eng.more_like_this(
             args.doc_id, k=args.k, filters=_filters(args.filter)

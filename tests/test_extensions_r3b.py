@@ -362,3 +362,56 @@ def test_repetition_features_reference(spark):
         r4["top_bigram_char_frac"],
     ) == (0.0, 0.0, 0.0)
     assert pdf.iloc[4]["top_bigram_char_frac"] == 0.0
+
+
+# -- regexp term query / exists filter ----------------------------------------
+
+
+def test_search_regexp_three_tiers_agree(trio):
+    local, served, dist = trio
+    for pat in ("alpha|beta", "[gd]..ma|delta", "kap.*"):
+        a = _key(local.search_regexp(pat, k=10))
+        b = _key(served.search_regexp(pat, k=10))
+        c = _key(dist.search_regexp(pat, k=10))
+        assert a == b == c and len(a) > 0, pat
+
+
+def test_search_regexp_equals_or_of_matched_terms(trio):
+    local, _, _ = trio
+    terms = local.regexp_terms("alpha|gamma")
+    assert set(terms) == {"alpha", "gamma"}
+    a = _key(local.search_regexp("alpha|gamma", k=10))
+    b = _key(local.search("alpha gamma", k=10, mode="or"))
+    assert a == b
+
+
+def test_search_regexp_rejects_unportable(trio):
+    local, _, _ = trio
+    with pytest.raises(ValueError, match="portable"):
+        local.search_regexp("(?=alpha).*")
+    with pytest.raises(ValueError, match="invalid regexp"):
+        local.search_regexp("al(pha")
+
+
+def test_exists_filter_three_tiers(trio):
+    local, served, dist = trio
+    for val in (True, False):
+        f = {"lang": {"exists": val}}
+        a = _key(local.search("alpha", k=20, filters=f))
+        b = _key(served.search("alpha", k=20, filters=f))
+        c = _key(dist.search("alpha", k=20, filters=f))
+        assert a == b == c
+    # exists=True and exists=False partition the unfiltered matches
+    base = {r[0] for r in _key(local.search("alpha", k=1000))}
+    has = {r[0] for r in _key(local.search(
+        "alpha", k=1000, filters={"lang": {"exists": True}}))}
+    hasnt = {r[0] for r in _key(local.search(
+        "alpha", k=1000, filters={"lang": {"exists": False}}))}
+    assert has | hasnt == base and not (has & hasnt)
+    assert hasnt  # the fixture plants null langs
+
+
+def test_exists_filter_validation(trio):
+    local, _, _ = trio
+    with pytest.raises(ValueError, match="bool"):
+        local.search("alpha", filters={"lang": {"exists": "yes"}})

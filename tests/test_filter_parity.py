@@ -51,6 +51,10 @@ _filter_clause = st.one_of(
         st.just("lang"),
         st.fixed_dictionaries({"neq": st.sampled_from(["py", "zz"])}),
     ),
+    st.tuples(
+        st.sampled_from(["lang", "repo"]),
+        st.fixed_dictionaries({"exists": st.booleans()}),
+    ),
 )
 
 _filters = st.dictionaries(

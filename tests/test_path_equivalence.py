@@ -68,6 +68,8 @@ def test_three_paths_agree_randomized(trio):
         {"lang": "py"},
         {"lang": ["py", "go"]},
         {"lang": {"neq": "go"}},
+        {"lang": {"exists": True}},
+        {"lang": {"exists": False}},
         {"doclen": {"gte": 5, "lt": 25}},
         {"path_prefix": "src/f1"},
         {"repo": "org/r1", "doclen": {"gt": 2}},

@@ -745,3 +745,31 @@ def test_collapse_route(gateway):
     assert _get_status(
         base, "/api/v1/collapse?field=nosuch&term=x"
     ) == 400
+
+
+def test_regexp_route_and_exists_filter(gateway):
+    api, base = gateway
+    status, res = _get(
+        base, "/api/v1/address/term?term=common_.til|common_util&match=regexp&size=5"
+    )
+    assert status == 200 and len(res["items"]) == 5
+    direct = api.search_regexp("common_.til|common_util", size=5,
+                               as_pandas=True)
+    assert [i["doc_id"] for i in res["items"]] == [
+        int(x) for x in direct["doc_id"]
+    ]
+    # unportable pattern -> 400, not 500
+    assert _get_status(
+        base,
+        "/api/v1/address/term?term=" +
+        urllib.parse.quote("(?=x).*") + "&match=regexp",
+    ) == 400
+    # exists filter param routes through
+    status, res = _get(
+        base, "/api/v1/address/term?term=common_util&size=5&lang.exists=true"
+    )
+    assert status == 200
+    assert all(i["lang"] is not None for i in res["items"])
+    assert _get_status(
+        base, "/api/v1/address/term?term=x&lang.exists=maybe"
+    ) == 400
