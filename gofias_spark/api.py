@@ -565,9 +565,18 @@ class FulltextAPI:
             "repo", "path", "commit", "lang",
             F.col("content").alias("content"),
         )
+        from gofias_spark.config import AnalyzerConfig
+
+        mcfg = self.engine.manifest["config"]
+        # default = the SOURCE index's full config (analyzer mode and
+        # positional sidecar included, exactly like compact/apply_delta) —
+        # dropping them would silently rebuild an edge_ngram/positional
+        # index as a plain standard one
         cfg = cfg or IndexConfig(
-            n_buckets=self.engine.manifest["config"]["n_buckets"],
-            block_size=self.engine.manifest["config"]["block_size"],
+            n_buckets=mcfg["n_buckets"],
+            block_size=mcfg["block_size"],
+            analyzer=AnalyzerConfig(**mcfg["analyzer"]),
+            positions=mcfg.get("positions", False),
         )
         return build_segment(self.spark, docs, dest_root, cfg)
 

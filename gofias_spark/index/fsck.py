@@ -146,7 +146,9 @@ def check_index(
                     postings = df if postings is None else (
                         postings.unionByName(df, allowMissingColumns=True)
                     )
-            got = {
+            # all postings dirs gone but term_stats survive: report the
+            # corruption rather than AttributeError on the None union
+            got = {} if postings is None else {
                 r["term"]: int(r["n"])
                 for r in postings.filter(F.col("term").isin(terms))
                 .groupBy("term").agg(F.sum("n").alias("n")).collect()

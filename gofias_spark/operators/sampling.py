@@ -88,26 +88,38 @@ def pack_sequences(
     its prefix sum falls in) — bins are *approximately* budget-sized with
     doc-boundary spill, the standard trade against splitting documents.
 
-    Distributed prefix sum: ``repartitionByRange`` on the order key gives
-    sorted, non-overlapping partitions; per-partition token subtotals
-    (one tiny row each) are collected, turned into cumulative offsets,
-    and broadcast back so each partition finishes its running sum
-    locally. The only full-data movement is the single range exchange.
+    Distributed prefix sum with DRIVER-PINNED range bounds: one cheap
+    quantile pass over the id column fixes ``num_parts`` cut points, and
+    every row's range id (``_pid``) is then a pure function of its own id
+    — identical in every job that evaluates it. (``repartitionByRange``
+    would be the obvious spelling, but its boundaries come from a sampler
+    that re-runs per ACTION: the subtotal job and the window job each
+    re-plan the exchange, and boundaries that drift between them would
+    credit a boundary row's offset to the wrong partition. Pinning the
+    bounds on the driver makes the two passes agree by construction.)
+    Per-partition token subtotals (one tiny row each) are collected,
+    turned into cumulative offsets, and broadcast back so each range
+    finishes its running sum locally; only (id, n_tokens) ever shuffles.
     """
     if budget <= 0:
         raise ValueError("budget must be > 0")
+    # bounds: num_parts-1 cut points over the id distribution — a
+    # column-pruned scan of the id column only (no tokenize)
+    probs = [i / num_parts for i in range(1, num_parts)]
+    bounds = sorted(set(
+        docs.select(F.col(id_col).cast("double").alias("_idq"))
+        .approxQuantile("_idq", probs, 0.01)
+    )) if num_parts > 1 else []
+    pid_col = F.lit(0)
+    for b in bounds:  # _pid = number of bounds strictly below the id
+        pid_col = pid_col + (F.col("_id").cast("double") > F.lit(b)).cast(
+            "int"
+        )
     counted = docs.select(
         F.col(id_col).alias("_id"),
         F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
-    ).repartitionByRange(num_parts, "_id").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    # pass 1: per-partition subtotals (one tiny row per partition). Both
-    # jobs below run over the SAME `counted` frame (one RDD lineage), so
-    # the range-exchange map stage is computed once and its shuffle output
-    # reused — the second pass sees identical partition boundaries by
-    # construction, not by hoping the range sampler re-samples the same
-    # bounds.
+    ).withColumn("_pid", pid_col)
+    # pass 1: per-partition subtotals (one tiny row per range)
     subtotal = {
         int(r["_pid"]): int(r["s"])
         for r in counted.groupBy("_pid")

@@ -3756,7 +3756,18 @@ class SearchEngine:
             qterms = [t for t in qterms if dfs[t] > 0]
             if not qterms:
                 return empty
-        n_matched = self.count(query, filters)
+        if mode == "and":
+            n_matched = self.count(query, filters)
+        else:
+            # count() is AND-semantics by contract (A1); the OR foreground
+            # size comes from the all-matches primitive, otherwise fg_rate
+            # uses the AND-match denominator (> 1.0 rates, wrong JLH) or a
+            # spuriously-empty result when an OR term is unindexed
+            sm = self.score_matches(" ".join(qterms), mode="or",
+                                    filters=filters)
+            n_matched = (
+                len(sm) if isinstance(sm, pd.DataFrame) else sm.count()
+            )
         if n_matched == 0:
             return empty
         n_total = float(self.n_docs)

@@ -161,9 +161,12 @@ def parse_query_string(
     if qs[pos:].strip():
         raise ValueError(f"cannot parse query_string near {qs[pos:]!r}")
 
-    # connector pass: NOT negates the next token; AND promotes both
-    # neighbours to must (flat Lucene behaviour, no parentheses); OR is a
-    # no-op separator under either default operator.
+    # connector pass (flat Lucene behaviour, no parentheses): NOT negates
+    # the next token; AND promotes both neighbours to must; OR demotes
+    # both neighbours to should — under default_operator=and, 'a OR b'
+    # must return docs with EITHER term, so OR cannot be a no-op there.
+    # A shared middle operand ('a AND b OR c') keeps its FIRST connector's
+    # occur (setdefault), matching the flat parser's left-to-right sweep.
     occur_override: dict[int, str] = {}
     pending_not = False
     prev_clause_i: int | None = None
@@ -176,6 +179,9 @@ def parse_query_string(
             elif bare == "AND" and prev_clause_i is not None:
                 occur_override.setdefault(prev_clause_i, "must")
                 occur_override[len(items)] = "must"
+            elif bare == "OR" and prev_clause_i is not None:
+                occur_override.setdefault(prev_clause_i, "should")
+                occur_override.setdefault(len(items), "should")
             continue
         forced = "must_not" if pending_not else None
         pending_not = False

@@ -276,7 +276,7 @@ def main() -> None:
         rows = res.collect()
         frags = {}
         if getattr(args, "highlight", False):
-            if args.match in ("fuzzy", "wildcard"):
+            if args.match in ("fuzzy", "wildcard", "regexp"):
                 ap.error("--highlight supports plain or phrase matches only")
             f = eng.snippets(args.query, [r["doc_id"] for r in rows])
             frags = dict(zip(f["doc_id"], f["fragments"]))

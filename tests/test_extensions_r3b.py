@@ -415,3 +415,44 @@ def test_exists_filter_validation(trio):
     local, _, _ = trio
     with pytest.raises(ValueError, match="bool"):
         local.search("alpha", filters={"lang": {"exists": "yes"}})
+
+
+# -- round-3 review regressions ------------------------------------------------
+
+
+def test_significant_terms_or_mode(trio):
+    local, served, dist = trio
+    # an OR query with one unindexed term must not come back empty...
+    for eng in (local, served, dist):
+        out = eng.significant_terms("alpha zzqq_missing", mode="or", k=5)
+        assert len(out) > 0
+        # ...and foreground rates are computed over the OR-matched set,
+        # so hits can never exceed the denominator (fg_rate <= 1)
+        sm = eng.score_matches("alpha", mode="or")
+        n_or = len(sm) if isinstance(sm, pd.DataFrame) else sm.count()
+        assert (out["hits"] <= n_or).all()
+
+
+def test_reindex_preserves_analyzer_and_positions(spark, tmp_path):
+    from gofias_spark.api import FulltextAPI
+    from gofias_spark.config import AnalyzerConfig
+    from gofias_spark.index.store import IndexStore
+
+    root, dest = str(tmp_path / "src"), str(tmp_path / "dst")
+    docs = spark.createDataFrame(
+        [("r", f"p{i}", "c", "py", f"alpha beta doc{i}") for i in range(20)],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    build_segment(
+        spark, docs, root,
+        IndexConfig(
+            n_buckets=2, block_size=8,
+            analyzer=AnalyzerConfig(mode="edge_ngram", min_gram=1,
+                                    max_gram=10),
+        ),
+    )
+    FulltextAPI(spark, root).reindex(dest)
+    cfg = IndexStore(dest).read_manifest()["config"]
+    assert cfg["analyzer"]["mode"] == "edge_ngram"
+    assert cfg["analyzer"]["max_gram"] == 10

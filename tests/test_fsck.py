@@ -57,3 +57,22 @@ def test_corruptions_detected(spark, idx, tmp_path):
     text = " ".join(report["errors"])
     assert "partition dir missing" in text
     assert "lineage n_docs" in text
+
+
+def test_all_postings_dirs_missing_reports_not_crashes(spark, idx, tmp_path):
+    """Every segment's postings/ gone but term_stats intact: fsck must
+    return ok=False with errors, not AttributeError on the None union."""
+    import shutil as _sh
+
+    from gofias_spark.index.store import IndexStore
+
+    snap = str(tmp_path / "nopostings")
+    _sh.copytree(idx, snap)
+    store = IndexStore(snap)
+    for s in store.read_manifest()["segments"]:
+        pdir = store.seg_dir(s) / "postings"
+        if pdir.exists():
+            _sh.rmtree(pdir)
+    report = check_index(spark, snap)
+    assert not report["ok"]
+    assert report["errors"]

@@ -352,3 +352,24 @@ def test_api_and_pandas_contract(eng):
     assert not isinstance(res, pd.DataFrame)  # Spark DF by default
     cols = res.columns
     assert cols[:2] == ["doc_id", "score"]
+
+
+def test_parse_or_under_default_and():
+    """'a OR b' with default_operator=and must make BOTH operands should
+    (docs with either term match) — OR is only a no-op when the default
+    is already should."""
+    pq = parse_query_string("alpha OR beta", default_operator="and")
+    occ = {(c.text, c.occur) for c in pq.clauses}
+    assert occ == {("alpha", "should"), ("beta", "should")}
+    # shared middle operand keeps its FIRST connector's occur
+    pq = parse_query_string("alpha AND beta OR delta",
+                            default_operator="and")
+    occ = {(c.text, c.occur) for c in pq.clauses}
+    assert occ == {("alpha", "must"), ("beta", "must"),
+                   ("delta", "should")}
+
+
+def test_or_under_default_and_executes_as_or(eng):
+    direct = eng.search("alpha delta", mode="or", as_pandas=True)
+    assert ranked(qs(eng, "alpha OR delta", default_operator="and")) \
+        == ranked(direct)
