@@ -4266,6 +4266,15 @@ class SearchEngine:
             )
         return out
 
+    def query_state_token(self) -> str:
+        """Fingerprint of the queryable index state: the committed segment
+        set plus the delta state (tombstone/stats-correction files). Two
+        engines over the same root return the same token iff every query
+        result is guaranteed identical — the invalidation key for any
+        response cache layered above the engine (the HTTP gateway's)."""
+        segs = "|".join(str(s) for s in sorted(self._seg_ids, key=str))
+        return segs + "|" + self._delta_token()
+
     def stats(self) -> dict:
         """Version/health analogue (versionHandler.go:30-38)."""
         return {

@@ -39,7 +39,14 @@ Routes (reference analogues):
     GET /api/v1/explain?term=..&doc_id=..                        _explain
     GET /api/v1/termvectors?doc_id=..                            _termvectors
     GET /api/v1/version                                          GetVersion
+    GET /metrics              request/error/cache counters, latency sums
     GET /health                                                  CheckHealth
+
+Response cache: successful /api/v1/* GET bodies sit in a thread-safe LRU
+keyed by (full URL, engine query_state_token) — delta imports and
+compactions rotate the token, so staleness is structurally impossible and
+old-state entries simply age out. X-Cache: HIT|MISS on cacheable routes;
+``serve(cache_size=0)`` disables.
 
 Filter params (F7 route compilation — the reference compiles Level.Min/Max
 into ES `range` queries per filtered route, addressHandler.go:140-165):
@@ -75,6 +82,8 @@ from __future__ import annotations
 
 import json
 import threading
+import time
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -253,579 +262,676 @@ def _items(pdf) -> list[dict]:
     return out
 
 
-def make_handler(api: FulltextAPI):
+def make_handler(api: FulltextAPI, cache_size: int = 256):
+    """Handler factory. ``cache_size`` > 0 enables the response cache: a
+    thread-safe LRU of successful /api/v1/* GET bodies keyed by the full
+    request URL PLUS the engine's query_state_token — a delta import or
+    compaction changes the token, so stale entries can never serve (they
+    age out of the LRU). This is the ES request-cache analogue for a
+    long-lived serving driver: a repeated dashboard/autocomplete query
+    costs a dict lookup, not even the driver-side kernel."""
+    cache: OrderedDict = OrderedDict()
+    lock = threading.Lock()
+    metrics = {
+        "requests_total": 0, "errors_4xx": 0, "errors_5xx": 0,
+        "cache_hits": 0, "cache_misses": 0,
+        "latency_sum_secs": 0.0, "latency_max_secs": 0.0,
+        "by_path": {},
+    }
+
+    def cache_get(key):
+        with lock:
+            body = cache.get(key)
+            if body is not None:
+                cache.move_to_end(key)
+            return body
+
+    def cache_put(key, body: bytes) -> None:
+        with lock:
+            cache[key] = body
+            cache.move_to_end(key)
+            while len(cache) > cache_size:
+                cache.popitem(last=False)
+
     class Handler(BaseHTTPRequestHandler):
+        _cache_key = None
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
         def _json(self, obj, code: int = 200) -> None:
             body = json.dumps(obj).encode()
+            if code == 200 and self._cache_key is not None:
+                cache_put(self._cache_key, body)
+            self._send(body, code,
+                       "MISS" if self._cache_key is not None else None)
+
+        def _send(self, body: bytes, code: int, xcache: str | None) -> None:
+            with lock:
+                metrics["requests_total"] += 1
+                if 400 <= code < 500:
+                    metrics["errors_4xx"] += 1
+                elif code >= 500:
+                    metrics["errors_5xx"] += 1
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if xcache is not None:
+                self.send_header("X-Cache", xcache)
             self.end_headers()
             self.wfile.write(body)
 
         def do_GET(self) -> None:  # noqa: N802 (stdlib API)
+            t0 = time.perf_counter()
             url = urlparse(self.path)
             q = parse_qs(url.query)
+            self._cache_key = None
             try:
-                if url.path == "/health":
-                    self._json({"status": "ok"})
-                elif url.path == "/api/v1/version":
-                    self._json(api.version())
-                elif url.path == "/api/v1/address/term":
-                    size, from_ = _page(q, default_size=100)
-                    match = q.get("match", ["and"])[0]
-                    sort_by = _sort_from_query(q)
-                    exclude = q.get("exclude", [None])[0]
-                    if exclude is not None:
-                        if len(exclude) > MAX_TERM_LEN:
-                            raise BadRequest(
-                                f"exclude longer than {MAX_TERM_LEN} chars"
-                            )
-                        if match not in ("and", "or"):
-                            raise BadRequest(
-                                "exclude= supports match=and|or only"
-                            )
-                    after = _after_from_query(q)
-                    if after is not None:
-                        if match != "and":
-                            raise BadRequest(
-                                "search_after= supports match=and only"
-                            )
-                        if from_ > 0:
-                            raise BadRequest(
-                                "search_after= is incompatible with from="
-                            )
-                        if sort_by:
-                            raise BadRequest(
-                                "search_after= is incompatible with sort="
-                            )
-                    # serving fast path: pandas straight to JSON — no
-                    # Spark materialization round trip per request
-                    if match == "phrase":
-                        if sort_by:
-                            raise BadRequest(
-                                "match=phrase does not support sort="
-                            )
-                        try:
-                            slop = int(q.get("slop", ["0"])[0])
-                        except ValueError as e:
-                            raise BadRequest("slop must be an integer") \
-                                from e
-                        if not 0 <= slop <= MAX_SLOP:
-                            raise BadRequest(
-                                f"slop must be in [0, {MAX_SLOP}]"
-                            )
-                        pdf = api.search_phrase(
-                            _term(q), size=size, from_=from_,
-                            filters=_filters_from_query(q), as_pandas=True,
-                            slop=slop,
+                if (
+                    cache_size > 0
+                    and url.path.startswith("/api/v1/")
+                    and url.path not in ("/api/v1/version",)
+                ):
+                    # token first: a request racing a delta import must
+                    # key on the state it will actually be served from
+                    self._cache_key = (
+                        self.path, api.engine.query_state_token()
+                    )
+                    hit = cache_get(self._cache_key)
+                    if hit is not None:
+                        with lock:
+                            metrics["cache_hits"] += 1
+                        self._send(hit, 200, "HIT")
+                        self._finish_metrics(url.path, t0)
+                        return
+                    with lock:
+                        metrics["cache_misses"] += 1
+                self._route(url, q)
+            except BadRequest as exc:
+                self._cache_key = None
+                self._json({"error": str(exc)}, code=400)
+            except Exception as exc:  # fail-fast surface, like bulk errors
+                self._cache_key = None
+                self._json({"error": str(exc)}, code=500)
+            self._finish_metrics(url.path, t0)
+
+        def _finish_metrics(self, path: str, t0: float) -> None:
+            dt = time.perf_counter() - t0
+            with lock:
+                metrics["latency_sum_secs"] += dt
+                metrics["latency_max_secs"] = max(
+                    metrics["latency_max_secs"], dt
+                )
+                metrics["by_path"][path] = metrics["by_path"].get(path, 0) + 1
+
+        def _route(self, url, q) -> None:
+            if url.path == "/health":
+                self._cache_key = None
+                self._json({"status": "ok"})
+            elif url.path == "/api/v1/version":
+                self._json(api.version())
+            elif url.path == "/api/v1/address/term":
+                size, from_ = _page(q, default_size=100)
+                match = q.get("match", ["and"])[0]
+                sort_by = _sort_from_query(q)
+                exclude = q.get("exclude", [None])[0]
+                if exclude is not None:
+                    if len(exclude) > MAX_TERM_LEN:
+                        raise BadRequest(
+                            f"exclude longer than {MAX_TERM_LEN} chars"
                         )
-                    elif match == "fuzzy":
-                        if sort_by:
-                            raise BadRequest(
-                                "match=fuzzy does not support sort="
-                            )
-                        try:
-                            pdf = api.search_fuzzy(
-                                _term(q), size=size, from_=from_,
-                                filters=_filters_from_query(q),
-                                as_pandas=True,
-                            )
-                        except ValueError as exc:  # multi-token term
-                            raise BadRequest(str(exc)) from exc
-                    elif match == "wildcard":
-                        if sort_by:
-                            raise BadRequest(
-                                "match=wildcard does not support sort="
-                            )
-                        pdf = api.search_wildcard(
-                            _term(q), size=size, from_=from_,
-                            filters=_filters_from_query(q), as_pandas=True,
+                    if match not in ("and", "or"):
+                        raise BadRequest(
+                            "exclude= supports match=and|or only"
                         )
-                    elif match == "regexp":
-                        if sort_by:
-                            raise BadRequest(
-                                "match=regexp does not support sort="
-                            )
-                        try:
-                            pdf = api.search_regexp(
-                                _term(q), size=size, from_=from_,
-                                filters=_filters_from_query(q),
-                                as_pandas=True,
-                            )
-                        except ValueError as exc:  # bad/unportable regex
-                            raise BadRequest(str(exc)) from exc
-                    elif match == "and" and not q.get("boost") and \
-                            "minimum_should_match" not in q:
-                        pdf = api.search_by_term(
+                after = _after_from_query(q)
+                if after is not None:
+                    if match != "and":
+                        raise BadRequest(
+                            "search_after= supports match=and only"
+                        )
+                    if from_ > 0:
+                        raise BadRequest(
+                            "search_after= is incompatible with from="
+                        )
+                    if sort_by:
+                        raise BadRequest(
+                            "search_after= is incompatible with sort="
+                        )
+                # serving fast path: pandas straight to JSON — no
+                # Spark materialization round trip per request
+                if match == "phrase":
+                    if sort_by:
+                        raise BadRequest(
+                            "match=phrase does not support sort="
+                        )
+                    try:
+                        slop = int(q.get("slop", ["0"])[0])
+                    except ValueError as e:
+                        raise BadRequest("slop must be an integer") \
+                            from e
+                    if not 0 <= slop <= MAX_SLOP:
+                        raise BadRequest(
+                            f"slop must be in [0, {MAX_SLOP}]"
+                        )
+                    pdf = api.search_phrase(
+                        _term(q), size=size, from_=from_,
+                        filters=_filters_from_query(q), as_pandas=True,
+                        slop=slop,
+                    )
+                elif match == "fuzzy":
+                    if sort_by:
+                        raise BadRequest(
+                            "match=fuzzy does not support sort="
+                        )
+                    try:
+                        pdf = api.search_fuzzy(
+                            _term(q), size=size, from_=from_,
+                            filters=_filters_from_query(q),
+                            as_pandas=True,
+                        )
+                    except ValueError as exc:  # multi-token term
+                        raise BadRequest(str(exc)) from exc
+                elif match == "wildcard":
+                    if sort_by:
+                        raise BadRequest(
+                            "match=wildcard does not support sort="
+                        )
+                    pdf = api.search_wildcard(
+                        _term(q), size=size, from_=from_,
+                        filters=_filters_from_query(q), as_pandas=True,
+                    )
+                elif match == "regexp":
+                    if sort_by:
+                        raise BadRequest(
+                            "match=regexp does not support sort="
+                        )
+                    try:
+                        pdf = api.search_regexp(
+                            _term(q), size=size, from_=from_,
+                            filters=_filters_from_query(q),
+                            as_pandas=True,
+                        )
+                    except ValueError as exc:  # bad/unportable regex
+                        raise BadRequest(str(exc)) from exc
+                elif match == "and" and not q.get("boost") and \
+                        "minimum_should_match" not in q:
+                    pdf = api.search_by_term(
+                        _term(q),
+                        size=size,
+                        from_=from_,
+                        filters=_filters_from_query(q),
+                        sort_by=sort_by,
+                        as_pandas=True,
+                        must_not=exclude,
+                        after=after,
+                    )
+                elif match in ("and", "or"):
+                    # bool.should surface: minimum_should_match= and
+                    # repeated boost=term:weight clause boosts
+                    if sort_by or after is not None:
+                        raise BadRequest(
+                            "match=or supports neither sort= nor "
+                            "search_after= yet"
+                        )
+                    try:
+                        pdf = api.search_bool(
                             _term(q),
                             size=size,
                             from_=from_,
+                            mode=match,
+                            minimum_should_match=_msm_from_query(q),
+                            boosts=_boosts_from_query(q),
                             filters=_filters_from_query(q),
-                            sort_by=sort_by,
                             as_pandas=True,
                             must_not=exclude,
-                            after=after,
                         )
-                    elif match in ("and", "or"):
-                        # bool.should surface: minimum_should_match= and
-                        # repeated boost=term:weight clause boosts
-                        if sort_by or after is not None:
-                            raise BadRequest(
-                                "match=or supports neither sort= nor "
-                                "search_after= yet"
-                            )
-                        try:
-                            pdf = api.search_bool(
-                                _term(q),
-                                size=size,
-                                from_=from_,
-                                mode=match,
-                                minimum_should_match=_msm_from_query(q),
-                                boosts=_boosts_from_query(q),
-                                filters=_filters_from_query(q),
-                                as_pandas=True,
-                                must_not=exclude,
-                            )
-                        except ValueError as exc:
-                            raise BadRequest(str(exc)) from exc
-                    else:
-                        raise BadRequest(
-                            "match must be one of and|or|phrase|fuzzy|"
-                            "wildcard|regexp"
-                        )
-                    if q.get("highlight", ["false"])[0].lower() in (
-                        "1", "true",
-                    ):
-                        # ES-highlight analogue: one doc-store access for
-                        # this page's ids (fragments column on each item).
-                        # fuzzy/wildcard hits match EXPANDED terms, not the
-                        # literal request term — highlighting the raw term
-                        # would mark nothing on most hits, so reject rather
-                        # than mislead.
-                        if match not in ("and", "phrase"):
-                            raise BadRequest(
-                                "highlight supports match=and|phrase"
-                            )
-                        frags = api.highlight(
-                            _term(q), [int(x) for x in pdf["doc_id"]]
-                        )
-                        pdf = pdf.merge(frags, on="doc_id", how="left")
-                    self._json({"items": _items(pdf)})
-                elif url.path == "/api/v1/search":
-                    # ES URI-search analogue (GET /_search?q=...): the
-                    # query_string syntax over the same clamped paging.
-                    # Filters live INSIDE q (field:value / field:>=n), not
-                    # as separate params — one string is the whole query.
-                    raw = q.get("q", [""])[0]
-                    if not raw:
-                        raise BadRequest("q= is required")
-                    if len(raw) > MAX_TERM_LEN:
-                        raise BadRequest(
-                            f"q longer than {MAX_TERM_LEN} chars"
-                        )
-                    size, from_ = _page(q, default_size=10)
-                    dop = q.get("default_operator", ["or"])[0].lower()
-                    try:
-                        pdf = api.query_string(
-                            raw, size=size, from_=from_,
-                            default_operator=dop,
-                            minimum_should_match=_msm_from_query(q),
-                            as_pandas=True,
-                        )
-                    except (ValueError, NotImplementedError) as exc:
+                    except ValueError as exc:
                         raise BadRequest(str(exc)) from exc
-                    self._json({"items": _items(pdf)})
-                elif url.path == "/api/v1/suggests":
-                    size, _ = _page(q, default_size=10)
-                    pdf = api.suggest(
-                        _term(q),
-                        size=size,
-                        filters=_filters_from_query(q),
+                else:
+                    raise BadRequest(
+                        "match must be one of and|or|phrase|fuzzy|"
+                        "wildcard|regexp"
+                    )
+                if q.get("highlight", ["false"])[0].lower() in (
+                    "1", "true",
+                ):
+                    # ES-highlight analogue: one doc-store access for
+                    # this page's ids (fragments column on each item).
+                    # fuzzy/wildcard hits match EXPANDED terms, not the
+                    # literal request term — highlighting the raw term
+                    # would mark nothing on most hits, so reject rather
+                    # than mislead.
+                    if match not in ("and", "phrase"):
+                        raise BadRequest(
+                            "highlight supports match=and|phrase"
+                        )
+                    frags = api.highlight(
+                        _term(q), [int(x) for x in pdf["doc_id"]]
+                    )
+                    pdf = pdf.merge(frags, on="doc_id", how="left")
+                self._json({"items": _items(pdf)})
+            elif url.path == "/api/v1/search":
+                # ES URI-search analogue (GET /_search?q=...): the
+                # query_string syntax over the same clamped paging.
+                # Filters live INSIDE q (field:value / field:>=n), not
+                # as separate params — one string is the whole query.
+                raw = q.get("q", [""])[0]
+                if not raw:
+                    raise BadRequest("q= is required")
+                if len(raw) > MAX_TERM_LEN:
+                    raise BadRequest(
+                        f"q longer than {MAX_TERM_LEN} chars"
+                    )
+                size, from_ = _page(q, default_size=10)
+                dop = q.get("default_operator", ["or"])[0].lower()
+                try:
+                    pdf = api.query_string(
+                        raw, size=size, from_=from_,
+                        default_operator=dop,
+                        minimum_should_match=_msm_from_query(q),
                         as_pandas=True,
                     )
-                    self._json({"items": _items(pdf)})
-                elif url.path == "/api/v1/address/guid":
-                    key = {
-                        k: q[k][0]
-                        for k in ("repo", "path", "commit")
-                        if k in q
-                    }
-                    df = api.get_doc(**key).drop("content")
-                    self._json({"items": _rows(df)})
-                elif url.path == "/api/v1/facets":
-                    field = q.get("field", [""])[0]
-                    if not field:
-                        raise BadRequest("field= is required")
-                    size, _ = _page(q, default_size=10)
-                    mode = q.get("match", ["and"])[0]
-                    if mode not in ("and", "or"):
-                        raise BadRequest("match must be and|or")
-                    try:
-                        pdf = api.facets(
-                            field,
-                            _term(q) or None,
-                            mode=mode,
-                            filters=_filters_from_query(q),
-                            size=size,
-                        )
-                    except ValueError as exc:  # unknown field
-                        raise BadRequest(str(exc)) from exc
-                    self._json({"buckets": _items(pdf)})
-                elif url.path == "/api/v1/terms_stats":
-                    group = q.get("group", [""])[0]
-                    metric = q.get("metric", [""])[0]
-                    if not group or not metric:
-                        raise BadRequest("group= and metric= are required")
-                    size, _ = _page(q, default_size=10)
-                    mode = q.get("match", ["and"])[0]
-                    if mode not in ("and", "or"):
-                        raise BadRequest("match must be and|or")
-                    try:
-                        pdf = api.terms_stats(
-                            group, metric, _term(q) or None, mode=mode,
-                            filters=_filters_from_query(q), size=size,
-                        )
-                    except ValueError as exc:
-                        raise BadRequest(str(exc)) from exc
-                    self._json({"buckets": _items(pdf)})
-                elif url.path == "/api/v1/composite":
-                    field = q.get("field", [""])[0]
-                    if not field:
-                        raise BadRequest("field= is required")
-                    size, _ = _page(q, default_size=10)
-                    mode = q.get("match", ["and"])[0]
-                    if mode not in ("and", "or"):
-                        raise BadRequest("match must be and|or")
-                    after = q.get("after", [None])[0]
-                    if after is not None:
-                        # numeric group fields page with numeric cursors
-                        after = _coerce(field, after)
-                    try:
-                        pdf = api.composite_agg(
-                            field, size=size, after=after,
-                            term=_term(q) or None, mode=mode,
-                            filters=_filters_from_query(q),
-                        )
-                    except ValueError as exc:
-                        raise BadRequest(str(exc)) from exc
-                    after_key = (
-                        pdf[field].iloc[-1] if len(pdf) else None
+                except (ValueError, NotImplementedError) as exc:
+                    raise BadRequest(str(exc)) from exc
+                self._json({"items": _items(pdf)})
+            elif url.path == "/api/v1/suggests":
+                size, _ = _page(q, default_size=10)
+                pdf = api.suggest(
+                    _term(q),
+                    size=size,
+                    filters=_filters_from_query(q),
+                    as_pandas=True,
+                )
+                self._json({"items": _items(pdf)})
+            elif url.path == "/api/v1/address/guid":
+                key = {
+                    k: q[k][0]
+                    for k in ("repo", "path", "commit")
+                    if k in q
+                }
+                df = api.get_doc(**key).drop("content")
+                self._json({"items": _rows(df)})
+            elif url.path == "/api/v1/facets":
+                field = q.get("field", [""])[0]
+                if not field:
+                    raise BadRequest("field= is required")
+                size, _ = _page(q, default_size=10)
+                mode = q.get("match", ["and"])[0]
+                if mode not in ("and", "or"):
+                    raise BadRequest("match must be and|or")
+                try:
+                    pdf = api.facets(
+                        field,
+                        _term(q) or None,
+                        mode=mode,
+                        filters=_filters_from_query(q),
+                        size=size,
                     )
-                    if hasattr(after_key, "item"):
-                        after_key = after_key.item()
-                    self._json(
-                        {"buckets": _items(pdf), "after_key": after_key}
+                except ValueError as exc:  # unknown field
+                    raise BadRequest(str(exc)) from exc
+                self._json({"buckets": _items(pdf)})
+            elif url.path == "/api/v1/terms_stats":
+                group = q.get("group", [""])[0]
+                metric = q.get("metric", [""])[0]
+                if not group or not metric:
+                    raise BadRequest("group= and metric= are required")
+                size, _ = _page(q, default_size=10)
+                mode = q.get("match", ["and"])[0]
+                if mode not in ("and", "or"):
+                    raise BadRequest("match must be and|or")
+                try:
+                    pdf = api.terms_stats(
+                        group, metric, _term(q) or None, mode=mode,
+                        filters=_filters_from_query(q), size=size,
                     )
-                elif url.path == "/api/v1/suggest_terms":
-                    size, _ = _page(q, default_size=5)
-                    try:
-                        pdf = api.suggest_terms(_term(q), size=size)
-                    except ValueError as exc:
-                        raise BadRequest(str(exc)) from exc
-                    self._json({"suggestions": _items(pdf)})
-                elif url.path == "/api/v1/complete":
-                    prefix = q.get("prefix", [""])[0]
-                    if len(prefix) > MAX_TERM_LEN:
-                        raise BadRequest(
-                            f"prefix longer than {MAX_TERM_LEN} chars"
-                        )
-                    size, _ = _page(q, default_size=5)
-                    try:
-                        pdf = api.complete_prefix(prefix, size=size)
-                    except ValueError as exc:
-                        raise BadRequest(str(exc)) from exc
-                    self._json({"suggestions": _items(pdf)})
-                elif url.path == "/api/v1/histogram":
-                    field = q.get("field", [""])[0]
-                    if not field:
-                        raise BadRequest("field= is required")
-                    try:
-                        interval = float(q.get("interval", [""])[0])
-                    except ValueError:
-                        raise BadRequest(
-                            "interval= is required and numeric"
-                        ) from None
-                    mode = q.get("match", ["and"])[0]
-                    if mode not in ("and", "or"):
-                        raise BadRequest("match must be and|or")
-                    try:
-                        pdf = api.histogram(
-                            field,
-                            interval,
-                            _term(q) or None,
-                            mode=mode,
-                            filters=_filters_from_query(q),
-                        )
-                    except ValueError as exc:  # unknown field / bad interval
-                        raise BadRequest(str(exc)) from exc
-                    self._json({"buckets": _items(pdf)})
-                elif url.path == "/api/v1/cardinality":
-                    field = q.get("field", [""])[0]
-                    if not field:
-                        raise BadRequest("field= is required")
-                    mode = q.get("match", ["and"])[0]
-                    if mode not in ("and", "or"):
-                        raise BadRequest("match must be and|or")
-                    exact = q.get("exact", ["true"])[0].lower() not in (
-                        "0", "false",
-                    )
-                    try:
-                        n = api.cardinality(
-                            field, _term(q) or None, mode=mode,
-                            filters=_filters_from_query(q), exact=exact,
-                        )
-                    except ValueError as exc:
-                        raise BadRequest(str(exc)) from exc
-                    self._json({"cardinality": n})
-                elif url.path == "/api/v1/percentiles":
-                    field = q.get("field", [""])[0]
-                    if not field:
-                        raise BadRequest("field= is required")
-                    mode = q.get("match", ["and"])[0]
-                    if mode not in ("and", "or"):
-                        raise BadRequest("match must be and|or")
-                    try:
-                        ps = tuple(
-                            float(p)
-                            for p in q.get("ps", ["25,50,75,95,99"])[0]
-                            .split(",")
-                        )
-                    except ValueError:
-                        raise BadRequest("ps= must be comma-separated "
-                                         "numbers") from None
-                    try:
-                        vals = api.percentiles(
-                            field, ps, _term(q) or None, mode=mode,
-                            filters=_filters_from_query(q),
-                        )
-                    except ValueError as exc:
-                        raise BadRequest(str(exc)) from exc
-                    self._json({"values": {str(p): v
-                                           for p, v in vals.items()}})
-                elif url.path == "/api/v1/range":
-                    field = q.get("field", [""])[0]
-                    if not field:
-                        raise BadRequest("field= is required")
-                    mode = q.get("match", ["and"])[0]
-                    if mode not in ("and", "or"):
-                        raise BadRequest("match must be and|or")
-                    ranges = []
-                    for raw in q.get("ranges", [""])[0].split(";"):
-                        if not raw:
-                            continue
-                        lo, sep, hi = raw.partition("-")
-                        if not sep:
-                            raise BadRequest("ranges= must be "
-                                             "lo-hi;lo-hi (* = open)")
-                        try:
-                            ranges.append((
-                                None if lo == "*" else float(lo),
-                                None if hi == "*" else float(hi),
-                            ))
-                        except ValueError:
-                            raise BadRequest(
-                                f"bad range bound in {raw!r}"
-                            ) from None
-                    try:
-                        pdf = api.range_agg(
-                            field, ranges, _term(q) or None, mode=mode,
-                            filters=_filters_from_query(q),
-                        )
-                    except ValueError as exc:
-                        raise BadRequest(str(exc)) from exc
-                    self._json({"buckets": _items(pdf)})
-                elif url.path == "/api/v1/top_hits":
-                    field = q.get("field", [""])[0]
-                    if not field:
-                        raise BadRequest("field= is required")
-                    if not _term(q):
-                        raise BadRequest("term= is required")
-                    mode = q.get("match", ["and"])[0]
-                    if mode not in ("and", "or"):
-                        raise BadRequest("match must be and|or")
-                    try:
-                        kpg = int(q.get("k", ["3"])[0])
-                        ngroups = int(q.get("groups", ["10"])[0])
-                    except ValueError:
-                        raise BadRequest(
-                            "k= and groups= must be integers"
-                        ) from None
-                    if not (1 <= kpg <= 100 and 1 <= ngroups <= 1000):
-                        raise BadRequest(
-                            "k must be in [1,100], groups in [1,1000]"
-                        )
-                    try:
-                        pdf = api.top_hits(
-                            field, _term(q), kpg, groups=ngroups,
-                            mode=mode, filters=_filters_from_query(q),
-                        )
-                    except ValueError as exc:
-                        raise BadRequest(str(exc)) from exc
-                    self._json({"hits": _items(pdf)})
-                elif url.path in ("/api/v1/explain", "/api/v1/termvectors"):
-                    try:
-                        src = int(q.get("doc_id", [""])[0])
-                    except ValueError:
-                        raise BadRequest(
-                            "doc_id= is required and integer"
-                        ) from None
-                    if url.path.endswith("explain"):
-                        if not _term(q):
-                            raise BadRequest("term= is required")
-                        self._json(api.engine.explain_doc(_term(q), src))
-                    else:
-                        tv = api.engine.termvectors(src)
-                        self._json({"terms": _items(tv)})
-                elif url.path == "/api/v1/significant_terms":
-                    if not _term(q):
-                        raise BadRequest("term= is required")
-                    size, _ = _page(q, default_size=10)
-                    mode = q.get("match", ["and"])[0]
-                    if mode not in ("and", "or"):
-                        raise BadRequest("match must be and|or")
-                    pdf = api.significant_terms(
-                        _term(q), size=size, mode=mode,
+                except ValueError as exc:
+                    raise BadRequest(str(exc)) from exc
+                self._json({"buckets": _items(pdf)})
+            elif url.path == "/api/v1/composite":
+                field = q.get("field", [""])[0]
+                if not field:
+                    raise BadRequest("field= is required")
+                size, _ = _page(q, default_size=10)
+                mode = q.get("match", ["and"])[0]
+                if mode not in ("and", "or"):
+                    raise BadRequest("match must be and|or")
+                after = q.get("after", [None])[0]
+                if after is not None:
+                    # numeric group fields page with numeric cursors
+                    after = _coerce(field, after)
+                try:
+                    pdf = api.composite_agg(
+                        field, size=size, after=after,
+                        term=_term(q) or None, mode=mode,
                         filters=_filters_from_query(q),
                     )
-                    self._json({"buckets": _items(pdf)})
-                elif url.path == "/api/v1/more_like_this":
+                except ValueError as exc:
+                    raise BadRequest(str(exc)) from exc
+                after_key = (
+                    pdf[field].iloc[-1] if len(pdf) else None
+                )
+                if hasattr(after_key, "item"):
+                    after_key = after_key.item()
+                self._json(
+                    {"buckets": _items(pdf), "after_key": after_key}
+                )
+            elif url.path == "/api/v1/suggest_terms":
+                size, _ = _page(q, default_size=5)
+                try:
+                    pdf = api.suggest_terms(_term(q), size=size)
+                except ValueError as exc:
+                    raise BadRequest(str(exc)) from exc
+                self._json({"suggestions": _items(pdf)})
+            elif url.path == "/api/v1/complete":
+                prefix = q.get("prefix", [""])[0]
+                if len(prefix) > MAX_TERM_LEN:
+                    raise BadRequest(
+                        f"prefix longer than {MAX_TERM_LEN} chars"
+                    )
+                size, _ = _page(q, default_size=5)
+                try:
+                    pdf = api.complete_prefix(prefix, size=size)
+                except ValueError as exc:
+                    raise BadRequest(str(exc)) from exc
+                self._json({"suggestions": _items(pdf)})
+            elif url.path == "/api/v1/histogram":
+                field = q.get("field", [""])[0]
+                if not field:
+                    raise BadRequest("field= is required")
+                try:
+                    interval = float(q.get("interval", [""])[0])
+                except ValueError:
+                    raise BadRequest(
+                        "interval= is required and numeric"
+                    ) from None
+                mode = q.get("match", ["and"])[0]
+                if mode not in ("and", "or"):
+                    raise BadRequest("match must be and|or")
+                try:
+                    pdf = api.histogram(
+                        field,
+                        interval,
+                        _term(q) or None,
+                        mode=mode,
+                        filters=_filters_from_query(q),
+                    )
+                except ValueError as exc:  # unknown field / bad interval
+                    raise BadRequest(str(exc)) from exc
+                self._json({"buckets": _items(pdf)})
+            elif url.path == "/api/v1/cardinality":
+                field = q.get("field", [""])[0]
+                if not field:
+                    raise BadRequest("field= is required")
+                mode = q.get("match", ["and"])[0]
+                if mode not in ("and", "or"):
+                    raise BadRequest("match must be and|or")
+                exact = q.get("exact", ["true"])[0].lower() not in (
+                    "0", "false",
+                )
+                try:
+                    n = api.cardinality(
+                        field, _term(q) or None, mode=mode,
+                        filters=_filters_from_query(q), exact=exact,
+                    )
+                except ValueError as exc:
+                    raise BadRequest(str(exc)) from exc
+                self._json({"cardinality": n})
+            elif url.path == "/api/v1/percentiles":
+                field = q.get("field", [""])[0]
+                if not field:
+                    raise BadRequest("field= is required")
+                mode = q.get("match", ["and"])[0]
+                if mode not in ("and", "or"):
+                    raise BadRequest("match must be and|or")
+                try:
+                    ps = tuple(
+                        float(p)
+                        for p in q.get("ps", ["25,50,75,95,99"])[0]
+                        .split(",")
+                    )
+                except ValueError:
+                    raise BadRequest("ps= must be comma-separated "
+                                     "numbers") from None
+                try:
+                    vals = api.percentiles(
+                        field, ps, _term(q) or None, mode=mode,
+                        filters=_filters_from_query(q),
+                    )
+                except ValueError as exc:
+                    raise BadRequest(str(exc)) from exc
+                self._json({"values": {str(p): v
+                                       for p, v in vals.items()}})
+            elif url.path == "/api/v1/range":
+                field = q.get("field", [""])[0]
+                if not field:
+                    raise BadRequest("field= is required")
+                mode = q.get("match", ["and"])[0]
+                if mode not in ("and", "or"):
+                    raise BadRequest("match must be and|or")
+                ranges = []
+                for raw in q.get("ranges", [""])[0].split(";"):
+                    if not raw:
+                        continue
+                    lo, sep, hi = raw.partition("-")
+                    if not sep:
+                        raise BadRequest("ranges= must be "
+                                         "lo-hi;lo-hi (* = open)")
                     try:
-                        src = int(q.get("doc_id", [""])[0])
+                        ranges.append((
+                            None if lo == "*" else float(lo),
+                            None if hi == "*" else float(hi),
+                        ))
                     except ValueError:
                         raise BadRequest(
-                            "doc_id= is required and integer"
+                            f"bad range bound in {raw!r}"
                         ) from None
-                    size, _ = _page(q, default_size=10)
-                    pdf = api.more_like_this(
-                        src, size=size,
+                try:
+                    pdf = api.range_agg(
+                        field, ranges, _term(q) or None, mode=mode,
+                        filters=_filters_from_query(q),
+                    )
+                except ValueError as exc:
+                    raise BadRequest(str(exc)) from exc
+                self._json({"buckets": _items(pdf)})
+            elif url.path == "/api/v1/top_hits":
+                field = q.get("field", [""])[0]
+                if not field:
+                    raise BadRequest("field= is required")
+                if not _term(q):
+                    raise BadRequest("term= is required")
+                mode = q.get("match", ["and"])[0]
+                if mode not in ("and", "or"):
+                    raise BadRequest("match must be and|or")
+                try:
+                    kpg = int(q.get("k", ["3"])[0])
+                    ngroups = int(q.get("groups", ["10"])[0])
+                except ValueError:
+                    raise BadRequest(
+                        "k= and groups= must be integers"
+                    ) from None
+                if not (1 <= kpg <= 100 and 1 <= ngroups <= 1000):
+                    raise BadRequest(
+                        "k must be in [1,100], groups in [1,1000]"
+                    )
+                try:
+                    pdf = api.top_hits(
+                        field, _term(q), kpg, groups=ngroups,
+                        mode=mode, filters=_filters_from_query(q),
+                    )
+                except ValueError as exc:
+                    raise BadRequest(str(exc)) from exc
+                self._json({"hits": _items(pdf)})
+            elif url.path in ("/api/v1/explain", "/api/v1/termvectors"):
+                try:
+                    src = int(q.get("doc_id", [""])[0])
+                except ValueError:
+                    raise BadRequest(
+                        "doc_id= is required and integer"
+                    ) from None
+                if url.path.endswith("explain"):
+                    if not _term(q):
+                        raise BadRequest("term= is required")
+                    self._json(api.engine.explain_doc(_term(q), src))
+                else:
+                    tv = api.engine.termvectors(src)
+                    self._json({"terms": _items(tv)})
+            elif url.path == "/api/v1/significant_terms":
+                if not _term(q):
+                    raise BadRequest("term= is required")
+                size, _ = _page(q, default_size=10)
+                mode = q.get("match", ["and"])[0]
+                if mode not in ("and", "or"):
+                    raise BadRequest("match must be and|or")
+                pdf = api.significant_terms(
+                    _term(q), size=size, mode=mode,
+                    filters=_filters_from_query(q),
+                )
+                self._json({"buckets": _items(pdf)})
+            elif url.path == "/api/v1/more_like_this":
+                try:
+                    src = int(q.get("doc_id", [""])[0])
+                except ValueError:
+                    raise BadRequest(
+                        "doc_id= is required and integer"
+                    ) from None
+                size, _ = _page(q, default_size=10)
+                pdf = api.more_like_this(
+                    src, size=size,
+                    filters=_filters_from_query(q), as_pandas=True,
+                )
+                self._json({"items": _items(pdf)})
+            elif url.path == "/api/v1/rescore":
+                if not _term(q):
+                    raise BadRequest("term= is required")
+                rq = q.get("rescore", [""])[0]
+                if not rq:
+                    raise BadRequest("rescore= is required")
+                if len(rq) > MAX_TERM_LEN:
+                    raise BadRequest(
+                        f"rescore longer than {MAX_TERM_LEN} chars"
+                    )
+                size, _ = _page(q, default_size=10)
+                mode = q.get("match", ["and"])[0]
+                if mode not in ("and", "or"):
+                    raise BadRequest("match must be and|or")
+                try:
+                    window = int(q.get("window", ["50"])[0])
+                    qw = float(q.get("query_weight", ["1.0"])[0])
+                    rw = float(q.get("rescore_weight", ["1.0"])[0])
+                    slop = int(q.get("slop", ["0"])[0])
+                except ValueError:
+                    raise BadRequest(
+                        "window/slop must be integers, weights floats"
+                    ) from None
+                if not 1 <= window <= MAX_SIZE:
+                    raise BadRequest(
+                        f"window must be in [1, {MAX_SIZE}]"
+                    )
+                if not 0 <= slop <= MAX_SLOP:
+                    raise BadRequest(f"slop must be in [0, {MAX_SLOP}]")
+                try:
+                    pdf = api.rescore(
+                        _term(q), rq, size=size, window_size=window,
+                        query_weight=qw, rescore_weight=rw, mode=mode,
+                        slop=slop, as_pandas=True,
+                    )
+                except ValueError as exc:  # window < size etc.
+                    raise BadRequest(str(exc)) from exc
+                self._json({"items": _items(pdf)})
+            elif url.path == "/api/v1/function_score":
+                if not _term(q):
+                    raise BadRequest("term= is required")
+                size, _ = _page(q, default_size=10)
+                mode = q.get("match", ["and"])[0]
+                if mode not in ("and", "or"):
+                    raise BadRequest("match must be and|or")
+                field = q.get("field", ["doclen"])[0]
+                modifier = q.get("modifier", ["log1p"])[0]
+                boost_mode = q.get("boost_mode", ["multiply"])[0]
+                try:
+                    factor = float(q.get("factor", ["1.0"])[0])
+                except ValueError:
+                    raise BadRequest("factor must be a float") from None
+                try:
+                    pdf = api.function_score(
+                        _term(q), size=size, field=field,
+                        modifier=modifier, factor=factor,
+                        boost_mode=boost_mode, mode=mode,
                         filters=_filters_from_query(q), as_pandas=True,
                     )
-                    self._json({"items": _items(pdf)})
-                elif url.path == "/api/v1/rescore":
-                    if not _term(q):
-                        raise BadRequest("term= is required")
-                    rq = q.get("rescore", [""])[0]
-                    if not rq:
-                        raise BadRequest("rescore= is required")
-                    if len(rq) > MAX_TERM_LEN:
-                        raise BadRequest(
-                            f"rescore longer than {MAX_TERM_LEN} chars"
-                        )
-                    size, _ = _page(q, default_size=10)
-                    mode = q.get("match", ["and"])[0]
-                    if mode not in ("and", "or"):
-                        raise BadRequest("match must be and|or")
-                    try:
-                        window = int(q.get("window", ["50"])[0])
-                        qw = float(q.get("query_weight", ["1.0"])[0])
-                        rw = float(q.get("rescore_weight", ["1.0"])[0])
-                        slop = int(q.get("slop", ["0"])[0])
-                    except ValueError:
-                        raise BadRequest(
-                            "window/slop must be integers, weights floats"
-                        ) from None
-                    if not 1 <= window <= MAX_SIZE:
-                        raise BadRequest(
-                            f"window must be in [1, {MAX_SIZE}]"
-                        )
-                    if not 0 <= slop <= MAX_SLOP:
-                        raise BadRequest(f"slop must be in [0, {MAX_SLOP}]")
-                    try:
-                        pdf = api.rescore(
-                            _term(q), rq, size=size, window_size=window,
-                            query_weight=qw, rescore_weight=rw, mode=mode,
-                            slop=slop, as_pandas=True,
-                        )
-                    except ValueError as exc:  # window < size etc.
-                        raise BadRequest(str(exc)) from exc
-                    self._json({"items": _items(pdf)})
-                elif url.path == "/api/v1/function_score":
-                    if not _term(q):
-                        raise BadRequest("term= is required")
-                    size, _ = _page(q, default_size=10)
-                    mode = q.get("match", ["and"])[0]
-                    if mode not in ("and", "or"):
-                        raise BadRequest("match must be and|or")
-                    field = q.get("field", ["doclen"])[0]
-                    modifier = q.get("modifier", ["log1p"])[0]
-                    boost_mode = q.get("boost_mode", ["multiply"])[0]
-                    try:
-                        factor = float(q.get("factor", ["1.0"])[0])
-                    except ValueError:
-                        raise BadRequest("factor must be a float") from None
-                    try:
-                        pdf = api.function_score(
-                            _term(q), size=size, field=field,
-                            modifier=modifier, factor=factor,
-                            boost_mode=boost_mode, mode=mode,
-                            filters=_filters_from_query(q), as_pandas=True,
-                        )
-                    except ValueError as exc:  # bad modifier/field/mode
-                        raise BadRequest(str(exc)) from exc
-                    self._json({"items": _items(pdf)})
-                elif url.path == "/api/v1/collapse":
-                    field = q.get("field", [""])[0]
-                    if not field:
-                        raise BadRequest("field= is required")
-                    if not _term(q):
-                        raise BadRequest("term= is required")
-                    size, _ = _page(q, default_size=10)
-                    mode = q.get("match", ["and"])[0]
-                    if mode not in ("and", "or"):
-                        raise BadRequest("match must be and|or")
-                    try:
-                        pdf = api.collapse(
-                            field, _term(q), size=size, mode=mode,
-                            filters=_filters_from_query(q),
-                        )
-                    except ValueError as exc:  # unknown field
-                        raise BadRequest(str(exc)) from exc
-                    self._json({"hits": _items(pdf)})
-                elif url.path == "/api/v1/field_stats":
-                    field = q.get("field", [""])[0]
-                    if not field:
-                        raise BadRequest("field= is required")
-                    mode = q.get("match", ["and"])[0]
-                    if mode not in ("and", "or"):
-                        raise BadRequest("match must be and|or")
-                    try:
-                        st = api.field_stats(
-                            field,
-                            _term(q) or None,
-                            mode=mode,
-                            filters=_filters_from_query(q),
-                        )
-                    except ValueError as exc:  # unknown / non-numeric field
-                        raise BadRequest(str(exc)) from exc
-                    self._json({"stats": st})
-                elif url.path == "/api/v1/count":
-                    exclude = q.get("exclude", [None])[0]
-                    if exclude is not None and not _term(q):
-                        raise BadRequest("exclude= requires term=")
-                    n = api.count(
-                        _term(q) or None,
+                except ValueError as exc:  # bad modifier/field/mode
+                    raise BadRequest(str(exc)) from exc
+                self._json({"items": _items(pdf)})
+            elif url.path == "/api/v1/collapse":
+                field = q.get("field", [""])[0]
+                if not field:
+                    raise BadRequest("field= is required")
+                if not _term(q):
+                    raise BadRequest("term= is required")
+                size, _ = _page(q, default_size=10)
+                mode = q.get("match", ["and"])[0]
+                if mode not in ("and", "or"):
+                    raise BadRequest("match must be and|or")
+                try:
+                    pdf = api.collapse(
+                        field, _term(q), size=size, mode=mode,
                         filters=_filters_from_query(q),
-                        must_not=exclude,
                     )
-                    self._json({"count": n})
-                else:
-                    self._json({"error": "not found"}, code=404)
-            except BadRequest as exc:
-                self._json({"error": str(exc)}, code=400)
-            except Exception as exc:  # fail-fast surface, like bulk errors
-                self._json({"error": str(exc)}, code=500)
+                except ValueError as exc:  # unknown field
+                    raise BadRequest(str(exc)) from exc
+                self._json({"hits": _items(pdf)})
+            elif url.path == "/api/v1/field_stats":
+                field = q.get("field", [""])[0]
+                if not field:
+                    raise BadRequest("field= is required")
+                mode = q.get("match", ["and"])[0]
+                if mode not in ("and", "or"):
+                    raise BadRequest("match must be and|or")
+                try:
+                    st = api.field_stats(
+                        field,
+                        _term(q) or None,
+                        mode=mode,
+                        filters=_filters_from_query(q),
+                    )
+                except ValueError as exc:  # unknown / non-numeric field
+                    raise BadRequest(str(exc)) from exc
+                self._json({"stats": st})
+            elif url.path == "/api/v1/count":
+                exclude = q.get("exclude", [None])[0]
+                if exclude is not None and not _term(q):
+                    raise BadRequest("exclude= requires term=")
+                n = api.count(
+                    _term(q) or None,
+                    filters=_filters_from_query(q),
+                    must_not=exclude,
+                )
+                self._json({"count": n})
+            elif url.path == "/metrics":
+                with lock:
+                    snap = dict(metrics, by_path=dict(metrics["by_path"]),
+                                cache_entries=len(cache))
+                n = max(snap["requests_total"], 1)
+                snap["latency_avg_secs"] = round(
+                    snap["latency_sum_secs"] / n, 6
+                )
+                self._cache_key = None
+                self._json(snap)
+            else:
+                self._cache_key = None
+                self._json({"error": "not found"}, code=404)
 
     return Handler
 
 
-def serve(api: FulltextAPI, host: str = "127.0.0.1", port: int = 8080):
+def serve(api: FulltextAPI, host: str = "127.0.0.1", port: int = 8080,
+          cache_size: int = 256):
     """Start the gateway; returns (server, thread). Call
-    ``server.shutdown()`` to stop."""
-    server = ThreadingHTTPServer((host, port), make_handler(api))
+    ``server.shutdown()`` to stop. ``cache_size`` sizes the response LRU
+    (0 disables; entries are keyed by URL + index state token, so delta
+    imports invalidate implicitly)."""
+    server = ThreadingHTTPServer((host, port), make_handler(api, cache_size))
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server, thread

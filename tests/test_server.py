@@ -773,3 +773,55 @@ def test_regexp_route_and_exists_filter(gateway):
     assert _get_status(
         base, "/api/v1/address/term?term=x&lang.exists=maybe"
     ) == 400
+
+
+def _get_with_headers(base, path):
+    with urllib.request.urlopen(base + path, timeout=60) as r:
+        return r.status, json.loads(r.read()), dict(r.headers)
+
+
+def test_response_cache_and_metrics(spark, tmp_path):
+    """ES request-cache analogue: repeated identical requests serve from
+    the LRU (X-Cache MISS -> HIT, identical bodies); a delta import
+    rotates the engine's query_state_token so the next request re-misses
+    and reflects the new state. /metrics reports the counters."""
+    from gofias_spark.index.merge import apply_delta
+
+    root = str(tmp_path / "cidx")
+    docs = synth_corpus(spark, 60)
+    build_segment(spark, docs, root, CFG)
+    api = FulltextAPI(spark, root)
+    api.engine.warm()
+    server, _ = serve(api, port=0, cache_size=64)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        p = "/api/v1/address/term?term=common_util&size=5"
+        s1, b1, h1 = _get_with_headers(base, p)
+        s2, b2, h2 = _get_with_headers(base, p)
+        assert (s1, s2) == (200, 200)
+        assert h1.get("X-Cache") == "MISS" and h2.get("X-Cache") == "HIT"
+        assert b1 == b2
+        # errors are not cached
+        st = _get_status(base, "/api/v1/address/term?term=x&size=1e9")
+        assert st == 400
+
+        # delta import -> token rotates -> MISS with the new result
+        victim = b1["items"][0]
+        deletes = spark.createDataFrame(
+            [(victim["repo"], victim["path"])], "repo string, path string"
+        )
+        apply_delta(spark, root, deletes=deletes)
+        api._reopen()
+        s3, b3, h3 = _get_with_headers(base, p)
+        assert s3 == 200 and h3.get("X-Cache") == "MISS"
+        assert victim["doc_id"] not in [i["doc_id"] for i in b3["items"]]
+
+        status, m = _get(base, "/metrics")
+        assert status == 200
+        assert m["cache_hits"] >= 1 and m["cache_misses"] >= 2
+        assert m["requests_total"] >= 4 and m["errors_4xx"] >= 1
+        assert m["by_path"]["/api/v1/address/term"] >= 3
+        assert m["cache_entries"] >= 1
+    finally:
+        server.shutdown()
+        api.close()
