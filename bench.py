@@ -164,6 +164,34 @@ def _run_bench(sf_dir: str, cpus: int, sf: float, run_control) -> None:
         "ft_wildcard_top10",
         lambda: engine.search_wildcard("s?a*", k=10).collect(),
     )
+    # r3c extension timings (ride along in `queries`; the headline core
+    # set is fixed, see below)
+    bench(
+        "ft_rescore_top10",
+        lambda: engine.rescore(
+            "table scan", "table scan", k=10, window_size=30,
+            rescore_weight=2.0,
+        ).collect(),
+    )
+    bench(
+        "ft_function_score_top10",
+        lambda: engine.function_score(
+            "table scan", k=10, field="doclen", modifier="log1p",
+            factor=0.1,
+        ).collect(),
+    )
+    bench(
+        "ft_collapse_top5",
+        lambda: engine.collapse("lang", "table scan", k=5),
+    )
+    from gofias_spark.operators.textstats import repetition_features
+
+    bench(
+        "text_repetition",
+        lambda: repetition_features(docs_raw, text_col="text").count(),
+        repeat=1,
+    )
+
     proot = tempfile.mkdtemp(prefix="gofias_bench_pos_")
     t0 = time.perf_counter()
     build_segment(

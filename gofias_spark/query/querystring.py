@@ -15,7 +15,12 @@ Supported syntax (the useful union of query_string / simple_query_string):
 
     spark join                bare terms (default_operator: or|and)
     +required -excluded       occur prefixes (must / must_not)
-    a AND b, a OR b, NOT c    uppercase connectors (flat, no parens)
+    a AND b, a OR b, NOT c    uppercase connectors
+    (a OR b) AND c            parenthesized groups — a group is ONE nested
+                              bool clause (Lucene grouping): its own
+                              musts/shoulds resolve inside, its combined
+                              score joins the outer bool; groups nest and
+                              take +/-/NOT prefixes and ^boosts
     "exact phrase"            match_phrase clause
     "proximity phrase"~N      match_phrase with slop N (in-order)
     lang:en repo:corpus       attribute match = exact filter (the engine's
@@ -79,11 +84,12 @@ __all__ = ["parse_query_string", "execute_query_string", "Clause",
 
 @dataclass
 class Clause:
-    kind: str            # term | phrase | wildcard | fuzzy
-    text: str            # payload (term(s) / phrase / pattern)
+    kind: str            # term | phrase | wildcard | fuzzy | group
+    text: str            # payload (term(s) / phrase / pattern; "" for group)
     occur: str           # must | should | must_not
     boost: float = 1.0
     slop: int = 0        # phrase clauses only ("..."~N Lucene proximity)
+    group: "ParsedQuery | None" = None   # nested bool (kind == "group")
 
 
 @dataclass
@@ -92,20 +98,79 @@ class ParsedQuery:
     filters: dict | None = None
 
 
-# one token of the query string: a quoted phrase, a field:[a TO b] range,
-# or a bare run — optionally prefixed with +/- and suffixed with ^boost
+# one flat token of the query string: a quoted phrase, a field:[a TO b]
+# range, or a bare run — optionally prefixed with +/- and suffixed with
+# ^boost. Parens are excluded from the bare classes: the scanner handles
+# grouping before this regex ever sees the text.
 _TOKEN_RX = re.compile(
     r"""
     (?P<prefix>[+-]?)
     (?:
         "(?P<phrase>[^"]*)"(?:~(?P<slop>[0-9]+))?
-      | (?P<rfield>[^\s"^:\[]+):\[(?P<range>[^\]]*)\]
-      | (?P<bare>[^\s"^]+)
+      | (?P<rfield>[^\s"^:\[()]+):\[(?P<range>[^\]]*)\]
+      | (?P<bare>[^\s"^()]+)
     )
     (?:\^(?P<boost>[0-9]*\.?[0-9]+))?
     """,
     re.VERBOSE,
 )
+
+
+def _scan(qs: str) -> list[tuple]:
+    """Depth-aware token scan: ``('m', Match)`` for flat tokens,
+    ``('g', prefix, inner_text, boost)`` for a balanced parenthesized
+    group (quotes shield parens inside phrases). Raises on unbalanced
+    parens or unparseable runs."""
+    out: list[tuple] = []
+    i, n = 0, len(qs)
+    while i < n:
+        ch = qs[i]
+        if ch.isspace():
+            i += 1
+            continue
+        j, prefix = i, ""
+        if ch in "+-" and j + 1 < n and qs[j + 1] == "(":
+            prefix, j = ch, j + 1
+        if qs[j] == "(":
+            depth, k, in_quote = 0, j, False
+            while k < n:
+                c = qs[k]
+                if c == '"':
+                    in_quote = not in_quote
+                elif not in_quote:
+                    if c == "(":
+                        depth += 1
+                    elif c == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                k += 1
+            if depth != 0:
+                raise ValueError("unbalanced parentheses in query_string")
+            inner = qs[j + 1 : k]
+            k += 1
+            boost = None
+            bm = re.match(r"\^([0-9]*\.?[0-9]+)", qs[k:])
+            if bm:
+                boost = bm.group(1)
+                k += len(bm.group(0))
+            out.append(("g", prefix, inner, boost))
+            i = k
+            continue
+        if ch == ")":
+            raise ValueError("unbalanced parentheses in query_string")
+        m = _TOKEN_RX.match(qs, i)
+        if not m or not (
+            m.group("phrase") is not None
+            or m.group("range") is not None
+            or m.group("bare")
+        ):
+            raise ValueError(
+                f"cannot parse query_string near {qs[i:i + 20]!r}"
+            )
+        out.append(("m", m))
+        i = m.end()
+    return out
 
 _RANGE_PREFIX_OPS = (
     (">=", "gte"), ("<=", "lte"), (">", "gt"), ("<", "lt"),
@@ -148,49 +213,63 @@ def parse_query_string(
     default_occur = "should" if default_operator == "or" else "must"
     clauses: list[Clause] = []
     filters: dict = {}
-    # raw scan: (prefix, phrase|range|bare, boost) tokens in order
-    toks = []
-    pos = 0
-    for m in _TOKEN_RX.finditer(qs):
-        if qs[pos:m.start()].strip():
-            raise ValueError(
-                f"cannot parse query_string near {qs[pos:m.start()]!r}"
-            )
-        pos = m.end()
-        toks.append(m)
-    if qs[pos:].strip():
-        raise ValueError(f"cannot parse query_string near {qs[pos:]!r}")
+    toks = _scan(qs)
 
-    # connector pass (flat Lucene behaviour, no parentheses): NOT negates
-    # the next token; AND promotes both neighbours to must; OR demotes
-    # both neighbours to should — under default_operator=and, 'a OR b'
-    # must return docs with EITHER term, so OR cannot be a no-op there.
-    # A shared middle operand ('a AND b OR c') keeps its FIRST connector's
-    # occur (setdefault), matching the flat parser's left-to-right sweep.
+    # connector pass (flat at each nesting level; parenthesized groups are
+    # single operands): NOT negates the next operand; AND promotes both
+    # neighbours to must; OR demotes both neighbours to should — under
+    # default_operator=and, 'a OR b' must return docs with EITHER term, so
+    # OR cannot be a no-op there. A shared middle operand ('a AND b OR c')
+    # keeps its FIRST connector's occur (setdefault), matching the flat
+    # parser's left-to-right sweep.
     occur_override: dict[int, str] = {}
     pending_not = False
     prev_clause_i: int | None = None
-    items: list[tuple[re.Match, str | None]] = []   # (match, forced_occur)
-    for m in toks:
-        bare = m.group("bare")
-        if bare in ("AND", "OR", "NOT") and not m.group("prefix"):
-            if bare == "NOT":
-                pending_not = True
-            elif bare == "AND" and prev_clause_i is not None:
-                occur_override.setdefault(prev_clause_i, "must")
-                occur_override[len(items)] = "must"
-            elif bare == "OR" and prev_clause_i is not None:
-                occur_override.setdefault(prev_clause_i, "should")
-                occur_override.setdefault(len(items), "should")
-            continue
+    items: list[tuple[tuple, str | None]] = []   # (scanned item, forced)
+    for el in toks:
+        if el[0] == "m":
+            m = el[1]
+            bare = m.group("bare")
+            if bare in ("AND", "OR", "NOT") and not m.group("prefix"):
+                if bare == "NOT":
+                    pending_not = True
+                elif bare == "AND" and prev_clause_i is not None:
+                    occur_override.setdefault(prev_clause_i, "must")
+                    occur_override[len(items)] = "must"
+                elif bare == "OR" and prev_clause_i is not None:
+                    occur_override.setdefault(prev_clause_i, "should")
+                    occur_override.setdefault(len(items), "should")
+                continue
         forced = "must_not" if pending_not else None
         pending_not = False
         prev_clause_i = len(items)
-        items.append((m, forced))
+        items.append((el, forced))
     if pending_not:
         raise ValueError("dangling NOT at end of query_string")
 
-    for i, (m, forced) in enumerate(items):
+    for i, (el, forced) in enumerate(items):
+        if el[0] == "g":
+            _, gprefix, inner, gboost = el
+            occur = forced or (
+                "must" if gprefix == "+"
+                else "must_not" if gprefix == "-"
+                else occur_override.get(i, default_occur)
+            )
+            sub = parse_query_string(inner, default_operator, filter_fields)
+            if sub.filters:
+                raise ValueError(
+                    "field filters inside a parenthesized group are not "
+                    "supported — filters apply query-wide, move "
+                    f"{sorted(sub.filters)} to the top level"
+                )
+            if not sub.clauses:
+                raise ValueError("empty parenthesized group")
+            clauses.append(
+                Clause("group", "", occur,
+                       float(gboost) if gboost else 1.0, group=sub)
+            )
+            continue
+        m = el[1]
         prefix, boost = m.group("prefix"), m.group("boost")
         occur = forced or (
             "must" if prefix == "+"
@@ -264,8 +343,16 @@ def parse_query_string(
 
 def _clause_frame(engine, c: Clause, filters, max_expansions):
     """All-matches (doc_id, score) for one clause (pandas or Spark DF), or
-    None for a provably empty clause."""
-    if c.kind == "term":
+    None for a provably empty clause. Group clauses recurse through the
+    bool combiner: the group's eligible docs with their combined scores
+    join the outer bool as ONE clause — exactly a Lucene nested
+    BooleanQuery."""
+    if c.kind == "group":
+        r = _bool_all_matches(engine, c.group, filters, max_expansions,
+                              None)
+        if r is None:
+            return None
+    elif c.kind == "term":
         r = engine.score_matches(c.text, mode="and", filters=filters)
     elif c.kind == "phrase":
         r = engine.phrase_matches(c.text, filters=filters, slop=c.slop)
@@ -288,7 +375,7 @@ def _clause_frame(engine, c: Clause, filters, max_expansions):
         r = engine.score_matches(
             " ".join(variants), mode="or", filters=filters
         )
-    else:  # pragma: no cover - parser emits only the four kinds
+    else:  # pragma: no cover - parser emits only the five kinds
         raise ValueError(f"unknown clause kind {c.kind!r}")
     if isinstance(r, pd.DataFrame):
         if len(r) == 0:
@@ -404,6 +491,38 @@ def execute_query_string(
             ),
         )
     # ---- composition path -------------------------------------------------
+    frame = _bool_all_matches(
+        engine, pq, pq.filters, max_expansions, msm_eff
+    )
+    if frame is None:
+        return engine._empty_result(with_meta, as_pdf=as_pandas)
+    if isinstance(frame, pd.DataFrame):
+        order = np.lexsort(
+            (frame["doc_id"].to_numpy(), -frame["score"].to_numpy())
+        )
+        topk = frame.iloc[order[offset:offset + k]][["doc_id", "score"]]
+        return engine._attach_meta(
+            topk.reset_index(drop=True), with_meta, as_pandas
+        )
+    topk_pdf = (
+        frame.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(offset + k)
+        .toPandas()
+        .iloc[offset:offset + k]
+    )
+    return engine._attach_meta(topk_pdf, with_meta, as_pandas)
+
+
+def _bool_all_matches(engine, pq: ParsedQuery, filters, max_expansions,
+                      msm: int | None):
+    """ALL eligible docs of one bool level as a (doc_id, score) frame —
+    pandas when every contributing clause resolved driver-side, Spark DF
+    otherwise — or None when provably empty. ``msm`` None applies the
+    default rule (every must; >= 1 should when there are no musts).
+    Groups recurse here, so nesting is arbitrary; each level's shuffle is
+    (its matched docs x its clauses) two-column rows."""
+    n_must = sum(c.occur == "must" for c in pq.clauses)
+    msm_eff = 1 if (msm is None and n_must == 0) else (msm or 0)
     frames: list[tuple[object, bool]] = []   # (frame, is_must)
     neg_frames: list[object] = []
     for c in pq.clauses:
@@ -414,14 +533,14 @@ def execute_query_string(
             if r is not None:
                 neg_frames.append(r)
             continue
-        r = _clause_frame(engine, c, pq.filters, max_expansions)
+        r = _clause_frame(engine, c, filters, max_expansions)
         if r is None:
             if c.occur == "must":
-                return engine._empty_result(with_meta, as_pdf=as_pandas)
+                return None
             continue
         frames.append((r, c.occur == "must"))
     if not frames:
-        return engine._empty_result(with_meta, as_pdf=as_pandas)
+        return None
     all_pandas = all(isinstance(f, pd.DataFrame) for f, _ in frames) and \
         all(isinstance(f, pd.DataFrame) for f in neg_frames)
     if all_pandas:
@@ -441,13 +560,7 @@ def execute_query_string(
                 [f[["doc_id"]] for f in neg_frames], ignore_index=True
             )["doc_id"].unique()
             elig = elig[~elig["doc_id"].isin(neg_ids)]
-        order = np.lexsort(
-            (elig["doc_id"].to_numpy(), -elig["score"].to_numpy())
-        )
-        topk = elig.iloc[order[offset:offset + k]][["doc_id", "score"]]
-        return engine._attach_meta(
-            topk.reset_index(drop=True), with_meta, as_pandas
-        )
+        return elig[["doc_id", "score"]].reset_index(drop=True)
     # distributed combine: ONE groupBy(doc_id) shuffle over (matched docs
     # x clauses) two-column rows + broadcast anti-join for negations
     spark = engine.spark
@@ -480,10 +593,4 @@ def execute_query_string(
             [to_df(f).select("doc_id") for f in neg_frames],
         ).distinct()
         g = g.join(F.broadcast(neg), "doc_id", "left_anti")
-    topk_pdf = (
-        g.orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(offset + k)
-        .toPandas()
-        .iloc[offset:offset + k]
-    )
-    return engine._attach_meta(topk_pdf, with_meta, as_pandas)
+    return g

@@ -14,7 +14,8 @@ Routes (reference analogues):
     GET /api/v1/search?q=..[&size=..&from=..&default_operator=..] ES URI
                                         search: Lucene-ish query_string
                                         (+must -not "phrase" field:value
-                                        field:[a TO b] term^2 wild* fuzz~)
+                                        field:[a TO b] term^2 wild* fuzz~
+                                        (grouped OR clauses)^w — nested)
     GET /api/v1/suggests?term=..&size=..                         GetSuggests
     GET /api/v1/address/guid?repo=..&path=..&commit=..           GetByGuid
     GET /api/v1/count?term=..[&lang=..]                          _count

@@ -373,3 +373,86 @@ def test_or_under_default_and_executes_as_or(eng):
     direct = eng.search("alpha delta", mode="or", as_pandas=True)
     assert ranked(qs(eng, "alpha OR delta", default_operator="and")) \
         == ranked(direct)
+
+
+# -- parenthesized groups ------------------------------------------------------
+
+
+def test_parse_groups():
+    pq = parse_query_string('+(alpha beta) -(gamma) delta^1.5 (x OR y)^2')
+    kinds = [(c.kind, c.occur, c.boost) for c in pq.clauses]
+    assert kinds == [
+        ("group", "must", 1.0),
+        ("group", "must_not", 1.0),
+        ("term", "should", 1.5),
+        ("group", "should", 2.0),
+    ]
+    inner = pq.clauses[0].group
+    assert [(c.text, c.occur) for c in inner.clauses] == [
+        ("alpha", "should"), ("beta", "should")
+    ]
+    # nesting
+    pq = parse_query_string("((alpha OR beta) AND gamma)")
+    assert len(pq.clauses) == 1 and pq.clauses[0].kind == "group"
+    lvl2 = pq.clauses[0].group
+    assert {(c.kind, c.occur) for c in lvl2.clauses} == {
+        ("group", "must"), ("term", "must")
+    }
+    # connectors treat a group as one operand
+    pq = parse_query_string("alpha AND (beta OR gamma)",
+                            default_operator="and")
+    assert [(c.kind, c.occur) for c in pq.clauses] == [
+        ("term", "must"), ("group", "must")
+    ]
+
+
+def test_parse_group_errors():
+    with pytest.raises(ValueError, match="unbalanced"):
+        parse_query_string("(alpha")
+    with pytest.raises(ValueError, match="unbalanced"):
+        parse_query_string("alpha)")
+    with pytest.raises(ValueError, match="empty parenthesized"):
+        parse_query_string("()")
+    with pytest.raises(ValueError, match="filters inside"):
+        parse_query_string("(lang:en alpha)", filter_fields=FIELDS)
+
+
+def _manual_group_and(eng, should_terms, must_term, gboost=1.0):
+    """Reference combine: docs matching must_term AND >=1 of should_terms;
+    score = must + gboost * sum(matching shoulds)."""
+    import pandas as _pd
+
+    shoulds = _pd.concat(
+        [eng.score_matches(t) for t in should_terms], ignore_index=True
+    ).groupby("doc_id", as_index=False)["score"].sum()
+    must = eng.score_matches(must_term)
+    m = shoulds.merge(must, on="doc_id", suffixes=("_g", "_m"))
+    m["score"] = gboost * m["score_g"] + m["score_m"]
+    m = m.sort_values(["score", "doc_id"], ascending=[False, True],
+                      kind="mergesort").head(10)
+    return list(zip(m["doc_id"].tolist(),
+                    [round(s, 9) for s in m["score"].tolist()]))
+
+
+def test_group_execution_semantics(eng):
+    got = ranked(qs(eng, "(alpha OR delta) AND beta"))
+    assert got == _manual_group_and(eng, ["alpha", "delta"], "beta")
+    assert len(got) > 0
+    # default_operator=and: whitespace adjacency ANDs the group with beta
+    got2 = ranked(qs(eng, "(alpha OR delta) beta", default_operator="and"))
+    assert got2 == got
+
+
+def test_group_boost(eng):
+    got = ranked(qs(eng, "(alpha OR delta)^2 AND beta"))
+    assert got == _manual_group_and(eng, ["alpha", "delta"], "beta",
+                                    gboost=2.0)
+
+
+def test_negated_group(eng):
+    got = qs(eng, "+beta -(alpha delta)")
+    excl = set()
+    for t in ("alpha", "delta"):
+        excl |= set(eng.score_matches(t)["doc_id"])
+    assert len(got) > 0
+    assert set(got["doc_id"]).isdisjoint(excl)
