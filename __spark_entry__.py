@@ -689,6 +689,18 @@ def _q_dedup_jaccard(spark, sf):
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _q_dedup_clusters(spark, sf):
+    """Transitive near-dup cluster resolution (operators/dedup.py
+    connected_components): Jaccard candidate pairs folded into components
+    via alternating large-star/small-star, every doc labeled
+    (id, cluster_id, is_canonical); singletons canonical by definition.
+    Oracle: the same pairs in SQL + a recursive-CTE reachability closure
+    with min-id labeling."""
+    docs = _documents(spark, sf)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5, n=3, text_col="text")
+    return D.dedup_clusters(docs, pairs).orderBy("id")
+
+
 def _q_dedup_simhash(spark, sf):
     """md5-derived 60-bit simhash (md5 exists in both engines)."""
     docs = _documents(spark, sf)
@@ -1264,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_minhash_lsh": _q_minhash_lsh,  # approximate, rows-only
+        "dedup_clusters": _q_dedup_clusters,
         "text_quality_features": _q_textstats,
         "text_langid": _q_langid,
         "text_token_counts": _q_token_counts,
@@ -2051,6 +2064,30 @@ SELECT id_a, id_b,
        round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
 FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
 WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+""",
+        "dedup_clusters": f"""
+WITH RECURSIVE sh AS ({shingle}),
+ex AS (SELECT id, unnest(sh) AS s FROM sh),
+sz AS (SELECT id, len(sh) AS sz FROM sh),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+          GROUP BY a.id, b.id),
+pairs AS (SELECT id_a, id_b FROM inter
+          JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+          WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b AS u, id_a AS v FROM pairs),
+reach AS (
+  SELECT u AS id, u AS r FROM edges
+  UNION
+  SELECT e.v AS id, reach.r AS r FROM reach JOIN edges e ON e.u = reach.id
+),
+lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id AS id,
+       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       (coalesce(l.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+ORDER BY id
 """,
         "dedup_simhash": _simhash_sql(),
         "text_quality_features": f"""

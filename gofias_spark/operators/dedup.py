@@ -253,6 +253,137 @@ def simhash64(
     return bit_sums.select("id", sim.alias("simhash"))
 
 
+def _cc_large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every neighbor v > u re-attaches to min(N(u) u {u}).
+
+    Kiveris et al., "Connected Components in MapReduce and Beyond" (SOCC'14).
+    Pure DataFrame ops: symmetrize, per-node min via one map-side-combinable
+    groupBy, re-emit. No neighbor lists are ever collected."""
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.union(sym.select("u", F.col("u").alias("v")))
+        .groupBy("u")
+        .agg(F.min("v").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _cc_small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient edges u > v; every neighbor (all < u) and u
+    itself re-attach to min(N(u) u {u})."""
+    o = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = (
+        o.union(o.select("u", F.col("u").alias("v")))
+        .groupBy("u")
+        .agg(F.min("v").alias("m"))
+    )
+    return (
+        o.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve candidate near-dup PAIRS into transitive CLUSTERS:
+    (id, cluster_id) where cluster_id = min doc id of the component.
+
+    The missing piece between pair generation (minhash_lsh_candidates /
+    ngram_jaccard_pairs) and actual deduplication: near-duplication is
+    transitive in practice (A~B, B~C => drop two of three), so pairs must
+    be folded into components before choosing canonicals.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    SOCC'14) — converges in O(log n) rounds on any graph (vs O(diameter)
+    for naive min-label propagation, which dies on chain-shaped clusters),
+    every round is two shuffles keyed by node id, and no step materializes
+    a neighbor list, so hub nodes (a shingle-bucket blowup) cannot OOM an
+    executor. Each round is localCheckpoint'ed to truncate lineage.
+    Convergence = (count, xxhash64-xor) signature of the edge set stable
+    across one full round — O(1) driver data per round.
+
+    Only ids that appear in ``pairs`` are returned; singleton docs are
+    their own cluster by definition (left-join the output and coalesce to
+    own id, as dedup_clusters does)."""
+    edges = (
+        pairs.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        edges = _cc_small_star(_cc_large_star(edges)).localCheckpoint(
+            eager=True
+        )
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds (log2(n_nodes) rounds expected)"
+        )
+    # converged edge set is a star forest oriented (child > root)
+    labels = edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    roots = (
+        edges.select(F.col("v").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    return labels.union(roots).distinct()
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-doc cluster assignment over the WHOLE corpus:
+    (id, cluster_id, is_canonical). Docs absent from ``pairs`` are
+    singletons (own cluster, canonical). Canonical = min id per cluster,
+    so ``filter(is_canonical)`` IS the deduplicated corpus."""
+    cc = connected_components(pairs, src=src, dst=dst)
+    out = (
+        docs.select(F.col(id_col).cast("long").alias("id"))
+        .join(cc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
+    )
+    return out
+
+
 def last_wins_dedup(
     df: DataFrame, key_cols: list[str], order_col: str
 ) -> DataFrame:
