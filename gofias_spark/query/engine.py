@@ -423,6 +423,7 @@ class SearchEngine:
         self._seg_metas = {
             s: self.store.read_seg_meta(s) for s in self._seg_ids
         }
+        self._state_token: str | None = None
         self._local_blocks: pd.DataFrame | None = None
         self._local_meta: pd.DataFrame | None = None
         self._local_tombs: np.ndarray | None = None
@@ -4271,9 +4272,18 @@ class SearchEngine:
         set plus the delta state (tombstone/stats-correction files). Two
         engines over the same root return the same token iff every query
         result is guaranteed identical — the invalidation key for any
-        response cache layered above the engine (the HTTP gateway's)."""
-        segs = "|".join(str(s) for s in sorted(self._seg_ids, key=str))
-        return segs + "|" + self._delta_token()
+        response cache layered above the engine (the HTTP gateway's).
+
+        Memoized per engine instance: the engine reads its manifest and
+        delta state once at construction and serves from that snapshot
+        until ``FulltextAPI._reopen()`` swaps in a fresh engine, so
+        re-globbing the delta dir per request could only produce a token
+        for state this engine does not serve — and it put filesystem I/O
+        + sha256 on the cache-hit fast path."""
+        if self._state_token is None:
+            segs = "|".join(str(s) for s in sorted(self._seg_ids, key=str))
+            self._state_token = segs + "|" + self._delta_token()
+        return self._state_token
 
     def stats(self) -> dict:
         """Version/health analogue (versionHandler.go:30-38)."""

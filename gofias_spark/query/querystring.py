@@ -107,8 +107,8 @@ _TOKEN_RX = re.compile(
     (?P<prefix>[+-]?)
     (?:
         "(?P<phrase>[^"]*)"(?:~(?P<slop>[0-9]+))?
-      | (?P<rfield>[^\s"^:\[()]+):\[(?P<range>[^\]]*)\]
-      | (?P<bare>[^\s"^()]+)
+      | (?P<rfield>[^\s"^:\[()\\]+):\[(?P<range>[^\]]*)\]
+      | (?P<bare>(?:[^\s"^()\\]|\\.)+)
     )
     (?:\^(?P<boost>[0-9]*\.?[0-9]+))?
     """,
@@ -177,6 +177,16 @@ _RANGE_PREFIX_OPS = (
 )
 
 
+def _unescape(s: str) -> str:
+    r"""Resolve Lucene-style ``\x`` escapes: the character after a
+    backslash is literal text (``main\(\)`` is the term ``main()``,
+    ``\*`` a literal asterisk — never a wildcard)."""
+    return re.sub(r"\\(.)", r"\1", s)
+
+
+_MAX_GROUP_DEPTH = 32
+
+
 def _coerce(v: str):
     """Numeric-looking operands become numbers (range filters on numeric
     attributes need numeric operands — engine._validate_filters); anything
@@ -203,6 +213,7 @@ def parse_query_string(
     qs: str,
     default_operator: str = "or",
     filter_fields: set[str] | None = None,
+    _depth: int = 0,
 ) -> ParsedQuery:
     """Parse, no engine needed. ``filter_fields`` is the set of attribute
     names that ``field:value`` may filter on (the executor passes the
@@ -210,6 +221,13 @@ def parse_query_string(
     then happens in the engine)."""
     if default_operator not in ("or", "and"):
         raise ValueError("default_operator must be 'or' or 'and'")
+    if _depth > _MAX_GROUP_DEPTH:
+        # the execution combiner recurses per nesting level: reject
+        # adversarial nests as a parse error (HTTP 400), not a
+        # RecursionError from inside the engine (HTTP 500)
+        raise ValueError(
+            f"parenthesized groups nested deeper than {_MAX_GROUP_DEPTH}"
+        )
     default_occur = "should" if default_operator == "or" else "must"
     clauses: list[Clause] = []
     filters: dict = {}
@@ -255,7 +273,8 @@ def parse_query_string(
                 else "must_not" if gprefix == "-"
                 else occur_override.get(i, default_occur)
             )
-            sub = parse_query_string(inner, default_operator, filter_fields)
+            sub = parse_query_string(inner, default_operator, filter_fields,
+                                     _depth=_depth + 1)
             if sub.filters:
                 raise ValueError(
                     "field filters inside a parenthesized group are not "
@@ -299,8 +318,14 @@ def parse_query_string(
                                       slop=int(m.group("slop") or 0)))
             continue
         bare = m.group("bare")
-        if ":" in bare:
-            fld, _, val = bare.partition(":")
+        # escape-aware views: `plain` strips escaped pairs, so a special
+        # char present in it is an UNESCAPED operator; escaped chars are
+        # literal text and resolve via _unescape at payload time
+        plain = re.sub(r"\\.", "", bare)
+        colon = re.search(r"(?<!\\):", bare)
+        if colon is not None:
+            fld = _unescape(bare[: colon.start()])
+            val = bare[colon.start() + 1:]
             if filter_fields is not None and fld not in filter_fields \
                     and fld != "path_prefix":
                 raise ValueError(
@@ -311,29 +336,37 @@ def parse_query_string(
                 raise ValueError(f"empty value for filter field {fld!r}")
             for sym, op in _RANGE_PREFIX_OPS:
                 if val.startswith(sym):
-                    _add_filter(filters, fld, {op: _coerce(val[len(sym):])})
+                    _add_filter(filters, fld,
+                                {op: _coerce(_unescape(val[len(sym):]))})
                     break
             else:
+                val_plain = re.sub(r"\\.", "", val)
                 if occur == "must_not":
-                    _add_filter(filters, fld, {"neq": _coerce(val)})
+                    _add_filter(filters, fld, {"neq": _coerce(_unescape(val))})
                 elif fld == "path" and val.endswith("*") \
-                        and "*" not in val[:-1] and "?" not in val:
-                    _add_filter(filters, "path_prefix", val[:-1])
+                        and not val.endswith(r"\*") \
+                        and "*" not in val_plain[:-1] \
+                        and "?" not in val_plain:
+                    _add_filter(filters, "path_prefix", _unescape(val[:-1]))
                 else:
-                    _add_filter(filters, fld, _coerce(val))
+                    _add_filter(filters, fld, _coerce(_unescape(val)))
             continue
         b = float(boost) if boost else 1.0
-        if bare.endswith("~") or re.search(r"~[0-9]+$", bare):
-            base, _, dist = bare.rpartition("~")
+        fz = re.search(r"(?<!\\)~([0-9]*)$", bare)
+        if fz is not None:
+            dist = fz.group(1)
             if dist not in ("", "1"):
                 raise ValueError(
                     f"fuzzy distance {dist} not supported (max 1)"
                 )
-            clauses.append(Clause("fuzzy", base, occur, b))
-        elif "*" in bare or "?" in bare:
-            clauses.append(Clause("wildcard", bare, occur, b))
+            clauses.append(Clause("fuzzy", _unescape(bare[: fz.start()]),
+                                  occur, b))
+        elif "*" in plain or "?" in plain:
+            # vocabulary terms are \w+ so an escaped \*/\? could never
+            # match a term as a literal either; full unescape is safe
+            clauses.append(Clause("wildcard", _unescape(bare), occur, b))
         else:
-            clauses.append(Clause("term", bare, occur, b))
+            clauses.append(Clause("term", _unescape(bare), occur, b))
     return ParsedQuery(clauses=clauses, filters=filters or None)
 
 

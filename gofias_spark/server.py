@@ -303,6 +303,11 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
         def _json(self, obj, code: int = 200) -> None:
             body = json.dumps(obj).encode()
             if code == 200 and self._cache_key is not None:
+                # a miss is a cacheable request that filled the cache;
+                # 4xx/5xx under /api/v1/ were never cacheable and must
+                # not skew the hit ratio
+                with lock:
+                    metrics["cache_misses"] += 1
                 cache_put(self._cache_key, body)
             self._send(body, code,
                        "MISS" if self._cache_key is not None else None)
@@ -345,8 +350,6 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                         self._send(hit, 200, "HIT")
                         self._finish_metrics(url.path, t0)
                         return
-                    with lock:
-                        metrics["cache_misses"] += 1
                 self._route(url, q)
             except BadRequest as exc:
                 self._cache_key = None
@@ -363,6 +366,12 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                 metrics["latency_max_secs"] = max(
                     metrics["latency_max_secs"], dt
                 )
+                # bound label cardinality: URL scanners hitting unique
+                # 404 paths must not grow the map (and /metrics bodies)
+                # without limit for the server's lifetime
+                if path not in metrics["by_path"] \
+                        and len(metrics["by_path"]) >= 64:
+                    path = "_other"
                 metrics["by_path"][path] = metrics["by_path"].get(path, 0) + 1
 
         def _route(self, url, q) -> None:

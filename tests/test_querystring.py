@@ -456,3 +456,57 @@ def test_negated_group(eng):
         excl |= set(eng.score_matches(t)["doc_id"])
     assert len(got) > 0
     assert set(got["doc_id"]).isdisjoint(excl)
+
+
+def test_escaped_parens_are_literal_text():
+    r"""Lucene-style \x escaping: a code-search query for a function call
+    must be expressible. main\(\) is the single term main() (analyzed to
+    'main'), not an empty group / parse error."""
+    pq = parse_query_string(r"main\(\)", filter_fields=FIELDS)
+    assert [c.kind for c in pq.clauses] == ["term"]
+    assert pq.clauses[0].text == "main()"
+    # mixed: foo\(bar\) stays ONE term clause, not term + group
+    pq = parse_query_string(r"foo\(bar\)", filter_fields=FIELDS)
+    assert len(pq.clauses) == 1 and pq.clauses[0].text == "foo(bar)"
+    # unescaped parens still group
+    pq = parse_query_string(r"foo (bar baz)", filter_fields=FIELDS)
+    assert [c.kind for c in pq.clauses] == ["term", "group"]
+
+
+def test_escaped_wildcard_and_fuzzy_markers():
+    pq = parse_query_string(r"al\*ha", filter_fields=FIELDS)
+    assert pq.clauses[0].kind == "term" and pq.clauses[0].text == "al*ha"
+    pq = parse_query_string(r"alpha\~", filter_fields=FIELDS)
+    assert pq.clauses[0].kind == "term" and pq.clauses[0].text == "alpha~"
+    pq = parse_query_string(r"al*ha", filter_fields=FIELDS)
+    assert pq.clauses[0].kind == "wildcard"
+
+
+def test_escaped_colon_is_not_a_filter():
+    pq = parse_query_string(r"std\:\:vector", filter_fields=FIELDS)
+    assert pq.filters is None
+    assert pq.clauses[0].kind == "term"
+    assert pq.clauses[0].text == "std::vector"
+    # filter values may carry escaped specials
+    pq = parse_query_string(r"path:a\*b", filter_fields=FIELDS)
+    assert pq.filters == {"path": "a*b"} and not pq.clauses
+
+
+def test_escaped_paren_executes_like_plain_term(eng):
+    """End-to-end: the escaped form scores identically to the analyzed
+    bare term (punctuation is analyzer-stripped either way)."""
+    a = execute_query_string(eng, r"alpha\(\)", k=10, as_pandas=True)
+    b = execute_query_string(eng, "alpha", k=10, as_pandas=True)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
+
+
+def test_group_depth_cap_is_a_parse_error():
+    """Adversarial nesting must be a ValueError (gateway 400), not a
+    RecursionError from inside the execution combiner (gateway 500)."""
+    deep = "(" * 40 + "alpha" + ")" * 40
+    with pytest.raises(ValueError, match="nested deeper"):
+        parse_query_string(deep, filter_fields=FIELDS)
+    # a reasonable nest still parses
+    ok = "(" * 8 + "alpha" + ")" * 8
+    assert parse_query_string(ok, filter_fields=FIELDS).clauses

@@ -825,3 +825,21 @@ def test_response_cache_and_metrics(spark, tmp_path):
     finally:
         server.shutdown()
         api.close()
+
+
+def test_metrics_hygiene(gateway):
+    """Error traffic must not skew the cache hit ratio, and by_path label
+    cardinality is bounded so URL scanners can't grow /metrics forever."""
+    _, base = gateway
+    _, m0 = _get(base, "/metrics")
+    # a 400 on a cacheable route: counted as error, NOT as a cache miss
+    assert _get_status(base, "/api/v1/address/term?term=x&size=1e9") == 400
+    _, m1 = _get(base, "/metrics")
+    assert m1["errors_4xx"] == m0["errors_4xx"] + 1
+    assert m1["cache_misses"] == m0["cache_misses"]
+    # unique 404 paths collapse into _other once the label map is full
+    for i in range(70):
+        assert _get_status(base, f"/scanner/probe_{i}") == 404
+    _, m2 = _get(base, "/metrics")
+    assert len(m2["by_path"]) <= 65
+    assert m2["by_path"].get("_other", 0) >= 5
