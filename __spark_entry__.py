@@ -802,6 +802,33 @@ def _q_text_repetition(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_dedup_substring_spans(spark, sf):
+    """Span-level exact-substring dedup (Lee et al. 2022's suffix-array
+    dedup, as a distributed word-8-gram pass): maximal duplicated token
+    spans per doc, canonical first copy exempt. The only corpus-sized
+    exchange is a 16-byte-per-window gram-hash aggregation."""
+    return (
+        D.duplicate_spans(_documents(spark, sf), n=8, text_col="text")
+        .select(
+            "doc_id",
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.col("end_tok").cast("long").alias("end_tok"),
+        )
+        .orderBy("doc_id", "start_tok")
+    )
+
+
+def _q_text_classifier_score(spark, sf):
+    """fastText/CCNet-shaped linear quality classifier: sigmoid of the
+    mean per-token weight, hash-derived stand-in weights (md5-unit - 0.5)
+    so the scoring plumbing is exactly SQL-checkable; a real model's
+    (term, weight) table drops in without changing the plan shape. Pure
+    JVM expression — zero shuffle, zero Python."""
+    return TS.classifier_quality_score(
+        _documents(spark, sf), text_col="text"
+    ).orderBy("doc_id")
+
+
 def _q_sample_stratified(spark, sf):
     """Deterministic stratified sampling for dataset mixing: keep iff
     md5-hash(doc_id)/2^32 < rate(lang). Pure map — no shuffle, no RNG
@@ -1282,6 +1309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_token_counts,
         "text_fingerprints": _q_fingerprints,
         "text_repetition": _q_text_repetition,
+        "dedup_substring_spans": _q_dedup_substring_spans,
+        "text_classifier_score": _q_text_classifier_score,
         "sample_stratified": _q_sample_stratified,
         "pack_sequences": _q_pack_sequences,
         "percolate_match": _q_percolate,
@@ -2385,6 +2414,52 @@ LEFT JOIN ls ON d.doc_id = ls.doc_id
 LEFT JOIN (SELECT * FROM bt WHERE rn = 1) bt ON d.doc_id = bt.doc_id
 LEFT JOIN tch t ON d.doc_id = t.doc_id
 ORDER BY d.doc_id
+""",
+        "dedup_substring_spans": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest([i - 1 FOR i IN range(1, len(t) - 8 + 2)]) AS pos,
+         unnest([array_to_string(t[i:i+7], ' ')
+                 FOR i IN range(1, len(t) - 8 + 2)]) AS gram
+  FROM toks WHERE len(t) >= 8),
+m AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY gram) AS sites,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM g),
+marks AS (SELECT doc_id, pos AS s, pos + 7 AS e
+          FROM m WHERE sites > 1 AND rn > 1),
+isl AS (
+  SELECT doc_id, s, e,
+    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS new_island
+  FROM marks),
+isl2 AS (
+  SELECT doc_id, s, e,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl)
+SELECT doc_id, min(s)::BIGINT AS start_tok, max(e)::BIGINT AS end_tok
+FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, start_tok
+""",
+        "text_classifier_score": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+  FROM documents),
+w AS (
+  SELECT doc_id, len(t) AS n,
+         [('0x' || substr(md5(tok), 1, 8))::BIGINT / 4294967296.0 - 0.5
+          FOR tok IN t] AS ws
+  FROM toks)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(CASE WHEN n > 0
+                                     THEN list_sum(ws) / n
+                                     ELSE 0.0 END))), 6) AS quality_score
+FROM w ORDER BY doc_id
 """,
         "sample_stratified": """
 SELECT doc_id, lang FROM documents

@@ -395,3 +395,142 @@ def last_wins_dedup(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def _positioned_gram_hashes(docs, n, id_col, text_col):
+    """(id, pos, gram) rows: xxhash64 of every n-token window, with its
+    0-based start position. One JVM expression tree — tokens, windows,
+    hashes all codegen'd; only (id, pos, 8-byte gram hash) leaves the
+    scan."""
+    toks = tokens_col(F.col(text_col))
+    windows = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))).alias(
+                    "gram"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:long>>"))
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(windows).alias("w")
+    ).select("id", F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram"))
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Span-level exact-substring duplicate detection — the distributed
+    word-n-gram form of suffix-array training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a token
+    position is duplicated iff its n-token window occurs at MORE THAN ONE
+    (doc, position) site corpus-wide — including self-repetition within a
+    single doc. The canonical site (globally smallest (doc_id, pos) per
+    gram) is exempt, so exactly one copy of every duplicated substring
+    survives a strip. Overlapping duplicated windows merge into maximal
+    per-doc token spans (gaps-and-islands over a per-doc window).
+
+    Returns ``(id_col, start_tok, end_tok)`` — inclusive 0-based token
+    positions, one row per maximal span, sorted (id, start).
+
+    Scale shape: the only corpus-sized exchange is the (gram-hash, id,
+    pos) aggregation — 16 bytes/window, map-side combinable count+min;
+    gram STRINGS never shuffle (xxhash64). The join back to positions is
+    gram-keyed (AQE broadcasts it when the duplicated set is small, which
+    it is on real corpora); span merging is a per-doc window — partitioned
+    by doc, never global.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    grams = _positioned_gram_hashes(docs, n, id_col, text_col)
+    dup = (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("_sites"),
+            F.min(F.struct("id", "pos")).alias("_canon"),
+        )
+        .filter(F.col("_sites") > 1)
+        .select("gram", "_canon")
+    )
+    marks = (
+        grams.join(dup, "gram")
+        .filter(
+            ~(
+                (F.col("id") == F.col("_canon.id"))
+                & (F.col("pos") == F.col("_canon.pos"))
+            )
+        )
+        .select("id", "pos")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + n - 1).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = marks.withColumn(
+        "_new", (F.col("pos") > F.coalesce(prev_max_end, F.lit(-1))).cast("int")
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("id", "_island")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + n - 1).alias("end_tok"),
+        )
+        .select(F.col("id").alias(id_col), "start_tok", "end_tok")
+        .orderBy(id_col, "start_tok")
+    )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Remove the duplicated spans found by :func:`duplicate_spans` from
+    each doc's token stream, keeping the canonical copy corpus-wide.
+    Returns ``(id_col, content_stripped, n_tokens_removed)`` for EVERY
+    input doc (clean docs pass through with 0 removed).
+
+    The rebuilt text is the surviving tokens joined by single spaces —
+    token-stream fidelity, not byte fidelity (the analyzer already
+    normalized case/punctuation), which is what the downstream tokenizer
+    consumes anyway.
+
+    Scale shape: spans per doc ride a (small) gram-keyed aggregation back
+    onto the doc via an id-keyed join; the strip itself is one JVM
+    filter-with-index over the token array — no Python, no extra shuffle
+    beyond the span join.
+    """
+    spans = (
+        duplicate_spans(docs, n, id_col, text_col)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("start_tok", "end_tok")).alias("_spans")
+        )
+    )
+    joined = docs.join(spans, id_col, "left")
+    toks = tokens_col(F.col(text_col))
+    sp = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<start_tok:int,end_tok:long>>"),
+    )
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            sp, lambda s: (i >= s.start_tok) & (i <= s.end_tok)
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("content_stripped"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )

@@ -338,3 +338,96 @@ def repetition_features(
         F.round("_r.dup_line_char_frac", 4).alias("dup_line_char_frac"),
         F.round("_r.top_bigram_char_frac", 4).alias("top_bigram_char_frac"),
     )
+
+
+def classifier_quality_score(
+    docs: DataFrame,
+    weights: dict[str, float] | DataFrame | None = None,
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Linear text-quality classifier scoring — the fastText/CCNet shape
+    (logistic regression over mean-pooled per-token weights) used for
+    classifier-based quality filtering of pre-training corpora:
+    ``score = sigmoid(bias + mean over tokens of w(token))``.
+
+    Three weight sources, three scale shapes:
+
+    * ``weights`` a small dict (a distilled vocabulary, <= ~10k terms):
+      compiled into a single map literal riding the plan; the whole score
+      is one JVM expression over the token array — zero shuffle, zero
+      Python, column-pruned scan. OOV tokens weigh 0.0.
+    * ``weights`` a DataFrame ``(term, weight)`` (a full fastText-sized
+      vocabulary): explode tokens -> broadcast join -> per-doc mean — the
+      corpus text never shuffles, only (id, weight) pairs aggregate
+      (map-side combinable).
+    * ``weights=None``: deterministic hash-derived stand-in weights
+      ``w(t) = md5-unit(t) - 0.5`` (same md5 convention as
+      ``sampling._unit_hash`` so exact SQL oracles exist in any engine).
+      The plumbing — tokenize, per-token lookup, mean pooling, sigmoid —
+      is the deliverable; a real model's weights drop in via the other
+      two forms without changing the plan shape.
+
+    Docs that analyze to zero tokens score ``sigmoid(bias)`` (the
+    classifier's prior), mirroring fastText's empty-input behavior.
+    Returns ``(id_col, quality_score)`` with the score rounded to 6
+    decimals (enough to order/threshold on; keeps float64 sum-order
+    noise out of oracle comparisons).
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    sig = lambda x: F.lit(1.0) / (F.lit(1.0) + F.exp(-x))  # noqa: E731
+    if isinstance(weights, DataFrame):
+        exploded = docs.select(
+            F.col(id_col), F.explode(toks).alias("term")
+        )
+        per_doc = (
+            exploded.join(F.broadcast(weights), "term", "left")
+            .groupBy(id_col)
+            .agg(
+                F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+        )
+        scored = per_doc.select(
+            F.col(id_col),
+            F.round(
+                sig(F.lit(float(bias)) + F.col("_s") / F.col("_n")), 6
+            ).alias("quality_score"),
+        )
+        # zero-token docs never explode a row: union their prior back in
+        # (size(null content) is NULL, not 0 — coalesce catches those too)
+        empties = docs.filter(F.coalesce(n, F.lit(0)) <= 0).select(
+            F.col(id_col),
+            F.round(sig(F.lit(float(bias))), 6).alias("quality_score"),
+        )
+        return scored.unionByName(empties)
+    if weights is None:
+        w = lambda t: (  # noqa: E731
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("double")
+            / F.lit(float(1 << 32))
+            - F.lit(0.5)
+        )
+    else:
+        if len(weights) > 10000:
+            raise ValueError(
+                "dict weights are compiled into a plan literal; pass a "
+                f"(term, weight) DataFrame for {len(weights)} terms"
+            )
+        pairs = sorted(weights.items())
+        wmap = F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[F.lit(float(v)) for _, v in pairs]),
+        )
+        w = lambda t: F.coalesce(  # noqa: E731
+            F.element_at(wmap, t), F.lit(0.0)
+        )
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + w(t)
+    )
+    mean = F.when(n > 0, total / n).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        F.round(sig(F.lit(float(bias)) + mean), 6).alias("quality_score"),
+    )
