@@ -26,6 +26,7 @@ from gofias_spark.index.build import build_segment
 from gofias_spark.index.store import IndexStore
 from gofias_spark.operators import dedup as D
 from gofias_spark.operators import multimodal as MM
+from gofias_spark.operators import selection as SEL
 from gofias_spark.operators import similarity as SIM
 from gofias_spark.operators import textstats as TS
 from gofias_spark.query.engine import SearchEngine
@@ -829,6 +830,25 @@ def _q_text_classifier_score(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_dsir_weights(spark, sf):
+    """DSIR importance weights (Xie et al. 2023): hashed uni+bigram
+    bucket models fitted on raw (= all documents) vs target (= lang='en'
+    documents), per-doc log-likelihood-ratio scores. Two dim-bounded
+    aggregations + one shuffle-free scoring fold; the dim=4096 log-ratio
+    vector rides the plan as a single array literal."""
+    docs = _documents(spark, sf)
+    target = docs.filter(F.col("lang") == "en")
+    # log_weight is already rounded to 6dp inside dsir_log_weights; do NOT
+    # re-round (a second 4dp round of a 6dp value ties on "..50" endings
+    # ~1% of the time, and Spark's decimal HALF_UP vs DuckDB's binary
+    # round resolve those ties differently).
+    return (
+        SEL.dsir_log_weights(docs, target, dim=4096, text_col="text")
+        .select("doc_id", "log_weight")
+        .orderBy("doc_id")
+    )
+
+
 def _q_sample_stratified(spark, sf):
     """Deterministic stratified sampling for dataset mixing: keep iff
     md5-hash(doc_id)/2^32 < rate(lang). Pure map — no shuffle, no RNG
@@ -1311,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "dedup_substring_spans": _q_dedup_substring_spans,
         "text_classifier_score": _q_text_classifier_score,
+        "curate_dsir_weights": _q_dsir_weights,
         "sample_stratified": _q_sample_stratified,
         "pack_sequences": _q_pack_sequences,
         "percolate_match": _q_percolate,
@@ -2445,6 +2466,35 @@ isl2 AS (
   FROM isl)
 SELECT doc_id, min(s)::BIGINT AS start_tok, max(e)::BIGINT AS end_tok
 FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, start_tok
+""",
+        "curate_dsir_weights": r"""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+  FROM documents),
+bk AS (
+  SELECT doc_id, lang,
+         [(('0x' || substr(md5(x), 1, 8))::BIGINT % 4096)::INT
+          FOR x IN t || [array_to_string(t[i:i+1], ' ')
+                         FOR i IN range(1, len(t))]] AS bs
+  FROM toks),
+ex AS (SELECT doc_id, lang, unnest(bs) AS b FROM bk),
+rawc AS (SELECT b, count(*)::BIGINT AS c FROM ex GROUP BY b),
+tgtc AS (SELECT b, count(*)::BIGINT AS c FROM ex WHERE lang = 'en'
+         GROUP BY b),
+tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM rawc) + 4096 AS rt,
+               (SELECT coalesce(sum(c), 0) FROM tgtc) + 4096 AS tt),
+ratio AS (
+  SELECT r.b::INT AS b,
+         round(ln((coalesce(tc.c, 0) + 1) / tot.tt)
+               - ln((coalesce(rc.c, 0) + 1) / tot.rt), 12) AS lr
+  FROM range(0, 4096) AS r(b)
+  LEFT JOIN tgtc tc ON tc.b = r.b
+  LEFT JOIN rawc rc ON rc.b = r.b
+  CROSS JOIN tot),
+sums AS (SELECT doc_id, sum(lr) AS s
+         FROM ex JOIN ratio USING (b) GROUP BY doc_id)
+SELECT d.doc_id, round(coalesce(s, 0.0), 6) AS log_weight
+FROM documents d LEFT JOIN sums USING (doc_id) ORDER BY doc_id
 """,
         "text_classifier_score": r"""
 WITH toks AS (

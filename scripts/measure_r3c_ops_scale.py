@@ -37,8 +37,10 @@ from gofias_spark.config import IndexConfig
 from gofias_spark.index.build import build_segment
 from gofias_spark.operators.events import date_histogram, sessionize
 from gofias_spark.operators.percolate import percolate
+from gofias_spark.operators.dedup import duplicate_spans
 from gofias_spark.operators.sampling import pack_sequences, stratified_sample
-from gofias_spark.operators.textstats import repetition_features
+from gofias_spark.operators.textstats import (classifier_quality_score,
+                                              repetition_features)
 from gofias_spark.query.engine import SearchEngine
 from gofias_spark.session import get_spark
 
@@ -69,6 +71,10 @@ corpus_walls["percolate"] = wall(
     lambda: percolate(ident, {{"q1": "query_300 batch_450",
                                "q2": "common_util",
                                "q3": "search_200"}}).count())
+corpus_walls["substring_spans"] = wall(
+    lambda: duplicate_spans(ident, n=20).count())
+corpus_walls["classifier_score"] = wall(
+    lambda: classifier_quality_score(ident).count())
 # synthetic events derived from the corpus ids: deterministic, no extra
 # input; ~n events across 10k users over ~n seconds
 ev = ident.select(
@@ -137,7 +143,8 @@ spark.stop()
 
 QUERY_OPS = ("rescore", "function_score", "collapse")
 CORPUS_OPS = ("repetition", "stratified_sample", "pack_sequences",
-              "percolate", "date_histogram", "sessionize")
+              "percolate", "substring_spans", "classifier_score",
+              "date_histogram", "sessionize")
 
 
 def main() -> None:

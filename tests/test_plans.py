@@ -167,3 +167,35 @@ def test_multifield_combine_plan(spark, tmp_path_factory):
     assert C.uses_take_ordered(comb)
     # partial aggregation before the exchange (map-side combine)
     assert "partial_max" in plan or "partial max" in plan.lower()
+
+
+def test_percolate_intersects_before_explode(spark):
+    """percolate must bound the exploded stream by the registered
+    vocabulary (array_intersect BELOW the Generate), broadcast the
+    query-id mapping, and keep the match-count agg partial (map-side
+    combine) — the properties that keep it linear at corpus scale."""
+    from gofias_spark.operators.percolate import percolate
+
+    docs = synth_corpus(spark, 50).withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")
+    )
+    out = percolate(docs, {"q": "common util", "r": "alpha"})
+    plan = C.physical_plan(out)
+    assert "array_intersect" in plan
+    assert "array_distinct" not in plan  # intersect replaced it
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_dsir_scoring_is_shuffle_free(spark):
+    """DSIR scoring (after the two model fits) must be a map-only plan:
+    no Exchange between the docs scan and the weight projection."""
+    from gofias_spark.operators.selection import dsir_log_weights
+
+    docs = synth_corpus(spark, 60).withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")
+    )
+    tgt = docs.limit(20)
+    out = dsir_log_weights(docs, tgt, dim=64)
+    plan = C.physical_plan(out)
+    assert "Exchange" not in plan, plan
