@@ -263,6 +263,17 @@ def _q_ft_phrase_slop(spark, sf):
     return _ft(_engine(spark, sf).search_phrase("key scan", k=10, slop=2))
 
 
+def _q_ft_phrase_prefix(spark, sf):
+    """ES match_phrase_prefix (autocomplete): docs where 'table' is
+    immediately followed by ANY vocabulary completion of 's' (scan / slow
+    / small / sort / spark / stream / ...), BM25-ranked over the fixed
+    term. Uncapped expansion = exact semantics (no ES 50-term cliff);
+    positional tiers gate on a one-more-slot key intersection, the
+    positionless plan on an open-ended JVM regex — the same contract the
+    DuckDB oracle states directly."""
+    return _ft(_engine(spark, sf).search_phrase_prefix("table s", k=10))
+
+
 def _q_ft_fuzzy(spark, sf):
     """Fuzzy single-token match (ES fuzziness analogue): SymSpell
     deletion-neighborhood expansion over the term dictionary (levenshtein
@@ -316,6 +327,31 @@ def _q_ft_paging(spark, sf):
 def _q_ft_count(spark, sf):
     n = _engine(spark, sf).count("window group")
     return spark.createDataFrame([(n,)], schema="cnt long")
+
+
+def _q_ft_adjacency_matrix(spark, sf):
+    """ES adjacency_matrix aggregation: doc counts for each named
+    AND-query and each pairwise intersection (key 'a&b'). Intersections
+    of conjunctive queries are conjunctive queries, so the whole matrix
+    composes onto count_many — ONE postings pass for n + n(n-1)/2
+    buckets. Empty intersection buckets are omitted (ES behavior)."""
+    pdf = _engine(spark, sf).adjacency_matrix(
+        {"ts": "table scan", "wg": "window group"}
+    )
+    return spark.createDataFrame(pdf, schema="query string, cnt long")
+
+
+def _q_ft_count_many(spark, sf):
+    """ES filters-aggregation analogue (engine.count_many): named counts
+    for a BATCH of queries in one pass over the postings — the scan is
+    pruned to the union of all queries' terms and each partition emits
+    #queries scalar partials, vs one full scan per query with repeated
+    count(). A query whose terms are absent still buckets (cnt 0), like
+    an ES filters bucket with no hits."""
+    pdf = _engine(spark, sf).count_many(
+        {"ts": "table scan", "wg": "window group", "zz": "zzzmissing"}
+    )
+    return spark.createDataFrame(pdf, schema="query string, cnt long")
 
 
 def _q_ft_histogram(spark, sf):
@@ -909,6 +945,21 @@ def _q_evt_date_histogram(spark, sf):
     return date_histogram(ev, "day")
 
 
+def _q_evt_pipeline_aggs(spark, sf):
+    """ES pipeline aggregations (derivative / cumulative_sum / moving_fn
+    trailing-3 avg) over the day-bucket date_histogram: pipeline aggs
+    consume SIBLING BUCKETS of the reduced rollup, never events — the
+    window runs over #buckets rows per event_type after one hash exchange
+    on the group key (operators/events.histogram_pipeline)."""
+    from gofias_spark.operators.events import (date_histogram,
+                                               histogram_pipeline)
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return histogram_pipeline(date_histogram(ev, "day"), window=3).orderBy(
+        "bucket", "event_type"
+    )
+
+
 def _q_evt_sessionize(spark, sf):
     """Gap-based sessionization (30-min timeout): the canonical stateful
     stream operator in its deterministic batch form — one hash exchange
@@ -1287,9 +1338,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_query_string_wild": _q_ft_query_string_wild,
         "ft_phrase_top10": _q_ft_phrase,
         "ft_phrase_slop": _q_ft_phrase_slop,
+        "ft_phrase_prefix": _q_ft_phrase_prefix,
         "ft_fuzzy_top10": _q_ft_fuzzy,
         "ft_wildcard_top10": _q_ft_wildcard,
         "ft_count": _q_ft_count,
+        "ft_count_many": _q_ft_count_many,
+        "ft_adjacency_matrix": _q_ft_adjacency_matrix,
         "ft_facets_lang": _q_ft_facets_lang,
         "ft_histogram": _q_ft_histogram,
         "ft_terms_stats": _q_ft_terms_stats,
@@ -1360,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_merge_coalesce": _q_rel_merge_coalesce,
         # event-stream analytics
         "evt_date_histogram": _q_evt_date_histogram,
+        "evt_pipeline_aggs": _q_evt_pipeline_aggs,
         "evt_sessionize": _q_evt_sessionize,
         # sources
         "src_xml_scan": _q_src_xml_scan,
@@ -1385,6 +1440,7 @@ def _bm25_sql(
     sort_lang_first: bool = False,
     phrase: list[str] | None = None,
     slop: int = 0,
+    prefix: str | None = None,
     fuzzy: str | None = None,
     wildcard: str | None = None,
     regex: str | None = None,
@@ -1418,8 +1474,14 @@ def _bm25_sql(
     )
     if phrase:
         # two-term proximity == one bounded gap, so the re2 regex equals
-        # the kernel's total-window semantics (engine._phrase_pattern)
-        pat = SearchEngine._phrase_pattern(phrase, dialect="re2", slop=slop)
+        # the kernel's total-window semantics (engine._phrase_pattern);
+        # with `prefix` the final slot is open-ended (match_phrase_prefix:
+        # any completion of the prefix satisfies the phrase, scoring stays
+        # on the fixed terms)
+        seq = phrase + [prefix] if prefix is not None else phrase
+        pat = SearchEngine._phrase_pattern(
+            seq, dialect="re2", slop=slop, last_prefix=prefix is not None
+        )
         filt += (
             f" JOIN documents pd ON tf.doc_id = pd.doc_id "
             f"AND regexp_matches(lower(pd.text), '{pat}')"
@@ -1765,6 +1827,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_slop": _bm25_sql(
             ["key", "scan"], 10, phrase=["key", "scan"], slop=2
         ),
+        "ft_phrase_prefix": _bm25_sql(
+            ["table"], 10, phrase=["table"], prefix="s"
+        ),
         "ft_fuzzy_top10": _bm25_sql([], 10, mode="or", fuzzy="fash"),
         "ft_wildcard_top10": _bm25_sql(
             [], 10, mode="or", wildcard="s?a*"
@@ -1777,6 +1842,43 @@ WITH tok AS ({TOK}),
 m AS (SELECT doc_id, count(DISTINCT term) AS nt FROM tok
       WHERE term IN ('window', 'group') GROUP BY doc_id)
 SELECT count(*)::BIGINT AS cnt FROM m WHERE nt = 2
+""",
+        "ft_adjacency_matrix": f"""
+WITH tok AS ({TOK})
+SELECT * FROM (
+  SELECT 'ts' AS query,
+         (SELECT count(*) FROM (
+            SELECT doc_id FROM tok WHERE term IN ('table', 'scan')
+            GROUP BY doc_id HAVING count(DISTINCT term) = 2))::BIGINT AS cnt
+  UNION ALL
+  SELECT 'wg',
+         (SELECT count(*) FROM (
+            SELECT doc_id FROM tok
+            WHERE term IN ('window', 'group')
+            GROUP BY doc_id HAVING count(DISTINCT term) = 2))::BIGINT
+  UNION ALL
+  SELECT 'ts&wg',
+         (SELECT count(*) FROM (
+            SELECT doc_id FROM tok
+            WHERE term IN ('table', 'scan', 'window', 'group')
+            GROUP BY doc_id HAVING count(DISTINCT term) = 4))::BIGINT
+) WHERE cnt > 0 OR query NOT LIKE '%&%'
+ORDER BY query
+""",
+        "ft_count_many": f"""
+WITH tok AS ({TOK})
+SELECT 'ts' AS query,
+       (SELECT count(*) FROM (
+          SELECT doc_id FROM tok WHERE term IN ('table', 'scan')
+          GROUP BY doc_id HAVING count(DISTINCT term) = 2))::BIGINT AS cnt
+UNION ALL
+SELECT 'wg',
+       (SELECT count(*) FROM (
+          SELECT doc_id FROM tok WHERE term IN ('window', 'group')
+          GROUP BY doc_id HAVING count(DISTINCT term) = 2))::BIGINT
+UNION ALL
+SELECT 'zz', 0::BIGINT
+ORDER BY query
 """,
         "ft_facets_lang": f"""
 WITH tok AS ({TOK}),
@@ -2536,6 +2638,22 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
        round(sum(value), 4) AS sum_value, round(avg(value), 4) AS avg_value
 FROM events WHERE ts IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "evt_pipeline_aggs": """
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
+         count(*)::BIGINT AS cnt,
+         round(sum(value), 4) AS sum_value, round(avg(value), 4) AS avg_value
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2)
+SELECT bucket, event_type, cnt, sum_value, avg_value,
+       (cnt - lag(cnt) OVER w)::BIGINT AS derivative,
+       (sum(cnt) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       )::BIGINT AS cumulative_sum,
+       round(avg(cnt) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS moving_avg
+FROM h WINDOW w AS (PARTITION BY event_type ORDER BY bucket ASC)
+ORDER BY bucket, event_type
 """,
         "evt_sessionize": """
 WITH e AS (SELECT event_id, user_id, ts FROM events WHERE ts IS NOT NULL),

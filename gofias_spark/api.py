@@ -115,6 +115,45 @@ class FulltextAPI:
             as_pandas=as_pandas, slop=slop,
         )
 
+    def search_phrase_prefix(
+        self,
+        phrase: str,
+        size: int = 100,
+        from_: int = 0,
+        filters: dict | None = None,
+        as_pandas: bool = False,
+        max_expansions: int | None = None,
+    ):
+        """Autocomplete phrase (ES match_phrase_prefix analogue): the
+        final token is a prefix completed by any vocabulary term. Exact
+        by default (no ES 50-expansion cliff); an explicit cap is applied
+        alphabetically. See SearchEngine.search_phrase_prefix."""
+        return self.engine.search_phrase_prefix(
+            phrase, k=size, offset=from_, filters=filters,
+            as_pandas=as_pandas, max_expansions=max_expansions,
+        )
+
+    def count_many(
+        self,
+        queries: dict[str, str] | list[str],
+        mode: str = "and",
+        filters: dict | None = None,
+    ):
+        """Named counts for a batch of queries in one postings pass (ES
+        ``filters`` aggregation analogue). Returns a pandas frame
+        (query, cnt); zero-hit queries still bucket with cnt 0."""
+        return self.engine.count_many(queries, mode=mode, filters=filters)
+
+    def adjacency_matrix(
+        self,
+        queries: dict[str, str],
+        filters: dict | None = None,
+    ):
+        """ES adjacency_matrix aggregation: counts for each named query
+        and each pairwise intersection, all in one postings pass. See
+        SearchEngine.adjacency_matrix."""
+        return self.engine.adjacency_matrix(queries, filters=filters)
+
     def search_fuzzy(
         self,
         term: str,

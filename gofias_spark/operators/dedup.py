@@ -401,23 +401,37 @@ def _positioned_gram_hashes(docs, n, id_col, text_col):
     """(id, pos, gram) rows: xxhash64 of every n-token window, with its
     0-based start position. One JVM expression tree — tokens, windows,
     hashes all codegen'd; only (id, pos, 8-byte gram hash) leaves the
-    scan."""
+    scan.
+
+    The window hash is computed in two stages: each token is hashed ONCE
+    (xxhash64 string -> long, its own projection so the hash array is
+    materialized per row, not re-derived per window), then a window's
+    gram is the xxhash64 of the n-long slice of that hash array. Hashing
+    long slices instead of re-concatenating token strings per window
+    drops the per-window cost from O(window chars) string building to 8n
+    bytes of long copies, and removes the concat_ws separator ambiguity
+    outright (token boundaries are structural, not textual).
+    Same-window => same gram either way, which is the only property
+    duplicate detection uses."""
     toks = tokens_col(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("_th"),
+    )
+    th = F.col("_th")
     windows = F.when(
-        F.size(toks) >= n,
+        F.size(th) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
+            F.sequence(F.lit(0), F.size(th) - n),
             lambda i: F.struct(
                 i.cast("int").alias("pos"),
-                F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))).alias(
-                    "gram"
-                ),
+                F.xxhash64(F.slice(th, i + 1, n)).alias("gram"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,gram:long>>"))
-    return docs.select(
-        F.col(id_col).alias("id"), F.explode(windows).alias("w")
-    ).select("id", F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram"))
+    return base.select("id", F.explode(windows).alias("w")).select(
+        "id", F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram")
+    )
 
 
 def duplicate_spans(

@@ -64,6 +64,48 @@ def date_histogram(
     return out.orderBy(*order)
 
 
+def histogram_pipeline(
+    buckets: DataFrame,
+    value_col: str = "cnt",
+    bucket_col: str = "bucket",
+    group_col: str | None = "event_type",
+    window: int = 3,
+) -> DataFrame:
+    """ES *pipeline aggregations* over a parent histogram's buckets:
+    ``derivative`` (bucket-over-bucket delta, null for each group's first
+    bucket — ES emits no derivative there), ``cumulative_sum``, and
+    ``moving_fn`` as a trailing average over the last ``window`` buckets
+    INCLUDING the current one (ES ``shift=1`` convention; stated here
+    because ES's default ``shift=0`` window excludes the current bucket).
+
+    Input is the OUTPUT of :func:`date_histogram` (or any (bucket, group,
+    value) rollup) — pipeline aggs consume sibling buckets, never events,
+    exactly like ES evaluates them on the reduced aggregation tree. So
+    the window runs over #buckets rows per group: with ``group_col`` the
+    plan is one hash exchange on the group key then a per-group linear
+    scan; without it, a single-partition window over the bucket list —
+    fine because a histogram's bucket count is bounded (ES caps at
+    search.max_buckets=65536), not corpus-sized.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if group_col:
+        w = Window.partitionBy(group_col).orderBy(F.col(bucket_col).asc())
+    else:
+        w = Window.orderBy(F.col(bucket_col).asc())
+    val = F.col(value_col)
+    mov = w.rowsBetween(-(window - 1), Window.currentRow)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = buckets.select(
+        "*",
+        (val - F.lag(value_col).over(w)).alias("derivative"),
+        F.sum(value_col).over(cum).alias("cumulative_sum"),
+        F.round(F.avg(value_col).over(mov), 6).alias("moving_avg"),
+    )
+    order = [bucket_col] + ([group_col] if group_col else [])
+    return out.orderBy(*order)
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: float = 30.0,

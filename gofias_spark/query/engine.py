@@ -49,7 +49,8 @@ RESULT_SCHEMA = "doc_id long, score double"
 
 def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
                             excluded_bc=None, allowed: np.ndarray | None = None,
-                            slop: int = 0):
+                            slop: int = 0,
+                            prefix_terms: list[str] | None = None):
     """applyInPandas kernel over one doc_part of the positional sidecar:
     decode the phrase terms' position blocks, find the doc_ids where the
     token sequence ``seq`` occurs consecutively. Runs on the sidecar's own
@@ -68,7 +69,17 @@ def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
     groupby(doc_part) plan, and the driver-side searcher which calls it
     directly on the resident sidecar frame (multi-doc_part input — the
     (doc_part, block_id) sort keeps per-term doc_ids ascending because
-    doc_id embeds doc_part in its high bits)."""
+    doc_id embeds doc_part in its high bits).
+
+    ``prefix_terms`` extends the verified sequence by ONE more slot (ES
+    ``match_phrase_prefix``): after the fixed chain ``seq`` matches at
+    start position p, ANY of the prefix-expansion terms must occur at
+    p + len(seq). Expansion rows ride the same pdf; they gate matches but
+    never score (the conjunctive-candidate and BM25 stages see only
+    ``seq``). Mutually exclusive with ``slop`` (a sloppy prefix phrase is
+    ill-defined — the chain end varies per match)."""
+    if prefix_terms is not None and slop:
+        raise ValueError("prefix_terms cannot combine with slop")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         from gofias_spark.index.codec import (
@@ -113,6 +124,11 @@ def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
             per_term[t] = (ids, tf, flat, starts, dl)
         if any(t not in per_term for t in uniq):
             return empty
+        exp_present: list[str] = []
+        if prefix_terms is not None:
+            exp_present = [t for t in prefix_terms if t in per_term]
+            if not exp_present:
+                return empty
         # conjunctive candidates, rarest term first (score_and's shape)
         order = sorted(uniq, key=lambda t: per_term[t][0].size)
         cand = per_term[order[0]][0]
@@ -168,6 +184,36 @@ def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
                 owner, vals = owner[m], vals[m]
             return owner * big + vals
 
+        def term_keys_any(t: str, shift: int) -> np.ndarray:
+            # masked variant for prefix-expansion terms: candidates are
+            # NOT guaranteed to contain t (expansions gate, they don't
+            # filter candidates), so owners where the searchsorted slot
+            # belongs to a different doc must be dropped — their position
+            # blocks would otherwise mint keys for the wrong candidate
+            ids_t, tf_t, flat_t, starts_t, _ = per_term[t]
+            p = np.searchsorted(ids_t, cand)
+            pc = np.minimum(p, ids_t.size - 1)
+            valid = ids_t[pc] == cand
+            if not valid.any():
+                return np.empty(0, dtype=np.int64)
+            sel = pc[valid]
+            cnt = tf_t[sel]
+            total = int(cnt.sum())
+            if total == 0:
+                return np.empty(0, dtype=np.int64)
+            ends = np.cumsum(cnt)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                ends - cnt, cnt
+            )
+            take = np.repeat(starts_t[sel], cnt) + within
+            owner = np.repeat(
+                np.arange(cand.size, dtype=np.int64)[valid], cnt
+            )
+            vals = flat_t[take] - np.int64(shift)
+            m = vals >= 0
+            owner, vals = owner[m], vals[m]
+            return owner * big + vals
+
         if slop:
             # ordered proximity (ES span_near in_order=true / match_phrase
             # slop analogue, restricted to in-order matches): positions
@@ -201,6 +247,16 @@ def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
                 keys = np.intersect1d(
                     keys, term_keys(t, j), assume_unique=True
                 )
+        if exp_present and keys.size:
+            # the one-more-slot gate: some expansion of the prefix sits at
+            # start + len(seq); keys are start-position keys, so shifting
+            # every expansion occurrence back by len(seq) aligns the sets
+            exp_keys = np.unique(
+                np.concatenate(
+                    [term_keys_any(t, len(seq)) for t in exp_present]
+                )
+            )
+            keys = np.intersect1d(keys, exp_keys, assume_unique=True)
         owners = np.unique(keys // big) if keys.size else keys
         verified = cand[owners] if owners.size else cand[:0]
         if score_params is None:
@@ -1087,7 +1143,7 @@ class SearchEngine:
 
     @staticmethod
     def _phrase_pattern(seq: list[str], dialect: str = "java",
-                        slop: int = 0) -> str:
+                        slop: int = 0, last_prefix: bool = False) -> str:
         """Token-adjacency regex over ``lower(content)``. The analyzer
         tokenizes on ``\\w+`` runs, so two tokens are adjacent in the token
         stream iff only non-word characters separate them in the text.
@@ -1099,13 +1155,20 @@ class SearchEngine:
         TWO-term phrase this regex is exactly the positional kernel's
         total-window proximity semantics (one gap == the whole budget);
         for longer phrases a per-gap regex would over-accept vs the shared
-        window, so callers only use slop>0 here when len(seq)==2."""
+        window, so callers only use slop>0 here when len(seq)==2.
+
+        ``last_prefix`` treats the FINAL element of ``seq`` as a token
+        prefix (ES ``match_phrase_prefix``): the last token must merely
+        START with it, so it is followed by ``\\w*`` instead of a closing
+        boundary — any completion of the prefix satisfies the phrase."""
         if dialect == "java":
-            b, gap, word, flags = r"\W", r"\W+", r"\w+", "(?s)(?U)"
+            b, gap, word, wc, flags = r"\W", r"\W+", r"\w+", r"\w", "(?s)(?U)"
         else:  # re2
             b, gap, word = "[^a-z0-9_]", "[^a-z0-9_]+", "[a-z0-9_]+"
-            flags = ""
+            wc, flags = "[a-z0-9_]", ""
         joiner = f"(?:{gap}{word}){{0,{slop}}}{gap}" if slop else gap
+        if last_prefix:
+            return f"{flags}(^|{b}){joiner.join(seq)}{wc}*"
         return f"{flags}(^|{b}){joiner.join(seq)}({b}|$)"
 
     def search_phrase(
@@ -1235,6 +1298,214 @@ class SearchEngine:
             .iloc[offset : offset + k]
         )
         return self._attach_meta(topk_pdf, with_meta, as_pandas)
+
+    def search_phrase_prefix(
+        self,
+        query: str,
+        k: int = 10,
+        offset: int = 0,
+        filters: dict | None = None,
+        with_meta: bool = True,
+        as_pandas: bool = False,
+        max_expansions: int | None = None,
+    ):
+        """ES ``match_phrase_prefix`` analogue — autocomplete over a
+        standard-analyzer index: the query's final token is an incomplete
+        word, so a doc matches iff it contains the fixed tokens adjacently
+        followed by ANY vocabulary completion of the prefix.
+
+        Two deliberate, documented divergences from ES:
+
+        * ES caps prefix expansion at ``max_expansions`` (default 50) in
+          term-dictionary order and silently misses docs beyond the cap;
+          here the default is EXACT (all completions — the verification
+          regex / position gate costs the same either way). When a cap is
+          given it is applied in ALPHABETICAL term order so every tier and
+          the SQL oracle replicate the same cutoff deterministically.
+        * Scoring: the fixed (complete) terms score as a conjunctive BM25
+          sum; the prefix slot only filters — one token more of the
+          engine's standing "proximity only filters" phrase contract. (ES
+          scores the rewritten multi-phrase with expansion idfs, an
+          expansion-cap-dependent number that can't be rank-stable.)
+
+        Routing mirrors :meth:`search_phrase`: resident positional sidecar
+        -> serve-tier positional fetch -> distributed plan (positional
+        kernel when the sidecar exists, JVM ``rlike`` content verify
+        otherwise). A single-token query (prefix only, nothing fixed)
+        degenerates to :meth:`search_wildcard` ``prefix*`` — exactly ES's
+        rewrite for that case, scored as a disjunctive term query."""
+        self._validate_filters(filters)
+        if filters_impossible(filters):
+            return self._empty_result(with_meta, as_pdf=as_pandas)
+        if self.analyzer.mode != "standard":
+            raise ValueError(
+                "search_phrase_prefix requires a standard-analyzer index; "
+                f"this index uses mode={self.analyzer.mode!r}"
+            )
+        seq_all = tokenize_text(
+            query,
+            AnalyzerConfig(
+                mode="standard", token_pattern=self.analyzer.token_pattern
+            ),
+        )
+        if not seq_all:
+            return self._empty_result(with_meta, as_pdf=as_pandas)
+        if len(seq_all) == 1:
+            return self.search_wildcard(
+                seq_all[0] + "*", k=k, offset=offset,
+                max_expansions=max_expansions, filters=filters,
+                with_meta=with_meta, as_pandas=as_pandas,
+            )
+        seq, prefix = seq_all[:-1], seq_all[-1]
+        exp = sorted(self.wildcard_terms(prefix + "*"))
+        if max_expansions:
+            exp = exp[:max_expansions]
+        qterms = list(dict.fromkeys(seq))
+        dfs = self._term_dfs(qterms)
+        if not exp or any(dfs[t] == 0 for t in qterms):
+            return self._empty_result(with_meta, as_pdf=as_pandas)
+        idf = {t: self._idf(dfs[t]) for t in qterms}
+        score_params = dict(
+            idf=idf, avgdl=self.avgdl, k1=self.bm25.k1, b=self.bm25.b
+        )
+        if (
+            self._local_positions is not None
+            and "dls" in self._local_positions.columns
+        ):
+            allowed, excl = self._local_masks(filters)
+            sub = self._local_positions[
+                self._local_positions["term"].isin(qterms + exp)
+            ]
+            res = _phrase_position_kernel(
+                seq, score_params, excluded_bc=excl, allowed=allowed,
+                prefix_terms=exp,
+            )(sub)
+            r = res.sort_values(
+                ["score", "doc_id"], ascending=[False, True],
+                kind="mergesort",
+            ).iloc[offset : offset + k]
+            if len(r) == 0:
+                return self._empty_result(with_meta, as_pdf=as_pandas)
+            if not with_meta:
+                return r if as_pandas else self._pdf_df(r, RESULT_SCHEMA)
+            out = r.merge(
+                self._local_meta.reset_index(drop=True),
+                on="doc_id", how="left",
+            )[self.DISPLAY_COLS]
+            if as_pandas:
+                return out
+            return self._pdf_df(
+                out,
+                (
+                    "doc_id long, score double, repo string, path string, "
+                    "commit string, lang string, sha256 string"
+                ),
+            )
+        if (
+            self._positions is not None
+            and filters is None
+            and self._serve is not None
+            and self._serve.has_positions
+            and self._serve_route(dfs, None)
+        ):
+            pdf = self._serve.fetch_positions(
+                list(dict.fromkeys(qterms + exp))
+            )
+            res = _phrase_position_kernel(
+                seq, score_params, excluded_bc=self._tomb_arr,
+                prefix_terms=exp,
+            )(pdf)
+            topk_pdf = res.sort_values(
+                ["score", "doc_id"], ascending=[False, True],
+                kind="mergesort",
+            ).iloc[offset : offset + k]
+            return self._attach_meta(topk_pdf, with_meta, as_pandas)
+        verified = self._phrase_prefix_frame(
+            seq, prefix, exp, filters,
+            capped=bool(max_expansions) and len(exp) == max_expansions,
+        )
+        if verified is None:
+            return self._empty_result(with_meta, as_pdf=as_pandas)
+        topk_pdf = (
+            verified.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(offset + k)
+            .toPandas()
+            .iloc[offset : offset + k]
+        )
+        return self._attach_meta(topk_pdf, with_meta, as_pandas)
+
+    def _phrase_prefix_frame(
+        self,
+        seq: list[str],
+        prefix: str,
+        exp: list[str],
+        filters: dict | None,
+        capped: bool = False,
+    ) -> DataFrame | None:
+        """Distributed (doc_id, score) frame for match_phrase_prefix.
+        Positional sidecar: ONE postings-sized scan of the fixed +
+        expansion terms' position blocks, the prefix gate evaluated
+        in-kernel. Positionless fallback: the slow-phrase shape —
+        conjunctive candidates on the FIXED terms (bounded by the rarest
+        fixed term's df), prefix adjacency verified by a JVM ``rlike``
+        whose final token is open-ended, so no expansion list is needed
+        at all on this path."""
+        qterms = list(dict.fromkeys(seq))
+        dfs = self._term_dfs(qterms)
+        if any(dfs[t] == 0 for t in qterms):
+            return None
+        idf = {t: self._idf(dfs[t]) for t in qterms}
+        params = dict(
+            qterms=qterms, idf=idf, avgdl=self.avgdl,
+            k1=self.bm25.k1, b=self.bm25.b, topn=None,
+        )
+        if self._positions is not None:
+            pos = self._positions.filter(F.col("term").isin(qterms + exp))
+            one_pass = (
+                "dls" in self._positions.columns
+                and filters is None
+                and (self._tombstones is None or self._tomb_bc is not None)
+            )
+            score_params = dict(
+                idf=idf, avgdl=self.avgdl, k1=self.bm25.k1, b=self.bm25.b
+            )
+            if one_pass:
+                return pos.groupby("doc_part").applyInPandas(
+                    _phrase_position_kernel(
+                        seq, score_params, excluded_bc=self._tomb_bc,
+                        prefix_terms=exp,
+                    ),
+                    schema=RESULT_SCHEMA,
+                )
+            blocks = self.postings.filter(F.col("term").isin(qterms))
+            scored = self._scored_frame(blocks, K.score_and, params, filters)
+            matched = pos.groupby("doc_part").applyInPandas(
+                _phrase_position_kernel(seq, prefix_terms=exp),
+                schema="doc_id long",
+            )
+            return scored.join(F.broadcast(matched), "doc_id")
+        blocks = self.postings.filter(F.col("term").isin(qterms))
+        scored = self._scored_frame(blocks, K.score_and, params, filters)
+        if min(dfs[t] for t in qterms) <= 1_000_000:
+            scored = F.broadcast(scored)
+        content = self.doc_meta.select(
+            "doc_id", F.lower(F.col("content")).alias("_content_lc")
+        )
+        if capped:
+            # a capped expansion list must verify exactly those terms on
+            # every tier (ES's expansion cliff, reproduced faithfully);
+            # uncapped, prefix\w* is equivalent to alternating over ALL
+            # completions because the vocabulary covers every corpus token
+            pat = self._phrase_pattern(
+                seq + ["(?:" + "|".join(exp) + ")"]
+            )
+        else:
+            pat = self._phrase_pattern(seq + [prefix], last_prefix=True)
+        return (
+            content.join(scored, "doc_id")
+            .filter(F.col("_content_lc").rlike(pat))
+            .drop("_content_lc")
+        )
 
     def phrase_matches(self, query: str, filters: dict | None = None,
                        slop: int = 0):
@@ -3480,6 +3751,207 @@ class SearchEngine:
             )
         row = counts.agg(F.sum("c").alias("total")).collect()[0]
         return int(row["total"] or 0)
+
+    def count_many(
+        self,
+        queries: dict[str, str] | list[str],
+        mode: str = "and",
+        filters: dict | None = None,
+    ) -> pd.DataFrame:
+        """Named counts for MANY queries in ONE pass over the postings —
+        the ES ``filters`` aggregation / ``_msearch`` count-template
+        analogue (dashboards issue dozens of these per refresh). Returns
+        a pandas frame ``(query, cnt)``, one row per input query id
+        (queries whose terms are absent from the vocabulary count 0, like
+        an ES filters bucket with no hits — the bucket still appears).
+
+        Scale shape mirrors :meth:`search_many`: the postings scan is
+        pruned to the UNION of all queries' terms, each partition emits
+        one partial count per query (``#queries x #partitions`` scalar
+        rows — the only exchange), and the final sum is bucket-sized.
+        A separate :meth:`count` per query would instead pay one scan per
+        query; at 100 TB the batch is the difference between one
+        postings-cache pass and N of them. Driver tiers (resident /
+        serve) answer the whole batch with zero Spark jobs.
+        """
+        if mode not in ("and", "or"):
+            raise ValueError(f"count_many mode must be and|or, got {mode!r}")
+        self._validate_filters(filters)
+        qmap = (
+            {q: q for q in queries}
+            if not isinstance(queries, dict)
+            else dict(queries)
+        )
+
+        def _done(alive: dict[str, int]) -> pd.DataFrame:
+            rows = sorted(
+                [(qid, int(alive.get(qid, 0))) for qid in qmap],
+            )
+            return pd.DataFrame(
+                {"query": [q for q, _ in rows],
+                 "cnt": np.array([c for _, c in rows], dtype=np.int64)}
+            )
+
+        if filters_impossible(filters):
+            return _done({})
+        analyzed = {
+            qid: analyze_query(text, self.analyzer)
+            for qid, text in qmap.items()
+        }
+        all_terms = sorted({t for ts in analyzed.values() for t in ts})
+        if not all_terms:
+            return _done({})
+        dfs = self._term_dfs(all_terms)
+        plans: dict[str, list[str]] = {}
+        for qid, ts in analyzed.items():
+            if mode == "and":
+                if not ts or any(dfs[t] == 0 for t in ts):
+                    continue
+                plans[qid] = ts
+            else:
+                live = [t for t in ts if dfs[t] > 0]
+                if live:
+                    plans[qid] = live
+        if not plans:
+            return _done({})
+        union_terms = sorted({t for ts in plans.values() for t in ts})
+
+        def count_plans(blocks_pdf, allowed, excluded) -> dict[str, int]:
+            return {
+                qid: int(
+                    K.match_ids(
+                        blocks_pdf[blocks_pdf["term"].isin(ts)],
+                        ts, mode, allowed, excluded,
+                    ).size
+                )
+                for qid, ts in plans.items()
+            }
+
+        if self._local_blocks is not None:
+            allowed, excluded = self._local_masks(filters)
+            lb = self._local_blocks[
+                self._local_blocks["term"].isin(union_terms)
+            ]
+            return _done(count_plans(lb, allowed, excluded))
+        sub_dfs = {t: dfs[t] for t in union_terms}
+        if self._serve_route(sub_dfs, filters):
+            sblocks = self._serve.fetch(union_terms)
+            if not filters:
+                return _done(count_plans(sblocks, None, self._tomb_arr))
+            # filtered serving: resolve each plan's candidate ids, then
+            # ONE union meta read amortized across the batch (the
+            # search_many arrangement), mask per query
+            per_q = {
+                qid: K.match_ids(
+                    sblocks[sblocks["term"].isin(ts)], ts, mode,
+                    None, self._tomb_arr,
+                )
+                for qid, ts in plans.items()
+            }
+            union_ids = np.unique(
+                np.concatenate(
+                    [v for v in per_q.values() if v.size]
+                    or [np.empty(0, dtype=np.int64)]
+                )
+            )
+            if union_ids.size == 0:
+                return _done({})
+            need = sorted(self._filter_fields(filters))
+            meta = self._serve.fetch_meta(
+                union_ids.tolist(), ["doc_id"] + need
+            )
+            ok = meta[pandas_filter_mask(meta, filters)]
+            ok_ids = np.sort(ok["doc_id"].to_numpy(dtype=np.int64))
+            return _done(
+                {
+                    qid: int(
+                        ids[np.isin(ids, ok_ids, assume_unique=True)].size
+                    )
+                    for qid, ids in per_q.items()
+                }
+            )
+        blocks = self.postings.filter(F.col("term").isin(union_terms))
+        right, right_kind = self._right_side(filters)
+        part_schema = "query string, c long"
+        if right is None or (
+            right_kind == "excluded" and self._tomb_bc is not None
+        ):
+            tomb_bc = self._tomb_bc if right is not None else None
+
+            def map_counts(batches):
+                pdfs = list(batches)
+                if not pdfs:
+                    return
+                pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
+                excluded = tomb_bc.value if tomb_bc is not None else None
+                c = count_plans(pdf, None, excluded)
+                yield pd.DataFrame(
+                    {"query": list(c), "c": list(c.values())}
+                )
+
+            counts = blocks.mapInPandas(map_counts, schema=part_schema)
+        else:
+
+            def cokernel(
+                left: pd.DataFrame, right_pdf: pd.DataFrame
+            ) -> pd.DataFrame:
+                if len(left) == 0:
+                    return pd.DataFrame(
+                        {"query": pd.Series(dtype="object"),
+                         "c": pd.Series(dtype="int64")}
+                    )
+                allowed = excluded = None
+                ids = (
+                    np.sort(right_pdf["doc_id"].to_numpy(dtype=np.int64))
+                    if len(right_pdf)
+                    else np.empty(0, dtype=np.int64)
+                )
+                if right_kind == "allowed":
+                    allowed = ids
+                elif right_kind == "excluded":
+                    excluded = ids
+                c = count_plans(left, allowed, excluded)
+                return pd.DataFrame(
+                    {"query": list(c), "c": list(c.values())}
+                )
+
+            counts = (
+                blocks.groupby("doc_part")
+                .cogroup(right.groupby("doc_part"))
+                .applyInPandas(cokernel, schema=part_schema)
+            )
+        agg = (
+            counts.groupBy("query").agg(F.sum("c").alias("cnt")).toPandas()
+        )
+        return _done(dict(zip(agg["query"], agg["cnt"])))
+
+    def adjacency_matrix(
+        self,
+        queries: dict[str, str],
+        filters: dict | None = None,
+    ) -> pd.DataFrame:
+        """ES ``adjacency_matrix`` aggregation: doc counts for each named
+        AND-query and each pairwise intersection (bucket key ``a&b``,
+        ES's separator). An intersection of two conjunctive term queries
+        is itself a conjunctive term query (the union of both term sets),
+        so the WHOLE matrix — n singles + n(n-1)/2 pairs — composes onto
+        :meth:`count_many` and still costs ONE postings pass. Keys
+        containing ``&`` are rejected, as in ES."""
+        for qid in queries:
+            if "&" in qid:
+                raise ValueError(
+                    f"adjacency_matrix key {qid!r} must not contain '&'"
+                )
+        names = sorted(queries)
+        batch = dict(queries)
+        for i, a in enumerate(names):
+            for b in names[i + 1 :]:
+                batch[f"{a}&{b}"] = f"{queries[a]} {queries[b]}"
+        out = self.count_many(batch, mode="and", filters=filters)
+        # ES omits empty intersection buckets but keeps the filter
+        # buckets themselves; mirror that
+        keep = ~(out["query"].str.contains("&") & (out["cnt"] == 0))
+        return out[keep].reset_index(drop=True)
 
     def get_doc(self, doc_id: int | None = None, **key) -> DataFrame:
         """Fetch by id / identity key (GetByGuid analogue,

@@ -19,6 +19,12 @@ Routes (reference analogues):
     GET /api/v1/suggests?term=..&size=..                         GetSuggests
     GET /api/v1/address/guid?repo=..&path=..&commit=..           GetByGuid
     GET /api/v1/count?term=..[&lang=..]                          _count
+    GET /api/v1/count_many?query=id:text..[&mode=and|or]         filters agg
+                                        (repeatable query=; one postings
+                                        pass counts the whole batch)
+    GET /api/v1/adjacency_matrix?query=id:text..                 adjacency
+                                        matrix agg (singles + pairwise
+                                        intersections, one pass)
     GET /api/v1/facets?field=..[&term=..&match=and|or&size=..]   terms agg
     GET /api/v1/histogram?field=..&interval=..[&term=..&match=..] histogram agg
     GET /api/v1/field_stats?field=..[&term=..&match=..]          stats agg
@@ -56,9 +62,12 @@ into ES `range` queries per filtered route, addressHandler.go:140-165):
                                         fragments per item (match=and|phrase)
     <field>.gte= .gt= .lte= .lt= .neq=  range predicates (F4), e.g.
                                         doclen.gte=100&doclen.lt=500
-    match=and|or|phrase|fuzzy|wildcard|regexp  match mode on /address/term
+    match=and|or|phrase|phrase_prefix|fuzzy|wildcard|regexp
+                                        match mode on /address/term
                                         (default and; the others are
-                                        extensions beyond the reference)
+                                        extensions beyond the reference);
+                                        phrase_prefix takes optional
+                                        max_expansions= (alphabetical cap)
     minimum_should_match=N              bool.should msm (match=or): docs
                                         matching >= N distinct query terms
     boost=term:w (repeatable)           ES term^w clause boost (match=
@@ -429,6 +438,29 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                         filters=_filters_from_query(q), as_pandas=True,
                         slop=slop,
                     )
+                elif match == "phrase_prefix":
+                    if sort_by:
+                        raise BadRequest(
+                            "match=phrase_prefix does not support sort="
+                        )
+                    mx_raw = q.get("max_expansions", [None])[0]
+                    mx = None
+                    if mx_raw is not None:
+                        try:
+                            mx = int(mx_raw)
+                        except ValueError as e:
+                            raise BadRequest(
+                                "max_expansions must be an integer"
+                            ) from e
+                        if not 1 <= mx <= 10000:
+                            raise BadRequest(
+                                "max_expansions must be in [1, 10000]"
+                            )
+                    pdf = api.search_phrase_prefix(
+                        _term(q), size=size, from_=from_,
+                        filters=_filters_from_query(q), as_pandas=True,
+                        max_expansions=mx,
+                    )
                 elif match == "fuzzy":
                     if sort_by:
                         raise BadRequest(
@@ -500,8 +532,8 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                         raise BadRequest(str(exc)) from exc
                 else:
                     raise BadRequest(
-                        "match must be one of and|or|phrase|fuzzy|"
-                        "wildcard|regexp"
+                        "match must be one of and|or|phrase|"
+                        "phrase_prefix|fuzzy|wildcard|regexp"
                     )
                 if q.get("highlight", ["false"])[0].lower() in (
                     "1", "true",
@@ -918,6 +950,75 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                     must_not=exclude,
                 )
                 self._json({"count": n})
+            elif url.path == "/api/v1/count_many":
+                # ES filters-agg analogue: repeated query=id:text params,
+                # all counted in ONE postings pass (engine.count_many)
+                raws = q.get("query", [])
+                if not raws:
+                    raise BadRequest(
+                        "count_many requires at least one query=id:text"
+                    )
+                if len(raws) > 100:
+                    raise BadRequest("at most 100 query= params")
+                qmap: dict[str, str] = {}
+                for raw in raws:
+                    qid, sep, text = raw.partition(":")
+                    if not sep or not qid or not text:
+                        raise BadRequest(
+                            f"query must be id:text, got {raw!r}"
+                        )
+                    if len(text) > MAX_TERM_LEN:
+                        raise BadRequest(
+                            f"query text longer than {MAX_TERM_LEN} chars"
+                        )
+                    if qid in qmap:
+                        raise BadRequest(f"duplicate query id {qid!r}")
+                    qmap[qid] = text
+                mode = q.get("mode", ["and"])[0]
+                if mode not in ("and", "or"):
+                    raise BadRequest("mode must be and|or")
+                pdf = api.count_many(
+                    qmap, mode=mode, filters=_filters_from_query(q)
+                )
+                self._json(
+                    {"counts": {
+                        r["query"]: int(r["cnt"])
+                        for _, r in pdf.iterrows()
+                    }}
+                )
+            elif url.path == "/api/v1/adjacency_matrix":
+                # ES adjacency_matrix agg: same repeated query=id:text
+                # surface; singles + pairwise intersections, one pass
+                raws = q.get("query", [])
+                if not 1 <= len(raws) <= 20:  # n(n-1)/2 pairs: cap n
+                    raise BadRequest(
+                        "adjacency_matrix takes 1..20 query=id:text params"
+                    )
+                qmap = {}
+                for raw in raws:
+                    qid, sep, text = raw.partition(":")
+                    if not sep or not qid or not text:
+                        raise BadRequest(
+                            f"query must be id:text, got {raw!r}"
+                        )
+                    if "&" in qid:
+                        raise BadRequest("query id must not contain '&'")
+                    if len(text) > MAX_TERM_LEN:
+                        raise BadRequest(
+                            f"query text longer than {MAX_TERM_LEN} chars"
+                        )
+                    if qid in qmap:
+                        raise BadRequest(f"duplicate query id {qid!r}")
+                    qmap[qid] = text
+                pdf = api.adjacency_matrix(
+                    qmap, filters=_filters_from_query(q)
+                )
+                self._json(
+                    {"buckets": {
+                        r["query"]: int(r["cnt"])
+                        for _, r in pdf.iterrows()
+                    }}
+                )
             elif url.path == "/metrics":
                 with lock:
                     snap = dict(metrics, by_path=dict(metrics["by_path"]),

@@ -120,6 +120,25 @@ def main() -> None:
     c.add_argument("--filter", action="append")
     c.add_argument("--exclude", default=None)
 
+    cm = sub.add_parser(
+        "count-many",
+        help="named counts for a batch of queries in ONE postings pass "
+             "(ES filters agg); repeat id:text args",
+    )
+    cm.add_argument("queries", nargs="+", metavar="id:text")
+    cm.add_argument("--mode", default="and", choices=["and", "or"])
+    cm.add_argument("--filter", action="append")
+
+    pp = sub.add_parser(
+        "phrase-prefix",
+        help="match_phrase_prefix autocomplete: fixed tokens + any "
+             "vocabulary completion of the final prefix",
+    )
+    pp.add_argument("query")
+    pp.add_argument("--k", type=int, default=10)
+    pp.add_argument("--max-expansions", type=int, default=None)
+    pp.add_argument("--filter", action="append")
+
     h = sub.add_parser("histogram")
     h.add_argument("field")
     h.add_argument("interval", type=float)
@@ -303,6 +322,27 @@ def main() -> None:
     elif args.cmd == "count":
         print(eng.count(args.query, _filters(args.filter),
                         must_not=args.exclude))
+    elif args.cmd == "count-many":
+        qmap = {}
+        for raw in args.queries:
+            qid, sep, text = raw.partition(":")
+            if not sep or not qid or not text:
+                raise SystemExit(f"query must be id:text, got {raw!r}")
+            qmap[qid] = text
+        pdf = eng.count_many(qmap, mode=args.mode,
+                             filters=_filters(args.filter))
+        for _, r in pdf.iterrows():
+            print(f"{r['query']}\t{int(r['cnt'])}")
+    elif args.cmd == "phrase-prefix":
+        out = eng.search_phrase_prefix(
+            args.query, k=args.k, filters=_filters(args.filter),
+            max_expansions=args.max_expansions, as_pandas=True,
+        )
+        for _, r in out.iterrows():
+            print(
+                f"{r['score']:.4f}\t{r['repo']}/{r['path']}"
+                f"@{r['commit']}\t{r['lang']}"
+            )
     elif args.cmd == "histogram":
         pdf = eng.histogram(
             args.field, args.interval, args.query,

@@ -843,3 +843,57 @@ def test_metrics_hygiene(gateway):
     _, m2 = _get(base, "/metrics")
     assert len(m2["by_path"]) <= 65
     assert m2["by_path"].get("_other", 0) >= 5
+
+
+def test_phrase_prefix_route(gateway):
+    api, base = gateway
+    q = urllib.parse.quote("common_util hel")
+    status, res = _get(
+        base, f"/api/v1/address/term?term={q}&match=phrase_prefix&size=5"
+    )
+    assert status == 200 and res["items"]
+    direct = api.search_phrase_prefix("common_util hel", size=5,
+                                      as_pandas=True)
+    assert [i["doc_id"] for i in res["items"]] == [
+        int(x) for x in direct["doc_id"]
+    ]
+    # cap validation
+    try:
+        status, _ = _get(
+            base,
+            f"/api/v1/address/term?term={q}&match=phrase_prefix"
+            "&max_expansions=0",
+        )
+        assert status == 400
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_count_many_route(gateway):
+    api, base = gateway
+    qs = urllib.parse.urlencode(
+        [("query", "cu:common_util"), ("query", "zz:zzzmissing")]
+    )
+    status, res = _get(base, f"/api/v1/count_many?{qs}")
+    assert status == 200
+    assert res["counts"]["cu"] == api.count("common_util")
+    assert res["counts"]["zz"] == 0
+    # malformed query param -> 400
+    try:
+        status, _ = _get(base, "/api/v1/count_many?query=nocolon")
+        assert status == 400
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_adjacency_matrix_route(gateway):
+    api, base = gateway
+    qs = urllib.parse.urlencode(
+        [("query", "cu:common_util"), ("query", "hl:helper")]
+    )
+    status, res = _get(base, f"/api/v1/adjacency_matrix?{qs}")
+    assert status == 200
+    assert res["buckets"]["cu"] == api.count("common_util")
+    assert res["buckets"]["hl"] == api.count("helper")
+    if "cu&hl" in res["buckets"]:
+        assert res["buckets"]["cu&hl"] == api.count("common_util helper")
