@@ -329,6 +329,17 @@ def _q_ft_count(spark, sf):
     return spark.createDataFrame([(n,)], schema="cnt long")
 
 
+def _q_ft_suggest_phrase(spark, sf):
+    """ES phrase suggester (did-you-mean), unigram form: per-token
+    distance-<=1 vocabulary candidates (df-desc top-5 + the original),
+    sequences scored by Laplace-smoothed unigram LM + per-token error
+    likelihood (err=0.05), only sequences beating the input's own score
+    returned. 'tble scn' should resolve toward 'table scan'. All work is
+    vocabulary-sized (engine.suggest_phrase)."""
+    pdf = _engine(spark, sf).suggest_phrase("tble scn", k=5)
+    return spark.createDataFrame(pdf, schema="suggestion string, score double")
+
+
 def _q_ft_adjacency_matrix(spark, sf):
     """ES adjacency_matrix aggregation: doc counts for each named
     AND-query and each pairwise intersection (key 'a&b'). Intersections
@@ -1349,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_terms_stats": _q_ft_terms_stats,
         "ft_composite_page": _q_ft_composite,
         "ft_suggest_term": _q_ft_suggest_term,
+        "ft_suggest_phrase": _q_ft_suggest_phrase,
         "ft_complete_prefix": _q_ft_complete_prefix,
         "ft_cardinality": _q_ft_cardinality,
         "ft_percentiles": _q_ft_percentiles,
@@ -1934,6 +1946,53 @@ WITH tok AS ({TOK})
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
 WHERE term LIKE 'sca%'
 GROUP BY term ORDER BY df DESC, term ASC LIMIT 5
+""",
+        "ft_suggest_phrase": f"""
+WITH tok AS ({TOK}),
+v AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+      GROUP BY term),
+s AS (SELECT (SELECT count(*) FROM documents)::DOUBLE
+             + (SELECT count(*) FROM v)::DOUBLE AS denom),
+c0 AS (
+  SELECT term, df FROM (
+    SELECT term, df FROM v WHERE levenshtein(term, 'tble') <= 1
+    ORDER BY df DESC, term ASC LIMIT 5)
+  UNION
+  SELECT 'tble', coalesce((SELECT df FROM v WHERE term = 'tble'),
+                          0)::DOUBLE),
+c1 AS (
+  SELECT term, df FROM (
+    SELECT term, df FROM v WHERE levenshtein(term, 'scn') <= 1
+    ORDER BY df DESC, term ASC LIMIT 5)
+  UNION
+  SELECT 'scn', coalesce((SELECT df FROM v WHERE term = 'scn'),
+                         0)::DOUBLE),
+base AS (
+  -- keeping a token only earns the real-word likelihood (0.95) when the
+  -- token exists in the vocabulary; a kept NON-word earns err (0.05)
+  SELECT ln((coalesce((SELECT df FROM v WHERE term = 'tble'), 0) + 1)
+            / s.denom)
+         + (CASE WHEN EXISTS (SELECT 1 FROM v WHERE term = 'tble')
+                 THEN ln(0.95) ELSE ln(0.05) END)
+         + ln((coalesce((SELECT df FROM v WHERE term = 'scn'), 0) + 1)
+              / s.denom)
+         + (CASE WHEN EXISTS (SELECT 1 FROM v WHERE term = 'scn')
+                 THEN ln(0.95) ELSE ln(0.05) END) AS b
+  FROM s),
+combos AS (
+  SELECT c0.term AS t0, c1.term AS t1,
+         ln((c0.df + 1) / s.denom)
+         + (CASE WHEN c0.term = 'tble' AND c0.df > 0
+                 THEN ln(0.95) ELSE ln(0.05) END)
+         + ln((c1.df + 1) / s.denom)
+         + (CASE WHEN c1.term = 'scn' AND c1.df > 0
+                 THEN ln(0.95) ELSE ln(0.05) END)
+           AS sc
+  FROM c0, c1, s)
+SELECT t0 || ' ' || t1 AS suggestion, round(sc, 6) AS score
+FROM combos, base
+WHERE NOT (t0 = 'tble' AND t1 = 'scn') AND sc > base.b
+ORDER BY score DESC, suggestion ASC LIMIT 5
 """,
         "ft_cardinality": f"""
 WITH tok AS ({TOK}),

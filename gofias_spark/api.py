@@ -543,6 +543,13 @@ class FulltextAPI:
         SearchEngine.suggest_terms. Returns a pandas frame [term, df]."""
         return self.engine.suggest_terms(term, k=size)
 
+    def suggest_phrase(self, text: str, size: int = 5,
+                       collate: bool = False):
+        """ES phrase suggester (did-you-mean), unigram form; collate
+        prunes suggestions with zero conjunctive matches in one
+        count_many pass. See SearchEngine.suggest_phrase."""
+        return self.engine.suggest_phrase(text, k=size, collate=collate)
+
     def complete_prefix(self, prefix: str, size: int = 5):
         """ES completion-suggester analogue over the term dictionary; see
         SearchEngine.complete_prefix. Returns a pandas frame [term, df]."""

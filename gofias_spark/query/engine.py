@@ -1780,6 +1780,115 @@ class SearchEngine:
              "df": pd.Series([n for _, n in out], dtype="int64")}
         )
 
+    def suggest_phrase(
+        self,
+        text: str,
+        k: int = 5,
+        max_per_token: int = 5,
+        err: float = 0.05,
+        confidence: float = 1.0,
+        collate: bool = False,
+    ) -> pd.DataFrame:
+        """ES *phrase suggester* ("did you mean" over a multi-token
+        query), in its unigram form: per-token candidates from the
+        distance-<=1 vocabulary neighborhood (:meth:`fuzzy_terms`, df-desc
+        capped at ``max_per_token``, the original token always kept), each
+        candidate SEQUENCE scored by a Laplace-smoothed unigram language
+        model plus a per-token error likelihood:
+
+            score(seq) = sum_i [ ln((df(c_i)+1) / (N + V)) + ln(e_i) ]
+            e_i = 1-err  if c_i == t_i and t_i is a vocabulary word
+                  err    otherwise (corrected, OR kept non-word)
+
+        with N = live doc count, V = vocabulary size, err = ES's
+        ``real_word_error_likelihood`` complement (default 0.05) — note
+        keeping a token ABSENT from the vocabulary earns ``err``, not
+        ``1-err``: ES's real-word likelihood only applies to words the
+        index knows, which is what lets corrections of misspellings beat
+        the typed input. Only
+        sequences scoring above ``ln(confidence) +`` the input's own score
+        are returned (ES ``confidence``, default 1.0 = strictly better
+        than what the user typed), best first (score desc, text asc).
+
+        ``collate=True`` mirrors ES's collate-query prune — but where ES
+        issues one query per suggestion, every suggestion here is counted
+        in ONE postings pass via :meth:`count_many`, and suggestions with
+        zero conjunctive matches are dropped (a ``matches`` column is
+        added). All work is vocabulary-sized: candidates come from the
+        term dictionary, the cross-product is bounded by
+        ``max_per_token^len(tokens)`` driver-side tuples (tokens capped at
+        5), and nothing corpus-sized runs unless ``collate`` asks for the
+        one batched counting pass. ES needs a dedicated gram subfield for
+        its bigram LM; the unigram form runs off stats the index already
+        keeps — the deliberate, documented divergence.
+
+        Returns ``[suggestion, score]`` (+ ``matches`` when collated).
+        """
+        import itertools
+        import math
+
+        toks = tokenize_text(
+            text,
+            AnalyzerConfig(
+                mode="standard", token_pattern=self.analyzer.token_pattern
+            ),
+        )
+        if not toks:
+            raise ValueError("phrase suggester needs at least one token")
+        if len(toks) > 5:
+            raise ValueError(
+                f"phrase suggester caps at 5 tokens, got {len(toks)}"
+            )
+        if not 0.0 < err < 1.0:
+            raise ValueError("err must be in (0, 1)")
+        if self._stats_cache is not None:
+            vocab_size = len(self._stats_cache)
+        else:
+            vocab_size = self._stats.select("term").distinct().count()
+        denom = float(self.n_docs) + float(vocab_size)
+        cand_lists: list[list[str]] = []
+        all_terms: set[str] = set()
+        for t in toks:
+            top = self.fuzzy_terms(t, 1)[:max_per_token]
+            if t not in top:
+                top = top + [t]
+            cand_lists.append(top)
+            all_terms.update(top)
+        dfs = self._term_dfs(sorted(all_terms))
+
+        def tok_score(cand: str, orig: str) -> float:
+            lm = math.log((dfs.get(cand, 0) + 1) / denom)
+            keep_real = cand == orig and dfs.get(orig, 0) > 0
+            return lm + math.log(1.0 - err if keep_real else err)
+
+        base = sum(tok_score(t, t) for t in toks)
+        threshold = base + math.log(confidence) if confidence > 0 else None
+        rows: list[tuple[str, float]] = []
+        for combo in itertools.product(*cand_lists):
+            if list(combo) == toks:
+                continue
+            s = sum(tok_score(c, o) for c, o in zip(combo, toks))
+            if threshold is None or s > threshold:
+                rows.append((" ".join(combo), s))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        rows = rows[:k]
+        out = pd.DataFrame(
+            {"suggestion": [r[0] for r in rows],
+             "score": pd.Series([round(r[1], 6) for r in rows],
+                                dtype="float64")}
+        )
+        if collate and len(out):
+            counts = self.count_many(
+                {sugg: sugg for sugg in out["suggestion"]}, mode="and"
+            )
+            out = out.merge(
+                counts.rename(columns={"query": "suggestion",
+                                       "cnt": "matches"}),
+                on="suggestion",
+            )
+            out = out[out["matches"] > 0].reset_index(drop=True)
+        return out
+
     # -- wildcard (term-dictionary expansion) -------------------------------
 
     @staticmethod

@@ -35,6 +35,8 @@ Routes (reference analogues):
     GET /api/v1/terms_stats?group=..&metric=..[&term=..&size=..] terms+stats
     GET /api/v1/composite?field=..[&size=..&after=..&term=..]    composite agg
     GET /api/v1/suggest_terms?term=..[&size=..]                  term suggester
+    GET /api/v1/suggest_phrase?term=..[&size=..&collate=true]    phrase
+                                        suggester (did-you-mean, unigram)
     GET /api/v1/complete?prefix=..[&size=..]                     completion
     GET /api/v1/more_like_this?doc_id=..[&size=..]               MLT query
     GET /api/v1/rescore?term=..&rescore=..[&window=50&size=..
@@ -662,6 +664,20 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                 size, _ = _page(q, default_size=5)
                 try:
                     pdf = api.suggest_terms(_term(q), size=size)
+                except ValueError as exc:
+                    raise BadRequest(str(exc)) from exc
+                self._json({"suggestions": _items(pdf)})
+            elif url.path == "/api/v1/suggest_phrase":
+                # ES phrase suggester (did-you-mean), unigram form;
+                # collate=true prunes via ONE count_many postings pass
+                size, _ = _page(q, default_size=5)
+                collate = q.get("collate", ["false"])[0].lower() in (
+                    "1", "true",
+                )
+                try:
+                    pdf = api.suggest_phrase(
+                        _term(q), size=size, collate=collate
+                    )
                 except ValueError as exc:
                     raise BadRequest(str(exc)) from exc
                 self._json({"suggestions": _items(pdf)})

@@ -120,6 +120,15 @@ def main() -> None:
     c.add_argument("--filter", action="append")
     c.add_argument("--exclude", default=None)
 
+    sp = sub.add_parser(
+        "suggest-phrase",
+        help="did-you-mean over a multi-token query (unigram LM + error "
+             "likelihood); --collate drops suggestions with no matches",
+    )
+    sp.add_argument("query")
+    sp.add_argument("--k", type=int, default=5)
+    sp.add_argument("--collate", action="store_true")
+
     cm = sub.add_parser(
         "count-many",
         help="named counts for a batch of queries in ONE postings pass "
@@ -322,6 +331,12 @@ def main() -> None:
     elif args.cmd == "count":
         print(eng.count(args.query, _filters(args.filter),
                         must_not=args.exclude))
+    elif args.cmd == "suggest-phrase":
+        pdf = eng.suggest_phrase(args.query, k=args.k,
+                                 collate=args.collate)
+        for _, r in pdf.iterrows():
+            extra = f"\t{int(r['matches'])}" if "matches" in pdf else ""
+            print(f"{r['score']:.4f}\t{r['suggestion']}{extra}")
     elif args.cmd == "count-many":
         qmap = {}
         for raw in args.queries:

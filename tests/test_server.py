@@ -897,3 +897,16 @@ def test_adjacency_matrix_route(gateway):
     assert res["buckets"]["hl"] == api.count("helper")
     if "cu&hl" in res["buckets"]:
         assert res["buckets"]["cu&hl"] == api.count("common_util helper")
+
+
+def test_suggest_phrase_route(gateway):
+    api, base = gateway
+    q = urllib.parse.quote("common_utl helpr")
+    status, res = _get(base, f"/api/v1/suggest_phrase?term={q}&collate=true")
+    assert status == 200
+    direct = api.suggest_phrase("common_utl helpr", collate=True)
+    assert [s["suggestion"] for s in res["suggestions"]] == list(
+        direct["suggestion"]
+    )
+    if res["suggestions"]:
+        assert res["suggestions"][0]["suggestion"] == "common_util helper"
