@@ -799,6 +799,15 @@ def _q_textstats(spark, sf):
     return TS.quality_features(_documents(spark, sf), text_col="text")
 
 
+def _q_gopher_flags(spark, sf):
+    """Gopher quality-filter ruleset (Rae et al. 2021 A1.1) as per-rule
+    flags + conjunctive gopher_pass: word-count bounds, mean word length,
+    symbol/bullet/ellipsis ratios, alphabetic-word ratio, stop-word
+    presence. One JVM expression tree per doc — a pure map stage that
+    fuses into the scan (operators/textstats.gopher_quality_flags)."""
+    return TS.gopher_quality_flags(_documents(spark, sf), text_col="text")
+
+
 def _q_langid(spark, sf):
     return TS.langid_heuristic(_documents(spark, sf), text_col="text")
 
@@ -1391,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_minhash_lsh,  # approximate, rows-only
         "dedup_clusters": _q_dedup_clusters,
         "text_quality_features": _q_textstats,
+        "text_gopher_flags": _q_gopher_flags,
         "text_langid": _q_langid,
         "text_token_counts": _q_token_counts,
         "text_fingerprints": _q_fingerprints,
@@ -2321,6 +2331,64 @@ SELECT d.doc_id,
        round(coalesce(a.sum_len, 0) / greatest(coalesce(a.n_tokens, 0), 1), 4)
            AS mean_token_len
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+""",
+        "text_gopher_flags": """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS words,
+         list_filter(string_split(text, chr(10)),
+                     l -> trim(l) <> '') AS lines,
+         text
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         greatest(len(words), 1) AS sn,
+         coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+           AS sum_wl,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         len(string_split(text, '...')) - 1 AS n_ell,
+         greatest(len(lines), 1) AS sl,
+         len(list_filter(lines,
+             l -> substr(ltrim(l), 1, 1) IN ('•', '-', '*'))) AS n_bullet,
+         len(list_filter(lines,
+             l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS n_elline,
+         len(list_filter(words,
+             w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             s -> list_contains(list_transform(words, x -> lower(x)), s)))
+           AS stop_hits
+  FROM w),
+r AS (
+  SELECT doc_id, n_words,
+         sum_wl / sn AS mean_wl,
+         (n_hash + n_ell) / sn AS sym,
+         n_bullet / sl AS bul,
+         n_elline / sl AS ell,
+         n_alpha / sn AS alp,
+         stop_hits
+  FROM m)
+SELECT doc_id,
+       n_words::INT AS n_words,
+       round(mean_wl, 4) AS mean_word_len,
+       round(sym, 4) AS symbol_word_ratio,
+       round(bul, 4) AS bullet_line_ratio,
+       round(ell, 4) AS ellipsis_line_ratio,
+       round(alp, 4) AS alpha_word_ratio,
+       stop_hits::INT AS stop_hits,
+       (n_words >= 50 AND n_words <= 100000) AS ok_words,
+       (mean_wl >= 3.0 AND mean_wl <= 10.0) AS ok_word_len,
+       (sym <= 0.1) AS ok_symbols,
+       (bul <= 0.9) AS ok_bullets,
+       (ell <= 0.3) AS ok_ellipsis,
+       (alp >= 0.8) AS ok_alpha,
+       (stop_hits >= 2) AS ok_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+        AND sym <= 0.1 AND bul <= 0.9 AND ell <= 0.3
+        AND alp >= 0.8 AND stop_hits >= 2) AS gopher_pass
+FROM r
 """,
         "text_langid": f"""
 WITH tok AS ({TOK}),

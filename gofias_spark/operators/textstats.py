@@ -60,6 +60,112 @@ def quality_features(
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality ruleset (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", appendix A1.1 filtering heuristics) as
+    per-rule boolean flags plus the conjunctive ``gopher_pass``:
+
+    * word count in [min_words, max_words] (words = whitespace tokens)
+    * mean word length in [min_mean_word_len, max_mean_word_len]
+    * symbol-to-word ratio (``#`` and ``...`` occurrences / words) <= 0.1
+    * lines starting with a bullet (•, -, *) <= 90%
+    * lines ending with an ellipsis (``...`` or …) <= 30%
+    * words containing at least one alphabetic character >= 80%
+    * at least ``min_stop_hits`` DISTINCT Gopher stop words present
+      (the / be / to / of / and / that / have / with)
+
+    Everything is one JVM expression tree over the text column — no
+    shuffle, no Python; at 100 TB this is a pure map stage that fuses
+    into whatever scan feeds it. Returns the metrics, one boolean per
+    rule, and ``gopher_pass``.
+    """
+    txt = F.col(text_col)
+    words = F.filter(F.split(F.trim(txt), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    safe_n = F.greatest(n_words, F.lit(1))
+    mean_wl = (
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+        / safe_n
+    )
+    n_hash = F.length(txt) - F.length(F.regexp_replace(txt, "#", ""))
+    n_ellipsis = F.size(F.split(txt, r"\.\.\.")) - 1
+    symbol_ratio = (n_hash + n_ellipsis) / safe_n
+    lines = F.filter(F.split(txt, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_ratio = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.substring(F.ltrim(l), 1, 1).isin("•", "-", "*"),
+            )
+        )
+        / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.rtrim(l).endswith("...")
+                | F.rtrim(l).endswith("…"),
+            )
+        )
+        / n_lines
+    )
+    alpha_ratio = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / safe_n
+    )
+    low_words = F.transform(words, lambda w: F.lower(w))
+    stop_hits = F.size(
+        F.filter(
+            F.array([F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(low_words, s),
+        )
+    )
+    f_words = (n_words >= min_words) & (n_words <= max_words)
+    f_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    f_sym = symbol_ratio <= max_symbol_word_ratio
+    f_bullet = bullet_ratio <= max_bullet_line_ratio
+    f_ell = ellipsis_ratio <= max_ellipsis_line_ratio
+    f_alpha = alpha_ratio >= min_alpha_word_ratio
+    f_stop = stop_hits >= min_stop_hits
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_word_ratio"),
+        F.round(bullet_ratio, 4).alias("bullet_line_ratio"),
+        F.round(ellipsis_ratio, 4).alias("ellipsis_line_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
+        stop_hits.alias("stop_hits"),
+        f_words.alias("ok_words"),
+        f_wl.alias("ok_word_len"),
+        f_sym.alias("ok_symbols"),
+        f_bullet.alias("ok_bullets"),
+        f_ell.alias("ok_ellipsis"),
+        f_alpha.alias("ok_alpha"),
+        f_stop.alias("ok_stopwords"),
+        (
+            f_words & f_wl & f_sym & f_bullet & f_ell & f_alpha & f_stop
+        ).alias("gopher_pass"),
+    )
+
+
 def langid_heuristic(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "content"
 ) -> DataFrame:

@@ -96,6 +96,12 @@ def main(argv=None) -> None:
     _add_io(pk)
     pk.add_argument("--budget", type=int, required=True)
 
+    gf = sub.add_parser("gopher")
+    _add_io(gf)
+    gf.add_argument("--flags-only", action="store_true",
+                    help="emit per-rule flags for every doc instead of "
+                         "filtering to gopher_pass docs")
+
     rd = sub.add_parser("redact")
     _add_io(rd)
 
@@ -120,6 +126,17 @@ def main(argv=None) -> None:
         from gofias_spark.operators.dedup import strip_duplicate_spans
 
         out = strip_duplicate_spans(docs, n=args.n, id_col=ic, text_col=tc)
+    elif args.step == "gopher":
+        from gofias_spark.operators.textstats import gopher_quality_flags
+
+        flags = gopher_quality_flags(docs, id_col=ic, text_col=tc)
+        if args.flags_only:
+            out = flags
+        else:
+            # filter mode: keep passing docs, all original columns
+            out = docs.join(
+                flags.filter("gopher_pass").select(ic), ic, "inner"
+            )
     elif args.step == "classify":
         from gofias_spark.operators.textstats import (
             classifier_quality_score,

@@ -85,3 +85,17 @@ def test_bad_rates(io_dirs):
     with pytest.raises(SystemExit):
         _run(["sample", "--input", inp,
               "--output", str(root / "x.parquet"), "--rates", "nonsense"])
+
+
+def test_gopher_filter_and_flags(io_dirs):
+    spark, root, inp, _ = io_dirs
+    # flags mode: one row per input doc with the per-rule booleans
+    out = str(root / "gflags.parquet")
+    _run(["gopher", "--input", inp, "--output", out, "--flags-only"])
+    fl = spark.read.parquet(out)
+    assert fl.count() == 4
+    assert {"gopher_pass", "ok_words", "ok_stopwords"} <= set(fl.columns)
+    # filter mode: the short test docs all fail the 50-word floor
+    out2 = str(root / "gpass.parquet")
+    _run(["gopher", "--input", inp, "--output", out2])
+    assert spark.read.parquet(out2).count() == 0
