@@ -593,6 +593,51 @@ class FulltextAPI:
         self._reopen()
         return manifest
 
+    def update_by_query(
+        self,
+        term: str,
+        set_exprs: dict,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+        must_not: str | None = None,
+    ) -> dict:
+        """ES ``_update_by_query`` analogue: resolve every matching doc's
+        identity key distributedly (SearchEngine.matched_keys), pull the
+        matched rows from the live doc store, apply ``set_exprs``
+        (column name -> Spark Column or SQL expression string), and MERGE
+        the transformed rows back through the normal upsert path — the
+        updated docs are retokenized and reindexed, old versions
+        tombstoned, exactly like any delta import. The identity key
+        columns (repo, path) are immutable (changing them is a
+        delete+insert, which ES's _update_by_query also refuses).
+
+        The whole flow is DataFrame-to-DataFrame: match set -> co-keyed
+        join with doc_meta -> projection -> delta build; no driver
+        materialization of matched docs at any corpus size. Reopens the
+        engine on the updated manifest and returns it."""
+        from gofias_spark.index.merge import LOGICAL_KEY, apply_delta
+
+        for c in set_exprs:
+            if c in LOGICAL_KEY:
+                raise ValueError(
+                    f"identity key column {c!r} is immutable in "
+                    "update_by_query (delete + re-add instead)"
+                )
+        keys = self.engine.matched_keys(
+            term, mode=mode, filters=filters, must_not=must_not
+        )
+        live = self.engine.get_doc().select(
+            "repo", "path", "commit", "lang", "content"
+        )
+        upd = live.join(keys, LOGICAL_KEY, "inner")
+        for colname, expr in set_exprs.items():
+            col = F.expr(expr) if isinstance(expr, str) else expr
+            upd = upd.withColumn(colname, col)
+        manifest = apply_delta(self.spark, self.index_root, upserts=upd)
+        self._reopen()
+        return manifest
+
     def reindex(
         self,
         dest_root: str,

@@ -166,6 +166,56 @@ def gopher_quality_flags(
     )
 
 
+def gopher_repetition_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_bigram_char_frac: float = 0.20,
+) -> DataFrame:
+    """The Gopher repetition thresholds (Rae et al. 2021 A1.1, Table A1)
+    applied to :func:`repetition_features`'s signals: duplicate-line
+    fraction <= 0.30, duplicate-line character fraction <= 0.20, top
+    2-gram character fraction <= 0.20. Same map-only shape as the
+    underlying features; emits the fractions, one flag per threshold,
+    and the conjunctive ``repetition_pass``."""
+    rf = repetition_features(docs, id_col=id_col, text_col=text_col)
+    ok_l = F.col("dup_line_frac") <= max_dup_line_frac
+    ok_c = F.col("dup_line_char_frac") <= max_dup_line_char_frac
+    ok_b = F.col("top_bigram_char_frac") <= max_top_bigram_char_frac
+    return rf.select(
+        "*",
+        ok_l.alias("ok_dup_lines"),
+        ok_c.alias("ok_dup_line_chars"),
+        ok_b.alias("ok_top_bigram"),
+        (ok_l & ok_c & ok_b).alias("repetition_pass"),
+    )
+
+
+def gopher_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Full Gopher document filter: quality heuristics
+    (:func:`gopher_quality_flags`) AND repetition thresholds
+    (:func:`gopher_repetition_flags`) at their published defaults. Keeps
+    passing docs with all their original columns. The two flag stages are
+    both map-only, so the whole filter is scan -> project -> filter with
+    a co-keyed join on ``id_col`` that AQE turns into a broadcast when
+    one side is small; at 100 TB the honest cost is the two text passes,
+    not any shuffle of content."""
+    q = gopher_quality_flags(docs, id_col=id_col, text_col=text_col)
+    r = gopher_repetition_flags(docs, id_col=id_col, text_col=text_col)
+    keep = (
+        q.filter("gopher_pass")
+        .select(id_col)
+        .join(r.filter("repetition_pass").select(id_col), id_col)
+    )
+    return docs.join(keep, id_col, "inner")
+
+
 def langid_heuristic(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "content"
 ) -> DataFrame:

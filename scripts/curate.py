@@ -101,6 +101,9 @@ def main(argv=None) -> None:
     gf.add_argument("--flags-only", action="store_true",
                     help="emit per-rule flags for every doc instead of "
                          "filtering to gopher_pass docs")
+    gf.add_argument("--with-repetition", action="store_true",
+                    help="also apply the Gopher repetition thresholds "
+                         "(dup lines / dup line chars / top bigram)")
 
     rd = sub.add_parser("redact")
     _add_io(rd)
@@ -127,13 +130,24 @@ def main(argv=None) -> None:
 
         out = strip_duplicate_spans(docs, n=args.n, id_col=ic, text_col=tc)
     elif args.step == "gopher":
-        from gofias_spark.operators.textstats import gopher_quality_flags
+        from gofias_spark.operators.textstats import (
+            gopher_filter,
+            gopher_quality_flags,
+            gopher_repetition_flags,
+        )
 
-        flags = gopher_quality_flags(docs, id_col=ic, text_col=tc)
         if args.flags_only:
-            out = flags
+            out = gopher_quality_flags(docs, id_col=ic, text_col=tc)
+            if args.with_repetition:
+                out = out.join(
+                    gopher_repetition_flags(docs, id_col=ic, text_col=tc),
+                    ic,
+                )
+        elif args.with_repetition:
+            out = gopher_filter(docs, id_col=ic, text_col=tc)
         else:
             # filter mode: keep passing docs, all original columns
+            flags = gopher_quality_flags(docs, id_col=ic, text_col=tc)
             out = docs.join(
                 flags.filter("gopher_pass").select(ic), ic, "inner"
             )

@@ -68,3 +68,23 @@ def test_plan_is_map_only(spark):
     df = spark.createDataFrame(DOCS, "doc_id string, content string")
     plan = C.physical_plan(gopher_quality_flags(df))
     assert "Exchange" not in plan, plan
+
+
+def test_repetition_flags_and_full_filter(spark):
+    from gofias_spark.operators.textstats import (
+        gopher_filter,
+        gopher_repetition_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [("clean", GOOD),
+         ("looped", "\n".join(["the same line again and again ok"] * 20))],
+        "doc_id string, content string",
+    )
+    rf = gopher_repetition_flags(docs).toPandas().set_index("doc_id")
+    assert bool(rf.loc["clean", "repetition_pass"])
+    assert not bool(rf.loc["looped", "ok_dup_lines"])
+    assert not bool(rf.loc["looped", "repetition_pass"])
+
+    kept = gopher_filter(docs).toPandas()
+    assert list(kept["doc_id"]) == ["clean"]

@@ -164,3 +164,39 @@ def test_delete_by_query_and_reindex(spark, tmp_path_factory):
     assert a == b
     api.close()
     r2.close()
+
+
+def test_update_by_query(spark, tmp_path_factory):
+    """ES _update_by_query analogue: matched docs are transformed and
+    MERGEd back through the upsert path — retokenized, old versions
+    tombstoned, doc count unchanged."""
+    from pyspark.sql import functions as F
+
+    from gofias_spark.api import FulltextAPI
+
+    root = str(tmp_path_factory.mktemp("ubqidx"))
+    build_segment(spark, synth_corpus(spark, 80), root, CFG)
+    api = FulltextAPI(spark, root)
+    api.engine.warm()
+    n_before = api.version()["n_docs"]
+    n_match = api.count("common_util")
+    assert n_match > 0
+    assert api.count("upqtagged") == 0
+
+    api.update_by_query(
+        "common_util",
+        {"content": F.concat(F.col("content"), F.lit(" upqtagged")),
+         "lang": "'zz'"},
+    )
+    # every previously-matching doc now carries the tag and the new lang
+    assert api.count("upqtagged") == n_match
+    assert api.count("upqtagged", filters={"lang": "zz"}) == n_match
+    # the original term still matches (content was appended, not replaced)
+    assert api.count("common_util") == n_match
+    # doc count unchanged: updates, not inserts
+    assert api.version()["n_docs"] == n_before
+
+    # identity keys are immutable
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        api.update_by_query("common_util", {"path": "'x'"})
