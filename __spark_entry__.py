@@ -808,6 +808,15 @@ def _q_gopher_flags(spark, sf):
     return TS.gopher_quality_flags(_documents(spark, sf), text_col="text")
 
 
+def _q_code_flags(spark, sf):
+    """Source-code file-quality ruleset (The Stack / StarCoder /
+    SantaCoder preprocessing filters) as per-rule flags + conjunctive
+    code_pass: max/mean line length, alphanumeric fraction, XML-document
+    and auto-generated-header detection. Pure JVM map stage
+    (operators/textstats.code_quality_flags)."""
+    return TS.code_quality_flags(_documents(spark, sf), text_col="text")
+
+
 def _q_langid(spark, sf):
     return TS.langid_heuristic(_documents(spark, sf), text_col="text")
 
@@ -1401,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "text_quality_features": _q_textstats,
         "text_gopher_flags": _q_gopher_flags,
+        "text_code_flags": _q_code_flags,
         "text_langid": _q_langid,
         "text_token_counts": _q_token_counts,
         "text_fingerprints": _q_fingerprints,
@@ -2389,6 +2399,45 @@ SELECT doc_id,
         AND sym <= 0.1 AND bul <= 0.9 AND ell <= 0.3
         AND alp >= 0.8 AND stop_hits >= 2) AS gopher_pass
 FROM r
+""",
+        "text_code_flags": """
+WITH l AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines, text
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         coalesce(list_max(list_transform(lines, x -> length(x))), 0)
+           AS maxl,
+         coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+           / greatest(len(lines), 1) AS avgl,
+         length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+           / greatest(length(text), 1) AS alnum,
+         contains(substr(text, 1, 100), '<?xml version=') AS is_xml,
+         (contains(lower(array_to_string(list_slice(lines, 1, 5), chr(10))),
+                   'auto-generated')
+          OR contains(lower(array_to_string(list_slice(lines, 1, 5),
+                      chr(10))), 'autogenerated')
+          OR contains(lower(array_to_string(list_slice(lines, 1, 5),
+                      chr(10))), 'automatically generated')
+          OR contains(lower(array_to_string(list_slice(lines, 1, 5),
+                      chr(10))), 'generated by')
+          OR contains(lower(array_to_string(list_slice(lines, 1, 5),
+                      chr(10))), 'do not edit')) AS is_autogen
+  FROM l)
+SELECT doc_id,
+       n_lines::INT AS n_lines,
+       maxl::INT AS max_line_len,
+       round(avgl, 4) AS avg_line_len,
+       round(alnum, 4) AS alnum_ratio,
+       (maxl <= 1000) AS ok_max_line,
+       (avgl <= 100.0) AS ok_avg_line,
+       (alnum >= 0.25) AS ok_alnum,
+       NOT is_xml AS ok_not_xml,
+       NOT is_autogen AS ok_not_autogen,
+       (maxl <= 1000 AND avgl <= 100.0 AND alnum >= 0.25
+        AND NOT is_xml AND NOT is_autogen) AS code_pass
+FROM m
 """,
         "text_langid": f"""
 WITH tok AS ({TOK}),

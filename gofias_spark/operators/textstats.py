@@ -587,3 +587,84 @@ def classifier_quality_score(
         F.col(id_col),
         F.round(sig(F.lit(float(bias)) + mean), 6).alias("quality_score"),
     )
+
+
+AUTOGEN_MARKERS = (
+    "auto-generated",
+    "autogenerated",
+    "automatically generated",
+    "generated by",
+    "do not edit",
+)
+
+
+def code_quality_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    max_line_len: int = 1000,
+    max_avg_line_len: float = 100.0,
+    min_alnum_ratio: float = 0.25,
+    autogen_head_lines: int = 5,
+) -> DataFrame:
+    """Source-code file-quality ruleset in the shape of The Stack /
+    StarCoder preprocessing (Kocetkov et al. 2022 "The Stack", Li et al.
+    2023 "StarCoder", Allal et al. 2023 "SantaCoder" data filters) as
+    per-rule boolean flags plus the conjunctive ``code_pass``:
+
+    * longest line <= ``max_line_len`` chars (drops minified/data files)
+    * mean line length <= ``max_avg_line_len``
+    * alphanumeric character fraction >= ``min_alnum_ratio`` (drops
+      binary-ish / encoded payloads)
+    * not an XML document (``<?xml version=`` within the first 100 chars)
+    * no auto-generation marker ("auto-generated", "generated by",
+      "do not edit", ...) in the first ``autogen_head_lines`` lines
+      (CodeParrot-style generated-file removal)
+
+    Lines = ``split(text, '\\n')`` (empty lines count toward the mean,
+    matching a bytes/lines definition). Like the Gopher ruleset this is
+    one JVM expression tree per doc — a pure map stage, no shuffle, no
+    Python; at 100 TB it fuses into the scan that feeds it.
+    """
+    txt = F.col(text_col)
+    lines = F.split(txt, "\n")
+    n_lines = F.size(lines)
+    line_lens = F.transform(lines, lambda l: F.length(l))
+    maxl = F.coalesce(F.array_max(line_lens), F.lit(0))
+    avgl = F.aggregate(
+        line_lens, F.lit(0), lambda a, x: a + x
+    ) / F.greatest(n_lines, F.lit(1))
+    n_chars = F.length(txt)
+    n_alnum = F.length(F.regexp_replace(txt, r"[^A-Za-z0-9]", ""))
+    alnum = n_alnum / F.greatest(n_chars, F.lit(1))
+    is_xml = F.substring(txt, 1, 100).contains("<?xml version=")
+    head = F.lower(
+        F.array_join(F.slice(lines, 1, autogen_head_lines), "\n")
+    )
+    is_autogen = F.lit(False)
+    for m in AUTOGEN_MARKERS:
+        is_autogen = is_autogen | head.contains(m)
+    ok_max_line = maxl <= max_line_len
+    ok_avg_line = avgl <= max_avg_line_len
+    ok_alnum = alnum >= min_alnum_ratio
+    ok_not_xml = ~is_xml
+    ok_not_autogen = ~is_autogen
+    return docs.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        maxl.alias("max_line_len"),
+        F.round(avgl, 4).alias("avg_line_len"),
+        F.round(alnum, 4).alias("alnum_ratio"),
+        ok_max_line.alias("ok_max_line"),
+        ok_avg_line.alias("ok_avg_line"),
+        ok_alnum.alias("ok_alnum"),
+        ok_not_xml.alias("ok_not_xml"),
+        ok_not_autogen.alias("ok_not_autogen"),
+        (
+            ok_max_line
+            & ok_avg_line
+            & ok_alnum
+            & ok_not_xml
+            & ok_not_autogen
+        ).alias("code_pass"),
+    )
