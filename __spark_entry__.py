@@ -989,6 +989,42 @@ def _q_evt_pipeline_aggs(spark, sf):
     )
 
 
+def _q_evt_bucket_pipeline(spark, sf):
+    """ES bucket_script -> bucket_selector -> bucket_sort pipeline over
+    the day-bucket date_histogram: derive a per-bucket metric as a
+    Catalyst expression, filter buckets on it post-agg, then order and
+    truncate siblings per parent group (row_number after one hash
+    exchange on event_type). All three stages consume the reduced bucket
+    tree — a few hundred rows — never events
+    (operators/events.bucket_script/bucket_selector/bucket_sort)."""
+    from gofias_spark.operators.events import (bucket_script,
+                                               bucket_selector,
+                                               bucket_sort,
+                                               date_histogram)
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    h = date_histogram(ev, "day")
+    h = bucket_script(h, {"ratio": "round(sum_value / cnt, 4)"})
+    h = bucket_selector(h, "cnt >= 2")
+    return bucket_sort(
+        h, [("cnt", "desc"), ("bucket", "asc")], size=3,
+        group_col="event_type",
+    )
+
+
+def _q_evt_bucket_stats(spark, sf):
+    """ES stats_bucket sibling pipeline agg (subsumes avg/sum/min/max
+    _bucket): second-level rollup across the sibling day buckets of each
+    event_type — shuffle carries a handful of partial rows per group
+    (operators/events.bucket_stats)."""
+    from gofias_spark.operators.events import bucket_stats, date_histogram
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return bucket_stats(
+        date_histogram(ev, "day"), value_col="cnt", group_col="event_type"
+    )
+
+
 def _q_evt_sessionize(spark, sf):
     """Gap-based sessionization (30-min timeout): the canonical stateful
     stream operator in its deterministic batch form — one hash exchange
@@ -1447,6 +1483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-stream analytics
         "evt_date_histogram": _q_evt_date_histogram,
         "evt_pipeline_aggs": _q_evt_pipeline_aggs,
+        "evt_bucket_pipeline": _q_evt_bucket_pipeline,
+        "evt_bucket_stats": _q_evt_bucket_stats,
         "evt_sessionize": _q_evt_sessionize,
         # sources
         "src_xml_scan": _q_src_xml_scan,
@@ -2814,6 +2852,37 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
        round(sum(value), 4) AS sum_value, round(avg(value), 4) AS avg_value
 FROM events WHERE ts IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "evt_bucket_pipeline": """
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
+         count(*)::BIGINT AS cnt,
+         round(sum(value), 4) AS sum_value, round(avg(value), 4) AS avg_value
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2),
+s AS (
+  SELECT *, round(sum_value / cnt, 4) AS ratio FROM h WHERE cnt >= 2),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY event_type ORDER BY cnt DESC, bucket ASC) AS rn
+  FROM s)
+SELECT bucket, event_type, cnt, sum_value, avg_value, ratio
+FROM r WHERE rn <= 3
+ORDER BY event_type, cnt DESC, bucket ASC
+""",
+        "evt_bucket_stats": """
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
+         count(*)::BIGINT AS cnt
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2)
+SELECT event_type,
+       count(*)::BIGINT AS n_buckets,
+       min(cnt)::BIGINT AS min_v,
+       max(cnt)::BIGINT AS max_v,
+       round(CAST(sum(cnt) AS DOUBLE), 4) AS sum_v,
+       round(avg(cnt), 4) AS avg_v
+FROM h GROUP BY event_type ORDER BY event_type
 """,
         "evt_pipeline_aggs": """
 WITH h AS (

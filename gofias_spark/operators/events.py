@@ -154,3 +154,95 @@ def sessionize(
         )
         .drop("_brk")
     )
+
+
+def bucket_script(buckets: DataFrame, exprs: dict[str, str]) -> DataFrame:
+    """ES ``bucket_script`` pipeline agg: derive new per-bucket metrics
+    from the bucket's existing metric columns via SQL expressions (the
+    ES form evaluates a Painless script over ``buckets_path`` values; the
+    engine form is a Catalyst expression over the rollup's columns —
+    fully codegen'd, zero extra passes).
+
+    ``exprs`` maps new column name -> SQL expression string, e.g.
+    ``{"avg_value": "sum_value / cnt"}``.
+
+    Like all pipeline aggs this consumes the reduced bucket tree, never
+    events: a pure projection over #buckets rows.
+    """
+    out = buckets
+    for name, sql in exprs.items():
+        out = out.withColumn(name, F.expr(sql))
+    return out
+
+
+def bucket_selector(buckets: DataFrame, condition: str) -> DataFrame:
+    """ES ``bucket_selector`` pipeline agg: keep only buckets whose
+    metrics satisfy ``condition`` (SQL boolean expression over the bucket
+    row, e.g. ``"cnt >= 10 AND sum_value > 0"``). A filter over the
+    reduced aggregation tree — evaluated post-agg exactly as ES does."""
+    return buckets.filter(F.expr(condition))
+
+
+def bucket_sort(
+    buckets: DataFrame,
+    sort_by: list[tuple[str, str]],
+    size: int | None = None,
+    from_: int = 0,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``bucket_sort`` pipeline agg: order sibling buckets by metric
+    columns and truncate (``from``/``size``), optionally per parent group
+    (ES nests bucket_sort under the parent multi-bucket agg; passing
+    ``group_col`` reproduces that nesting).
+
+    With ``group_col`` the plan is one hash exchange on the group key and
+    a per-group ``row_number`` scan; without it, a single ordered pass
+    over the bucket list — bounded by ES's search.max_buckets, never
+    corpus-sized.
+    """
+    if from_ < 0:
+        raise ValueError("from_ must be >= 0")
+    cols = [
+        F.col(c).desc() if d.lower() == "desc" else F.col(c).asc()
+        for c, d in sort_by
+    ]
+    if group_col is not None:
+        w = Window.partitionBy(group_col).orderBy(*cols)
+        out = buckets.withColumn("_rn", F.row_number().over(w))
+        hi = from_ + size if size is not None else None
+        cond = F.col("_rn") > from_
+        if hi is not None:
+            cond = cond & (F.col("_rn") <= hi)
+        return out.filter(cond).drop("_rn").orderBy(group_col, *cols)
+    out = buckets.orderBy(*cols)
+    if from_:
+        out = out.offset(from_)
+    if size is not None:
+        out = out.limit(size)
+    return out
+
+
+def bucket_stats(
+    buckets: DataFrame,
+    value_col: str = "cnt",
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES sibling pipeline aggs ``stats_bucket`` (subsuming avg_bucket /
+    sum_bucket / min_bucket / max_bucket): aggregate a metric ACROSS the
+    sibling buckets of a parent, one output row per parent group (or one
+    global row). Returns ``n_buckets, min_v, max_v, sum_v, avg_v``.
+
+    A second-level rollup over #buckets rows — the shuffle carries a few
+    partial rows per group, nothing event-sized.
+    """
+    val = F.col(value_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.min(val).alias("min_v"),
+        F.max(val).alias("max_v"),
+        F.round(F.sum(val).cast("double"), 4).alias("sum_v"),
+        F.round(F.avg(val), 4).alias("avg_v"),
+    ]
+    if group_col is not None:
+        return buckets.groupBy(group_col).agg(*aggs).orderBy(group_col)
+    return buckets.agg(*aggs)

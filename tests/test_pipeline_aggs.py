@@ -73,3 +73,78 @@ def test_window_validation(events):
     h = date_histogram(events, "day")
     with pytest.raises(ValueError):
         histogram_pipeline(h, window=0)
+
+
+# ---- bucket_script / bucket_selector / bucket_sort / bucket_stats -------
+
+from gofias_spark.operators.events import (  # noqa: E402
+    bucket_script,
+    bucket_selector,
+    bucket_sort,
+    bucket_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def hist(spark, events):
+    return date_histogram(events, "day")
+
+
+def test_bucket_script_derives_expression(hist):
+    out = bucket_script(hist, {"ratio": "round(sum_value / cnt, 4)"})
+    pdf = out.toPandas()
+    for _, r in pdf.iterrows():
+        assert r["ratio"] == round(r["sum_value"] / r["cnt"], 4)
+
+
+def test_bucket_selector_filters_buckets(hist):
+    pdf = hist.toPandas()
+    kept = bucket_selector(hist, "cnt >= 3").toPandas()
+    assert len(kept) == (pdf["cnt"] >= 3).sum()
+    assert (kept["cnt"] >= 3).all()
+
+
+def test_bucket_sort_per_group_topk(hist):
+    out = bucket_sort(
+        hist, [("cnt", "desc"), ("bucket", "asc")], size=2,
+        group_col="event_type",
+    ).toPandas()
+    exp = (
+        hist.toPandas()
+        .sort_values(["cnt", "bucket"], ascending=[False, True])
+        .groupby("event_type")
+        .head(2)
+    )
+    for et in exp["event_type"].unique():
+        got = out[out["event_type"] == et][["bucket", "cnt"]].values.tolist()
+        want = exp[exp["event_type"] == et][["bucket", "cnt"]]
+        want = want.sort_values(
+            ["cnt", "bucket"], ascending=[False, True]
+        ).values.tolist()
+        assert got == want, et
+
+
+def test_bucket_sort_global_offset_limit(hist):
+    allb = bucket_sort(hist, [("cnt", "desc"), ("bucket", "asc")]).toPandas()
+    page = bucket_sort(
+        hist, [("cnt", "desc"), ("bucket", "asc")], size=2, from_=1
+    ).toPandas()
+    assert page.values.tolist() == allb.iloc[1:3].values.tolist()
+
+
+def test_bucket_stats_across_siblings(hist):
+    out = bucket_stats(hist, value_col="cnt", group_col="event_type")
+    pdf = out.toPandas().set_index("event_type")
+    exp = hist.toPandas().groupby("event_type")["cnt"]
+    for et, g in exp:
+        assert pdf.loc[et, "n_buckets"] == len(g)
+        assert pdf.loc[et, "min_v"] == g.min()
+        assert pdf.loc[et, "max_v"] == g.max()
+        assert pdf.loc[et, "sum_v"] == round(float(g.sum()), 4)
+        assert pdf.loc[et, "avg_v"] == round(g.mean(), 4)
+
+
+def test_bucket_stats_global_row(hist):
+    out = bucket_stats(hist, value_col="cnt").toPandas()
+    assert len(out) == 1
+    assert out.loc[0, "n_buckets"] == hist.count()
