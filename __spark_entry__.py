@@ -254,6 +254,16 @@ def _q_ft_phrase(spark, sf):
     return _ft(_engine(spark, sf).search_phrase("table scan", k=10))
 
 
+def _q_ft_span_first(spark, sf):
+    """ES/Lucene span_first: 'table scan' as an adjacent span ENDING
+    within the first 32 token positions (header/banner-anchored match).
+    The span-end gate is a vectorized mask over the positional kernel's
+    match-start keys — same single positions-scan as a phrase query;
+    scoring stays the conjunctive BM25 sum (position constraints filter,
+    never score). engine.search_span_first."""
+    return _ft(_engine(spark, sf).search_span_first("table scan", 32, k=10))
+
+
 def _q_ft_phrase_slop(spark, sf):
     """Proximity phrase (ES match_phrase slop / span_near in_order=true):
     'key scan' within a window of <=2 intervening tokens, in order. Runs
@@ -1403,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_query_string_wild": _q_ft_query_string_wild,
         "ft_phrase_top10": _q_ft_phrase,
         "ft_phrase_slop": _q_ft_phrase_slop,
+        "ft_span_first": _q_ft_span_first,
         "ft_phrase_prefix": _q_ft_phrase_prefix,
         "ft_fuzzy_top10": _q_ft_fuzzy,
         "ft_wildcard_top10": _q_ft_wildcard,
@@ -1517,6 +1528,7 @@ def _bm25_sql(
     must_not: list[str] | None = None,
     msm: int | None = None,
     boosts: dict[str, float] | None = None,
+    span_first: int | None = None,
 ) -> str:
     if fuzzy is not None:
         # term set = the distance-<=1 vocabulary neighborhood, OR-scored
@@ -1555,6 +1567,21 @@ def _bm25_sql(
         filt += (
             f" JOIN documents pd ON tf.doc_id = pd.doc_id "
             f"AND regexp_matches(lower(pd.text), '{pat}')"
+        )
+    if span_first is not None:
+        # ES span_first: some adjacent occurrence of the phrase whose END
+        # (exclusive, 0-based positions) is <= span_first. 1-based DuckDB
+        # list starts i run 1 .. span_first-len+1; out-of-range list
+        # indexing yields NULL which list_filter drops.
+        n = len(phrase)
+        conds = " AND ".join(
+            f"st[i+{j}] = '{t}'" for j, t in enumerate(phrase)
+        )
+        filt += (
+            " JOIN (SELECT doc_id, regexp_extract_all(lower(text),"
+            " '[a-z0-9_]+') AS st FROM documents) sp"
+            " ON tf.doc_id = sp.doc_id AND len(list_filter("
+            f"range(1, {span_first - n + 2}), i -> {conds})) > 0"
         )
     range_filt = (
         f"AND dl.dl >= {dl_range[0]} AND dl.dl <= {dl_range[1]}"
@@ -1896,6 +1923,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ft_phrase_slop": _bm25_sql(
             ["key", "scan"], 10, phrase=["key", "scan"], slop=2
+        ),
+        "ft_span_first": _bm25_sql(
+            ["table", "scan"], 10, phrase=["table", "scan"], span_first=32
         ),
         "ft_phrase_prefix": _bm25_sql(
             ["table"], 10, phrase=["table"], prefix="s"

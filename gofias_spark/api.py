@@ -105,14 +105,17 @@ class FulltextAPI:
         filters: dict | None = None,
         as_pandas: bool = False,
         slop: int = 0,
+        span_first: int | None = None,
     ):
         """Exact-phrase match (ES match_phrase analogue; extension beyond
         the reference's operator=and routes); ``slop`` relaxes adjacency
-        to in-order proximity (ES match_phrase slop). See
-        SearchEngine.search_phrase for the plans."""
+        to in-order proximity (ES match_phrase slop); ``span_first``
+        additionally requires the span to end within the first N token
+        positions (ES span_first — needs a positional index). See
+        SearchEngine.search_phrase / search_span_first for the plans."""
         return self.engine.search_phrase(
             phrase, k=size, offset=from_, filters=filters,
-            as_pandas=as_pandas, slop=slop,
+            as_pandas=as_pandas, slop=slop, first_end=span_first,
         )
 
     def search_phrase_prefix(

@@ -50,7 +50,8 @@ RESULT_SCHEMA = "doc_id long, score double"
 def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
                             excluded_bc=None, allowed: np.ndarray | None = None,
                             slop: int = 0,
-                            prefix_terms: list[str] | None = None):
+                            prefix_terms: list[str] | None = None,
+                            first_end: int | None = None):
     """applyInPandas kernel over one doc_part of the positional sidecar:
     decode the phrase terms' position blocks, find the doc_ids where the
     token sequence ``seq`` occurs consecutively. Runs on the sidecar's own
@@ -236,6 +237,11 @@ def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
                 ok &= (nxt // big) == (cur // big)
                 start, cur = start[ok], nxt[ok]
             fits = (cur - start) <= np.int64(len(seq) - 1 + slop)
+            if first_end is not None:
+                # ES span_first: the whole span must END within the first
+                # ``first_end`` positions — span end (exclusive) is the
+                # final term's position + 1, tracked in ``cur``
+                fits &= (cur % big) + 1 <= np.int64(first_end)
             keys = start[fits]
         else:
             keys = term_keys(seq[0], 0)
@@ -247,6 +253,13 @@ def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
                 keys = np.intersect1d(
                     keys, term_keys(t, j), assume_unique=True
                 )
+            if first_end is not None and keys.size:
+                # exact phrase: span end = start + len(seq); keep spans
+                # ending within the first ``first_end`` positions
+                keys = keys[
+                    (keys % big) + np.int64(len(seq))
+                    <= np.int64(first_end)
+                ]
         if exp_present and keys.size:
             # the one-more-slot gate: some expansion of the prefix sits at
             # start + len(seq); keys are start-position keys, so shifting
@@ -1180,6 +1193,7 @@ class SearchEngine:
         with_meta: bool = True,
         as_pandas: bool = False,
         slop: int = 0,
+        first_end: int | None = None,
     ):
         """Exact phrase top-k (ES ``match_phrase`` analogue — an extension
         beyond the reference, which only issues operator=and matches,
@@ -1239,6 +1253,7 @@ class SearchEngine:
                 excluded_bc=excl,
                 allowed=allowed,
                 slop=slop,
+                first_end=first_end,
             )(sub)
             r = res.sort_values(
                 ["score", "doc_id"], ascending=[False, True],
@@ -1282,13 +1297,16 @@ class SearchEngine:
                      avgdl=self.avgdl, k1=self.bm25.k1, b=self.bm25.b),
                 excluded_bc=self._tomb_arr,
                 slop=slop,
+                first_end=first_end,
             )(pdf)
             topk_pdf = res.sort_values(
                 ["score", "doc_id"], ascending=[False, True],
                 kind="mergesort",
             ).iloc[offset : offset + k]
             return self._attach_meta(topk_pdf, with_meta, as_pandas)
-        verified = self._phrase_frame(seq, filters, slop=slop)
+        verified = self._phrase_frame(
+            seq, filters, slop=slop, first_end=first_end
+        )
         if verified is None:
             return self._empty_result(with_meta, as_pdf=as_pandas)
         topk_pdf = (
@@ -1298,6 +1316,45 @@ class SearchEngine:
             .iloc[offset : offset + k]
         )
         return self._attach_meta(topk_pdf, with_meta, as_pandas)
+
+    def search_span_first(
+        self,
+        query: str,
+        end: int,
+        k: int = 10,
+        offset: int = 0,
+        filters: dict | None = None,
+        with_meta: bool = True,
+        as_pandas: bool = False,
+        slop: int = 0,
+    ):
+        """ES/Lucene ``span_first`` query: the query tokens must occur as
+        a span (exact phrase, or in-order proximity when ``slop`` > 0 —
+        the ``span_near(in_order=true)`` composition) whose END position
+        is within the first ``end`` token positions of the document.
+        Matching a file header, a license banner, a module docstring —
+        anything anchored to the top of the content — without scanning
+        the doc store.
+
+        Requires the positional sidecar (``IndexConfig(positions=True)``),
+        exactly as Lucene span queries require positions; a
+        positions-less index raises ``ValueError``. Scoring follows the
+        engine's standing phrase contract: the conjunctive BM25 sum over
+        the span terms — position constraints filter, never score.
+
+        Routing mirrors :meth:`search_phrase` (resident sidecar ->
+        serve-tier positional fetch -> distributed positional kernel):
+        the span-end gate is a vectorized mask over the kernel's
+        already-computed match-start keys, so span_first costs the same
+        single positions-scan as a phrase query.
+        """
+        if end < 1:
+            raise ValueError("end must be >= 1 (token positions counted "
+                             "from the start of the document)")
+        return self.search_phrase(
+            query, k=k, offset=offset, filters=filters, with_meta=with_meta,
+            as_pandas=as_pandas, slop=slop, first_end=end,
+        )
 
     def search_phrase_prefix(
         self,
@@ -1484,6 +1541,12 @@ class SearchEngine:
                 schema="doc_id long",
             )
             return scored.join(F.broadcast(matched), "doc_id")
+        if first_end is not None:
+            raise ValueError(
+                "span_first requires a positional index (build with "
+                "IndexConfig(positions=True)) — like Lucene span queries, "
+                "it cannot run against a positions-less index"
+            )
         blocks = self.postings.filter(F.col("term").isin(qterms))
         scored = self._scored_frame(blocks, K.score_and, params, filters)
         if min(dfs[t] for t in qterms) <= 1_000_000:
@@ -1570,7 +1633,8 @@ class SearchEngine:
         return empty if r is None else r.select("doc_id", "score")
 
     def _phrase_frame(
-        self, seq: list[str], filters: dict | None, slop: int = 0
+        self, seq: list[str], filters: dict | None, slop: int = 0,
+        first_end: int | None = None,
     ) -> DataFrame | None:
         """Lazy (doc_id, score) frame of verified phrase matches, or None
         when a phrase term is absent from the vocabulary (short-circuit —
@@ -1610,7 +1674,7 @@ class SearchEngine:
                 return pos.groupby("doc_part").applyInPandas(
                     _phrase_position_kernel(
                         seq, score_params, excluded_bc=self._tomb_bc,
-                        slop=slop,
+                        slop=slop, first_end=first_end,
                     ),
                     schema=RESULT_SCHEMA,
                 )
@@ -1620,9 +1684,16 @@ class SearchEngine:
             blocks = self.postings.filter(F.col("term").isin(qterms))
             scored = self._scored_frame(blocks, K.score_and, params, filters)
             matched = pos.groupby("doc_part").applyInPandas(
-                _phrase_position_kernel(seq, slop=slop), schema="doc_id long"
+                _phrase_position_kernel(seq, slop=slop, first_end=first_end),
+                schema="doc_id long",
             )
             return scored.join(F.broadcast(matched), "doc_id")
+        if first_end is not None:
+            raise ValueError(
+                "span_first requires a positional index (build with "
+                "IndexConfig(positions=True)) — like Lucene span queries, "
+                "it cannot run against a positions-less index"
+            )
         blocks = self.postings.filter(F.col("term").isin(qterms))
         scored = self._scored_frame(blocks, K.score_and, params, filters)
         if min(dfs[t] for t in qterms) <= 1_000_000:

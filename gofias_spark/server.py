@@ -69,7 +69,11 @@ into ES `range` queries per filtered route, addressHandler.go:140-165):
                                         (default and; the others are
                                         extensions beyond the reference);
                                         phrase_prefix takes optional
-                                        max_expansions= (alphabetical cap)
+                                        max_expansions= (alphabetical cap);
+                                        phrase takes optional span_first=N
+                                        (ES span_first: span must end
+                                        within the first N positions —
+                                        positional indexes only)
     minimum_should_match=N              bool.should msm (match=or): docs
                                         matching >= N distinct query terms
     boost=term:w (repeatable)           ES term^w clause boost (match=
@@ -435,11 +439,29 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                         raise BadRequest(
                             f"slop must be in [0, {MAX_SLOP}]"
                         )
-                    pdf = api.search_phrase(
-                        _term(q), size=size, from_=from_,
-                        filters=_filters_from_query(q), as_pandas=True,
-                        slop=slop,
-                    )
+                    sf_raw = q.get("span_first", [None])[0]
+                    span_first = None
+                    if sf_raw is not None:
+                        try:
+                            span_first = int(sf_raw)
+                        except ValueError as e:
+                            raise BadRequest(
+                                "span_first must be an integer"
+                            ) from e
+                        if not 1 <= span_first <= 1_000_000:
+                            raise BadRequest(
+                                "span_first must be in [1, 1000000]"
+                            )
+                    try:
+                        pdf = api.search_phrase(
+                            _term(q), size=size, from_=from_,
+                            filters=_filters_from_query(q), as_pandas=True,
+                            slop=slop, span_first=span_first,
+                        )
+                    except ValueError as e:
+                        if "positional index" in str(e):
+                            raise BadRequest(str(e)) from e
+                        raise
                 elif match == "phrase_prefix":
                     if sort_by:
                         raise BadRequest(

@@ -309,3 +309,98 @@ def test_positions_config_validation(spark, tmp_path_factory):
             IndexConfig(positions=True),
             shared_staging_fs=False,
         )
+
+
+# ---- span_first (ES/Lucene span_first query) ----------------------------
+
+import re as _re
+
+
+def _span_first_oracle(phrase, end, slop=0):
+    """Brute force over DOCS: some in-order match of ``phrase`` (within a
+    len-1+slop window when slop>0, exact adjacency otherwise) whose span
+    END position is <= end."""
+    seq = phrase.split()
+    out = []
+    for path, text in DOCS:
+        toks = _re.findall(r"[a-z0-9_]+", text.lower())
+        n = len(seq)
+        hit = False
+        # enumerate every strictly-increasing position combination
+        def combos(i, prev, first):
+            nonlocal hit
+            if hit:
+                return
+            if i == n:
+                if prev + 1 <= end and (prev - first) <= (n - 1 + slop):
+                    hit = True
+                return
+            for p, t in enumerate(toks):
+                if t == seq[i] and p > prev:
+                    if slop == 0 and i > 0 and p != prev + 1:
+                        continue
+                    combos(i + 1, p, first if i else p)
+        combos(0, -1, -1)
+        if hit:
+            out.append(path)
+    return sorted(out)
+
+
+@pytest.mark.parametrize(
+    "q,end",
+    [
+        ("alpha beta", 2),   # only docs starting with the phrase
+        ("alpha beta", 3),   # + one-token prefix
+        ("alpha beta", 100),  # no constraint in practice == phrase
+        ("beta", 1),          # first token only
+        ("gamma", 3),
+        ("beta beta", 2),
+    ],
+    ids=str,
+)
+def test_span_first_matches_bruteforce(engines, q, end):
+    ep, epd, eps, _ = engines
+    want = _span_first_oracle(q, end)
+    for eng, tier in ((ep, "local"), (epd, "dist"), (eps, "serve")):
+        got = sorted(
+            r["path"] for r in eng.search_span_first(q, end, k=20).collect()
+        )
+        assert got == want, (tier, q, end, got, want)
+
+
+def test_span_first_with_slop(engines):
+    ep, epd, eps, _ = engines
+    # "alpha one two beta": span ends at position 4, needs slop>=2
+    want = _span_first_oracle("alpha beta", 4, slop=2)
+    assert "d11" in want  # the case adjacency alone would miss
+    for eng in (ep, epd, eps):
+        got = sorted(
+            r["path"]
+            for r in eng.search_span_first("alpha beta", 4, k=20,
+                                           slop=2).collect()
+        )
+        assert got == want, got
+
+
+def test_span_first_scores_match_phrase(engines):
+    ep, _, _, _ = engines
+    # the gate only filters: surviving docs keep their phrase scores
+    ph = {r["path"]: round(r["score"], 9)
+          for r in ep.search_phrase("alpha beta", k=20).collect()}
+    sf = {r["path"]: round(r["score"], 9)
+          for r in ep.search_span_first("alpha beta", 2, k=20).collect()}
+    assert set(sf) <= set(ph)
+    for p, s in sf.items():
+        assert s == ph[p]
+
+
+def test_span_first_requires_positions(engines):
+    _, _, _, es = engines
+    with pytest.raises(ValueError, match="positional index"):
+        es.search_span_first("alpha beta", 3, k=5).collect()
+
+
+def test_span_first_validates_end(engines):
+    ep = engines[0]
+    with pytest.raises(ValueError, match="end must be"):
+        ep.search_span_first("alpha beta", 0)

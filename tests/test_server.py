@@ -14,7 +14,7 @@ from gofias_spark.corpus import synth_corpus
 from gofias_spark.index.build import build_segment
 from gofias_spark.server import serve
 
-CFG = IndexConfig(n_buckets=3, block_size=16)
+CFG = IndexConfig(n_buckets=3, block_size=16, positions=True)
 
 
 @pytest.fixture(scope="module")
@@ -383,6 +383,40 @@ def test_match_phrase_and_fuzzy_routes(gateway):
     ) == 400
     assert _get_status(
         base, "/api/v1/address/term?term=a+b&match=phrase&slop=x"
+    ) == 400
+
+    # span_first= bounds the span's end position (ES span_first); a huge
+    # bound degenerates to plain phrase, and contract errors are 400s
+    status, res_sf = _get(
+        base,
+        "/api/v1/address/term?term=common_util+helper&match=phrase"
+        "&size=50&span_first=1000000",
+    )
+    assert status == 200
+    direct = api.search_phrase("common_util helper", size=50).collect()
+    assert [i["doc_id"] for i in res_sf["items"]] == [
+        r["doc_id"] for r in direct
+    ]
+    status, res_sf2 = _get(
+        base,
+        "/api/v1/address/term?term=common_util+helper&match=phrase"
+        "&size=50&span_first=4",
+    )
+    assert status == 200
+    direct2 = api.search_phrase(
+        "common_util helper", size=50, span_first=4
+    ).collect()
+    assert [i["doc_id"] for i in res_sf2["items"]] == [
+        r["doc_id"] for r in direct2
+    ]
+    assert set(i["doc_id"] for i in res_sf2["items"]) <= set(
+        i["doc_id"] for i in res_sf["items"]
+    )
+    assert _get_status(
+        base, "/api/v1/address/term?term=a+b&match=phrase&span_first=0"
+    ) == 400
+    assert _get_status(
+        base, "/api/v1/address/term?term=a+b&match=phrase&span_first=x"
     ) == 400
 
 
