@@ -45,7 +45,7 @@ _ENGINES: dict = {}
 
 def _docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.lit("corpus").alias("repo"),
+        F.col("source").alias("repo"),
         F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("path"),
         F.lit("v0").alias("commit"),
         F.col("lang"),
@@ -62,7 +62,7 @@ def _engine(spark: SparkSession, sf_dir: str, mode: str = "standard") -> SearchE
     if key in _ENGINES:
         return _ENGINES[key]
     tag = hashlib.md5(
-        f"{sf_dir}|{mode}|{__version__}|{FORMAT_VERSION}".encode()
+        f"{sf_dir}|{mode}|{__version__}|{FORMAT_VERSION}|src".encode()
     ).hexdigest()[:16]
     root = f"/tmp/gofias_entry_idx/{tag}"
     analyzers = {
@@ -103,7 +103,7 @@ def _mf_engine(spark: SparkSession, sf_dir: str):
     from gofias_spark.query.multifield import MultiFieldEngine, build_fielded
 
     tag = hashlib.md5(
-        f"{sf_dir}|mf|{__version__}|{FORMAT_VERSION}".encode()
+        f"{sf_dir}|mf|{__version__}|{FORMAT_VERSION}|src".encode()
     ).hexdigest()[:16]
     root = f"/tmp/gofias_entry_idx/mf_{tag}"
     cfg = IndexConfig(n_buckets=4, block_size=128)
@@ -556,6 +556,30 @@ def _q_ft_facets_lang(spark, sf):
     return spark.createDataFrame(pdf, schema="lang string, cnt long")
 
 
+def _q_ft_rare_terms(spark, sf):
+    """ES rare_terms aggregation (long-tail inverse of terms agg): doclen
+    values held by <= 2 docs matching 'table', rarest first. ES documents
+    this agg as approximate (CuckooFilter); over the engine's exact
+    (value, cnt) table it is exact at the same shuffle cost — partial
+    counts only (engine.rare_terms)."""
+    pdf = _engine(spark, sf).rare_terms(
+        "doclen", "table", max_doc_count=2, max_buckets=15
+    )
+    return spark.createDataFrame(pdf, schema="doclen long, cnt long")
+
+
+def _q_ft_multi_terms(spark, sf):
+    """ES multi_terms aggregation: top-10 (lang, repo) composite buckets
+    by doc count over the docs matching 'table'. Distributed plan: the
+    k-free matched-id frame from the postings cogroup joins doc_meta and
+    feeds ONE map-side-combinable groupBy on the composite key
+    (engine.multi_terms)."""
+    pdf = _engine(spark, sf).multi_terms(["lang", "repo"], "table", k=10)
+    return spark.createDataFrame(
+        pdf, schema="lang string, repo string, cnt long"
+    )
+
+
 def _q_ft_prefix(spark, sf):
     return _ft(_engine(spark, sf, mode="edge_ngram").search("wind", k=10))
 
@@ -827,6 +851,15 @@ def _q_code_flags(spark, sf):
     return TS.code_quality_flags(_documents(spark, sf), text_col="text")
 
 
+def _q_repo_rollup(spark, sf):
+    """Per-repo curation report (the J1 hierarchy-rollup analogue for a
+    code corpus): file count, whitespace-token volume, chars, The-Stack
+    quality pass-rate, distinct langs per repo. Map-stage per-file
+    metrics fused into the scan + ONE combinable groupBy on repo
+    (operators/textstats.repo_rollup)."""
+    return TS.repo_rollup(_docs_df(spark, sf), id_col="path")
+
+
 def _q_langid(spark, sf):
     return TS.langid_heuristic(_documents(spark, sf), text_col="text")
 
@@ -1033,6 +1066,21 @@ def _q_evt_bucket_stats(spark, sf):
     return bucket_stats(
         date_histogram(ev, "day"), value_col="cnt", group_col="event_type"
     )
+
+
+def _q_evt_date_range(spark, sf):
+    """ES date_range aggregation: named [from, to) timestamp buckets
+    (overlap allowed, ends open), all evaluated in ONE conditional-sum
+    pass over the events scan — no shuffle of events, no per-range jobs
+    (operators/events.date_range_agg)."""
+    from gofias_spark.operators.events import date_range_agg
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return date_range_agg(ev, [
+        (None, "2024-01-10"),
+        ("2024-01-10", "2024-01-20"),
+        ("2024-01-15", None),
+    ])
 
 
 def _q_evt_sessionize(spark, sf):
@@ -1421,6 +1469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_count_many": _q_ft_count_many,
         "ft_adjacency_matrix": _q_ft_adjacency_matrix,
         "ft_facets_lang": _q_ft_facets_lang,
+        "ft_rare_terms": _q_ft_rare_terms,
+        "ft_multi_terms": _q_ft_multi_terms,
         "ft_histogram": _q_ft_histogram,
         "ft_terms_stats": _q_ft_terms_stats,
         "ft_composite_page": _q_ft_composite,
@@ -1458,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_features": _q_textstats,
         "text_gopher_flags": _q_gopher_flags,
         "text_code_flags": _q_code_flags,
+        "curate_repo_rollup": _q_repo_rollup,
         "text_langid": _q_langid,
         "text_token_counts": _q_token_counts,
         "text_fingerprints": _q_fingerprints,
@@ -1496,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_pipeline_aggs": _q_evt_pipeline_aggs,
         "evt_bucket_pipeline": _q_evt_bucket_pipeline,
         "evt_bucket_stats": _q_evt_bucket_stats,
+        "evt_date_range": _q_evt_date_range,
         "evt_sessionize": _q_evt_sessionize,
         # sources
         "src_xml_scan": _q_src_xml_scan,
@@ -1937,6 +1989,25 @@ def oracle_sql() -> dict[str, str]:
         "ft_regexp_top10": _bm25_sql(
             [], 10, mode="or", regex="s(c|t)a[a-z]*"
         ),
+        "ft_rare_terms": f"""
+WITH tok AS ({TOK}),
+m AS (SELECT doc_id FROM tok WHERE term = 'table' GROUP BY doc_id),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id),
+vc AS (SELECT dl.dl AS doclen, count(*)::BIGINT AS cnt
+       FROM m JOIN dl USING (doc_id) GROUP BY dl.dl)
+SELECT doclen::BIGINT AS doclen, cnt FROM vc
+WHERE cnt <= 2 ORDER BY cnt ASC, doclen ASC LIMIT 15
+""",
+        "ft_multi_terms": f"""
+WITH tok AS ({TOK}),
+m AS (SELECT doc_id FROM tok WHERE term = 'table' GROUP BY doc_id)
+SELECT d.lang, d.source AS repo, count(*)::BIGINT AS cnt
+FROM m JOIN documents d USING (doc_id)
+WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+GROUP BY d.lang, d.source
+ORDER BY cnt DESC, lang ASC, repo ASC LIMIT 10
+""",
         "ft_count": f"""
 WITH tok AS ({TOK}),
 m AS (SELECT doc_id, count(DISTINCT term) AS nt FROM tok
@@ -2507,6 +2578,44 @@ SELECT doc_id,
         AND NOT is_xml AND NOT is_autogen) AS code_pass
 FROM m
 """,
+        "curate_repo_rollup": """
+WITH l AS (
+  SELECT source AS repo, lang, text,
+         string_split(text, chr(10)) AS lines
+  FROM documents),
+m AS (
+  SELECT repo, lang,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '')) AS toks,
+         length(text) AS chars,
+         (coalesce(list_max(list_transform(lines, x -> length(x))), 0)
+            <= 1000
+          AND coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+              / greatest(len(lines), 1) <= 100.0
+          AND length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+              / greatest(length(text), 1) >= 0.25
+          AND NOT contains(substr(text, 1, 100), '<?xml version=')
+          AND NOT (
+            contains(lower(array_to_string(list_slice(lines, 1, 5),
+                     chr(10))), 'auto-generated')
+            OR contains(lower(array_to_string(list_slice(lines, 1, 5),
+                        chr(10))), 'autogenerated')
+            OR contains(lower(array_to_string(list_slice(lines, 1, 5),
+                        chr(10))), 'automatically generated')
+            OR contains(lower(array_to_string(list_slice(lines, 1, 5),
+                        chr(10))), 'generated by')
+            OR contains(lower(array_to_string(list_slice(lines, 1, 5),
+                        chr(10))), 'do not edit'))) AS code_pass
+  FROM l)
+SELECT repo,
+       count(*)::BIGINT AS n_files,
+       sum(toks)::BIGINT AS n_tokens,
+       sum(chars)::BIGINT AS n_chars,
+       round(avg(CASE WHEN code_pass THEN 1 ELSE 0 END), 4) AS pass_rate,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM m GROUP BY repo
+ORDER BY n_files DESC, repo ASC
+""",
         "text_langid": f"""
 WITH tok AS ({TOK}),
 s AS (SELECT d.doc_id,
@@ -2913,6 +3022,23 @@ SELECT event_type,
        round(CAST(sum(cnt) AS DOUBLE), 4) AS sum_v,
        round(avg(cnt), 4) AS avg_v
 FROM h GROUP BY event_type ORDER BY event_type
+""",
+        "evt_date_range": """
+SELECT * FROM (
+  SELECT '*-2024-01-10' AS range,
+         (SELECT count(*) FROM events
+          WHERE ts IS NOT NULL
+            AND ts < TIMESTAMP '2024-01-10')::BIGINT AS cnt
+  UNION ALL
+  SELECT '2024-01-10-2024-01-20',
+         (SELECT count(*) FROM events
+          WHERE ts >= TIMESTAMP '2024-01-10'
+            AND ts < TIMESTAMP '2024-01-20')::BIGINT
+  UNION ALL
+  SELECT '2024-01-15-*',
+         (SELECT count(*) FROM events
+          WHERE ts >= TIMESTAMP '2024-01-15')::BIGINT
+)
 """,
         "evt_pipeline_aggs": """
 WITH h AS (

@@ -246,3 +246,45 @@ def bucket_stats(
     if group_col is not None:
         return buckets.groupBy(group_col).agg(*aggs).orderBy(group_col)
     return buckets.agg(*aggs)
+
+
+def date_range_agg(
+    events: DataFrame,
+    ranges: list[tuple[str | None, str | None]],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ES ``date_range`` aggregation: doc counts per ``[from, to)``
+    timestamp range (from-inclusive / to-exclusive, ES's contract; None =
+    open end; ranges may overlap — each is counted independently).
+    Bounds are ISO date/timestamp strings. Returns one row per range in
+    the given order with ES-style keys ``"from-to"`` / ``"*-to"`` /
+    ``"from-*"``: ``(range, cnt)``.
+
+    All ranges are evaluated in ONE pass as conditional-sum aggregates
+    (``sum(when(cond, 1))`` per range) — a single scan producing one
+    scalar row, no shuffle of events and no per-range jobs; the row is
+    then unpivoted driver-side (#ranges values).
+    """
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    ts = F.col(ts_col).cast("timestamp")
+    aggs, keys = [], []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (ts >= F.to_timestamp(F.lit(lo)))
+        if hi is not None:
+            cond = cond & (ts < F.to_timestamp(F.lit(hi)))
+        keys.append(f"{lo if lo is not None else '*'}-"
+                    f"{hi if hi is not None else '*'}")
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(cond, F.lit(1))), F.lit(0)
+            ).cast("long").alias(f"_c{i}")
+        )
+    row = events.filter(ts.isNotNull()).agg(*aggs).collect()[0]
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [(kk, int(row[f"_c{i}"])) for i, kk in enumerate(keys)],
+        "range string, cnt long",
+    )

@@ -668,3 +668,53 @@ def code_quality_flags(
             & ok_not_autogen
         ).alias("code_pass"),
     )
+
+
+def repo_rollup(
+    docs: DataFrame,
+    group_col: str = "repo",
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Per-repository curation report — the code-corpus analogue of the
+    reference's parent-hierarchy rollup (J1: children aggregate up the
+    address tree; here files aggregate up to their repo): file count,
+    whitespace-token volume, total chars, mean quality-pass rate from
+    :func:`code_quality_flags`, and distinct languages. The shape a
+    training-data pipeline reports before choosing per-repo sampling
+    weights.
+
+    Plan: the per-file flags/metrics are pure map-stage column
+    expressions fused into the scan; the rollup is ONE map-side-
+    combinable groupBy on ``group_col`` whose shuffle carries a partial
+    row per (repo, partition) — never files. Returns
+    ``(group_col, n_files, n_tokens, n_chars, pass_rate, n_langs)``
+    ordered by ``n_files`` desc, group asc.
+    """
+    txt = F.col(text_col)
+    flags = code_quality_flags(docs, id_col=id_col, text_col=text_col)
+    per_doc = docs.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.size(
+            F.filter(F.split(F.trim(txt), r"\s+"), lambda w: w != "")
+        ).alias("_tok"),
+        F.length(txt).alias("_chars"),
+        *([F.col(lang_col)] if lang_col else []),
+    ).join(flags.select(id_col, "code_pass"), id_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("_tok").alias("n_tokens"),
+        F.sum("_chars").alias("n_chars"),
+        F.round(F.avg(F.col("code_pass").cast("int")), 4).alias(
+            "pass_rate"
+        ),
+    ]
+    if lang_col:
+        aggs.append(F.count_distinct(F.col(lang_col)).alias("n_langs"))
+    return (
+        per_doc.groupBy(group_col)
+        .agg(*aggs)
+        .orderBy(F.desc("n_files"), F.asc(group_col))
+    )

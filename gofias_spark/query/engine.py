@@ -3085,6 +3085,146 @@ class SearchEngine:
         return pd.DataFrame({"range": keys, "cnt": pd.array(out,
                                                             dtype="int64")})
 
+    def rare_terms(
+        self,
+        field: str,
+        query: str | None = None,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+        max_doc_count: int = 1,
+        max_buckets: int = 10_000,
+    ) -> pd.DataFrame:
+        """ES ``rare_terms`` aggregation: the long-tail inverse of a terms
+        agg — field values appearing in at most ``max_doc_count`` matching
+        docs, ordered count asc then value asc (rarest first), capped at
+        ``max_buckets``. ES implements this with a CuckooFilter sketch and
+        documents it as approximate; over the engine's exact
+        ``(value, cnt)`` table it is exact — same three-tier plan as
+        facets/cardinality, shuffling only #values x #partitions partial
+        counts, so exactness costs nothing extra here.
+
+        Returns a pandas frame ``[field, 'cnt']``.
+        """
+        if max_doc_count < 1:
+            raise ValueError("max_doc_count must be >= 1")
+        vc = self._matched_value_counts(field, query, mode, filters)
+        sub = vc[vc["cnt"] <= max_doc_count]
+        return (
+            sub.sort_values([
+                "cnt", field
+            ], ascending=[True, True], kind="mergesort")
+            .head(max_buckets)
+            .reset_index(drop=True)
+        )
+
+    def multi_terms(
+        self,
+        fields: list[str],
+        query: str | None = None,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+        k: int = 10,
+    ) -> pd.DataFrame:
+        """ES ``multi_terms`` aggregation: terms buckets keyed by the
+        COMPOSITE of several doc attributes, top-``k`` by matching-doc
+        count (cnt desc, then field values asc). A doc contributes only
+        when every key field is non-null (ES multi_terms missing
+        semantics). Returns ``[*fields, 'cnt']``.
+
+        Tiers: resident driver-side searcher (zero jobs) -> no-query JVM
+        groupBy over doc_meta (map-side combined, shuffle = #buckets x
+        #partitions partials) -> distributed match: the k-free matched-id
+        frame from the postings cogroup joins doc_meta and feeds the same
+        combinable groupBy — matched ids shuffle once, content never.
+        """
+        if len(fields) < 2:
+            raise ValueError("multi_terms needs >= 2 fields (use facets "
+                             "for a single field)")
+        if len(set(fields)) != len(fields):
+            raise ValueError("multi_terms fields must be distinct")
+        for f in fields:
+            if f in ("doc_id", "doc_part") or f not in self.doc_meta.columns:
+                raise ValueError(f"unknown field {f!r}")
+        self._validate_filters(filters)
+        empty = pd.DataFrame(
+            {**{f: pd.Series(dtype=object) for f in fields},
+             "cnt": pd.Series(dtype="int64")}
+        )
+        if filters_impossible(filters):
+            return empty
+
+        def _finish_pdf(sub: pd.DataFrame) -> pd.DataFrame:
+            sub = sub.dropna(subset=list(fields))
+            if not len(sub):
+                return empty
+            g = (
+                sub.groupby(list(fields), sort=False)
+                .size()
+                .reset_index(name="cnt")
+            )
+            g = g.sort_values(
+                ["cnt", *fields],
+                ascending=[False] + [True] * len(fields),
+                kind="mergesort",
+            ).head(k)
+            g["cnt"] = g["cnt"].astype("int64")
+            return g.reset_index(drop=True)
+
+        if query is None:
+            df = self.doc_meta
+            for f in fields:
+                df = df.filter(F.col(f).isNotNull())
+            cond = compile_filters(filters)
+            if cond is not None:
+                df = df.filter(cond)
+            if self._tombstones is not None:
+                df = df.join(
+                    self._tombstones.select("doc_id"), "doc_id", "left_anti"
+                )
+            grouped = (
+                df.groupBy(*fields)
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy(F.desc("cnt"), *[F.asc(f) for f in fields])
+                .limit(k)
+            )
+            return grouped.toPandas()
+
+        qterms = analyze_query(query, self.analyzer)
+        dfs = self._term_dfs(qterms)
+        if mode == "and":
+            if not qterms or any(dfs[t] == 0 for t in qterms):
+                return empty
+        else:
+            qterms = [t for t in qterms if dfs[t] > 0]
+            if not qterms:
+                return empty
+
+        if self._local_blocks is not None:
+            lb = self._local_blocks[self._local_blocks["term"].isin(qterms)]
+            allowed, excluded = self._local_masks(filters)
+            ids = K.match_ids(lb, qterms, mode, allowed=allowed,
+                              excluded=excluded)
+            if ids.size == 0:
+                return empty
+            sub = self._local_meta.loc[
+                self._local_meta["doc_id"].isin(ids), list(fields)
+            ]
+            return _finish_pdf(sub)
+
+        matched = self._matched_ids_frame(qterms, mode, [], filters)
+        df = self.doc_meta.join(matched, "doc_id")
+        for f in fields:
+            df = df.filter(F.col(f).isNotNull())
+        grouped = (
+            df.groupBy(*fields)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), *[F.asc(f) for f in fields])
+            .limit(k)
+        )
+        return grouped.toPandas()
+
     def top_hits(
         self,
         group_field: str,
@@ -4243,6 +4383,22 @@ class SearchEngine:
         neg = self._neg_terms(must_not, dfs)
         if mode == "and" and not set(qterms).isdisjoint(neg):
             return empty.limit(0)
+        matched = self._matched_ids_frame(qterms, mode, neg, filters)
+        return matched.join(
+            self.doc_meta.select("doc_id", "repo", "path"), "doc_id"
+        ).select("repo", "path")
+
+    def _matched_ids_frame(
+        self,
+        qterms: list[str],
+        mode: str,
+        neg: list[str],
+        filters: dict | None,
+    ) -> DataFrame:
+        """k-free distributed ``doc_id`` frame of the full match set —
+        the shared core of matched_keys / multi_terms. Per-partition
+        match_ids ride the postings mapInPandas (or the filter-aware
+        co-partitioned cogroup); no driver materialization."""
         fterms, fmode, fneg = qterms, mode, neg
         right, right_kind = self._right_side(filters)
         blocks = self.postings.filter(F.col("term").isin(qterms + neg))
@@ -4265,34 +4421,30 @@ class SearchEngine:
                 excl = tomb_bc.value if tomb_bc is not None else None
                 yield ids_of(pdf, None, excl)
 
-            matched = blocks.mapInPandas(map_ids, schema="doc_id long")
-        else:
+            return blocks.mapInPandas(map_ids, schema="doc_id long")
 
-            def cokernel(left, right_pdf):
-                if len(left) == 0:
-                    return pd.DataFrame(
-                        {"doc_id": pd.Series(dtype="int64")}
-                    )
-                allowed = excluded = None
-                ids = (
-                    np.sort(right_pdf["doc_id"].to_numpy(dtype=np.int64))
-                    if len(right_pdf)
-                    else np.empty(0, dtype=np.int64)
+        def cokernel(left, right_pdf):
+            if len(left) == 0:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series(dtype="int64")}
                 )
-                if right_kind == "allowed":
-                    allowed = ids
-                elif right_kind == "excluded":
-                    excluded = ids
-                return ids_of(left, allowed, excluded)
-
-            matched = (
-                blocks.groupby("doc_part")
-                .cogroup(right.groupby("doc_part"))
-                .applyInPandas(cokernel, schema="doc_id long")
+            allowed = excluded = None
+            ids = (
+                np.sort(right_pdf["doc_id"].to_numpy(dtype=np.int64))
+                if len(right_pdf)
+                else np.empty(0, dtype=np.int64)
             )
-        return matched.join(
-            self.doc_meta.select("doc_id", "repo", "path"), "doc_id"
-        ).select("repo", "path")
+            if right_kind == "allowed":
+                allowed = ids
+            elif right_kind == "excluded":
+                excluded = ids
+            return ids_of(left, allowed, excluded)
+
+        return (
+            blocks.groupby("doc_part")
+            .cogroup(right.groupby("doc_part"))
+            .applyInPandas(cokernel, schema="doc_id long")
+        )
 
     def explain_doc(self, query: str, doc_id: int) -> dict:
         """ES _explain analogue: the per-term BM25 breakdown of one doc's

@@ -313,3 +313,67 @@ def test_suggest_terms_and_complete(engines):
         eng.suggest_terms("two words")
     with pytest.raises(ValueError, match="non-empty"):
         eng.complete_prefix("")
+
+
+# ---- rare_terms / multi_terms -------------------------------------------
+
+
+@pytest.mark.parametrize("tier", ["dist", "serve", "local"])
+def test_rare_terms_matches_bruteforce(engines, matched_meta, tier):
+    got = engines[tier].rare_terms("doclen", Q, max_doc_count=3)
+    vc = matched_meta["doclen"].value_counts()
+    want = vc[vc <= 3].reset_index()
+    want.columns = ["doclen", "cnt"]
+    want = want.sort_values(["cnt", "doclen"],
+                            ascending=[True, True]).reset_index(drop=True)
+    assert got["doclen"].tolist() == want["doclen"].tolist(), tier
+    assert got["cnt"].tolist() == want["cnt"].tolist(), tier
+
+
+def test_rare_terms_max_buckets_and_validation(engines):
+    eng = engines["local"]
+    capped = eng.rare_terms("doclen", Q, max_doc_count=10, max_buckets=3)
+    assert len(capped) <= 3
+    with pytest.raises(ValueError, match="max_doc_count"):
+        eng.rare_terms("doclen", Q, max_doc_count=0)
+    with pytest.raises(ValueError, match="unknown field"):
+        eng.rare_terms("bogus", Q)
+
+
+@pytest.mark.parametrize("tier", ["dist", "local"])
+def test_multi_terms_matches_bruteforce(engines, matched_meta, tier):
+    got = engines[tier].multi_terms(["lang", "repo"], Q, k=12)
+    want = (
+        matched_meta.dropna(subset=["lang", "repo"])
+        .groupby(["lang", "repo"])
+        .size()
+        .reset_index(name="cnt")
+        .sort_values(["cnt", "lang", "repo"],
+                     ascending=[False, True, True])
+        .head(12)
+        .reset_index(drop=True)
+    )
+    assert got[["lang", "repo"]].values.tolist() == \
+        want[["lang", "repo"]].values.tolist(), tier
+    assert got["cnt"].tolist() == want["cnt"].tolist(), tier
+
+
+def test_multi_terms_no_query_counts_all_docs(engines):
+    eng = engines["local"]
+    got = eng.multi_terms(["lang", "repo"], k=1000)
+    assert int(got["cnt"].sum()) == len(eng._local_meta)
+
+
+def test_multi_terms_validation(engines):
+    eng = engines["local"]
+    with pytest.raises(ValueError, match=">= 2 fields"):
+        eng.multi_terms(["lang"])
+    with pytest.raises(ValueError, match="distinct"):
+        eng.multi_terms(["lang", "lang"])
+    with pytest.raises(ValueError, match="unknown field"):
+        eng.multi_terms(["lang", "bogus"])
+
+
+def test_multi_terms_unmatched_query_is_empty(engines):
+    got = engines["local"].multi_terms(["lang", "repo"], "zzzqqqxyzzy")
+    assert len(got) == 0

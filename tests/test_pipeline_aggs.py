@@ -148,3 +148,32 @@ def test_bucket_stats_global_row(hist):
     out = bucket_stats(hist, value_col="cnt").toPandas()
     assert len(out) == 1
     assert out.loc[0, "n_buckets"] == hist.count()
+
+
+# ---- date_range_agg ------------------------------------------------------
+
+from gofias_spark.operators.events import date_range_agg  # noqa: E402
+
+
+def test_date_range_counts(spark, events):
+    out = date_range_agg(events, [
+        (None, "2026-01-03"),
+        ("2026-01-03", "2026-01-05"),
+        ("2026-01-04", None),       # overlaps previous — counted alone
+        ("2030-01-01", None),       # empty range -> 0, not missing
+    ]).toPandas().set_index("range")
+    ev = events.toPandas()
+    assert out.loc["*-2026-01-03", "cnt"] == \
+        (ev["ts"] < dt.datetime(2026, 1, 3)).sum()
+    assert out.loc["2026-01-03-2026-01-05", "cnt"] == (
+        (ev["ts"] >= dt.datetime(2026, 1, 3))
+        & (ev["ts"] < dt.datetime(2026, 1, 5))
+    ).sum()
+    assert out.loc["2026-01-04-*", "cnt"] == \
+        (ev["ts"] >= dt.datetime(2026, 1, 4)).sum()
+    assert out.loc["2030-01-01-*", "cnt"] == 0
+
+
+def test_date_range_requires_ranges(spark, events):
+    with pytest.raises(ValueError, match="non-empty"):
+        date_range_agg(events, [])
