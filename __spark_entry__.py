@@ -151,6 +151,17 @@ def _q_ft_top1(spark, sf):
     return _ft(_engine(spark, sf).search("merge batch", k=1))
 
 
+def _q_ft_boosting(spark, sf):
+    """ES boosting query: 'table scan' matches rank by BM25, docs also
+    containing 'slow' are demoted by negative_boost=0.5 (not excluded).
+    Positive side scores its full match set; the negative side is a
+    k-free matched-id broadcast — one postings pass each
+    (engine.search_boosting)."""
+    return _ft(
+        _engine(spark, sf).search_boosting("table scan", "slow", 0.5, k=10)
+    )
+
+
 def _q_ft_must_not(spark, sf):
     """ES bool.must_not analogue: AND match on the positive terms, pure
     exclusion of every doc containing the negated term (no score
@@ -1450,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_and_filter_lang": _q_ft_filter,
         "ft_top1": _q_ft_top1,
         "ft_must_not": _q_ft_must_not,
+        "ft_boosting": _q_ft_boosting,
         "ft_msm": _q_ft_msm,
         "ft_boosted": _q_ft_boosted,
         "ft_search_after": _q_ft_search_after,
@@ -1581,6 +1593,7 @@ def _bm25_sql(
     msm: int | None = None,
     boosts: dict[str, float] | None = None,
     span_first: int | None = None,
+    demote: tuple[list[str], float] | None = None,
 ) -> str:
     if fuzzy is not None:
         # term set = the distance-<=1 vocabulary neighborhood, OR-scored
@@ -1665,6 +1678,16 @@ def _bm25_sql(
         )
         and_clause = and_clause.replace("matched", "s.matched")
         order = "ORDER BY d.lang ASC, s.score DESC, s.doc_id ASC"
+    elif demote is not None:
+        # ES boosting query: multiply the summed score when the doc also
+        # matches any negative term
+        negs = ", ".join(f"'{t}'" for t in demote[0])
+        select = (
+            "SELECT doc_id, round(score * CASE WHEN doc_id IN "
+            f"(SELECT DISTINCT doc_id FROM tok WHERE term IN ({negs})) "
+            f"THEN {float(demote[1])} ELSE 1.0 END, 4) AS score FROM scored"
+        )
+        order = "ORDER BY score DESC, doc_id ASC"
     else:
         select = "SELECT doc_id, round(score, 4) AS score FROM scored"
         order = "ORDER BY score DESC, doc_id ASC"
@@ -1945,6 +1968,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ft_and_filter_lang": _bm25_sql(["table", "scan"], 10, lang="en"),
         "ft_top1": _bm25_sql(["merge", "batch"], 1),
+        "ft_boosting": _bm25_sql(
+            ["table", "scan"], 10, demote=(["slow"], 0.5)
+        ),
         "ft_must_not": _bm25_sql(["spark", "join"], 10, must_not=["scan"]),
         "ft_msm": _bm25_sql(["dup", "key", "fast"], 10, mode="or", msm=2),
         "ft_boosted": _bm25_sql(

@@ -157,6 +157,26 @@ class FulltextAPI:
         SearchEngine.adjacency_matrix."""
         return self.engine.adjacency_matrix(queries, filters=filters)
 
+    def search_boosting(
+        self,
+        positive: str,
+        negative: str,
+        negative_boost: float = 0.5,
+        size: int = 100,
+        from_: int = 0,
+        filters: dict | None = None,
+        mode: str = "and",
+        as_pandas: bool = False,
+    ):
+        """ES boosting query: positive matches rank by BM25; docs also
+        matching the negative query have their score multiplied by
+        negative_boost in (0,1] — demotion without exclusion. See
+        SearchEngine.search_boosting for the plans."""
+        return self.engine.search_boosting(
+            positive, negative, negative_boost=negative_boost, k=size,
+            offset=from_, filters=filters, mode=mode, as_pandas=as_pandas,
+        )
+
     def search_fuzzy(
         self,
         term: str,

@@ -2613,6 +2613,12 @@ class SearchEngine:
             blocks, qterms, idf, self.avgdl, self.bm25.k1, self.bm25.b, topn,
             allowed=allowed, excluded=excluded,
         ).iloc[offset : offset + k]
+        return self._finish_local(r, with_meta, as_pdf)
+
+    def _finish_local(self, r: pd.DataFrame, with_meta: bool, as_pdf: bool):
+        """Materialize a driver-side (doc_id, score) page exactly like
+        _local_search: resident meta supplies display columns — zero
+        Spark jobs."""
         if len(r) == 0:
             return self._empty_result(with_meta, as_pdf=as_pdf)
         if not with_meta:
@@ -2629,6 +2635,114 @@ class SearchEngine:
                 "commit string, lang string, sha256 string"
             ),
         )
+
+    def search_boosting(
+        self,
+        positive: str,
+        negative: str,
+        negative_boost: float = 0.5,
+        k: int = 10,
+        offset: int = 0,
+        filters: dict | None = None,
+        mode: str = "and",
+        with_meta: bool = True,
+        as_pandas: bool = False,
+    ):
+        """ES ``boosting`` query: docs matching the ``positive`` query
+        rank by BM25, but any doc ALSO matching the ``negative`` query
+        (OR semantics over its analyzed terms, like an ES match clause)
+        has its score multiplied by ``negative_boost`` in (0, 1] —
+        demotion without exclusion, the middle ground between ``should``
+        and ``must_not``.
+
+        Demotion can promote any lower-scored doc into the page, so the
+        positive side scores its FULL match set (topn=None) exactly like
+        the composite-sort and phrase paths; the negative side is the
+        k-free matched-id frame (one pass over the negative terms'
+        postings, OR match — never content). Distributed plan: scored
+        frame LEFT-joins the demotion set (broadcast — it is an id list),
+        multiplies, then TakeOrderedAndProject. Driver-resident indexes
+        answer without a Spark job.
+        """
+        if not 0.0 < negative_boost <= 1.0:
+            raise ValueError("negative_boost must be in (0, 1]")
+        self._validate_filters(filters)
+        if filters_impossible(filters):
+            return self._empty_result(with_meta, as_pdf=as_pandas)
+        qterms = analyze_query(positive, self.analyzer)
+        dfs = self._term_dfs(qterms)
+        if mode == "and":
+            if not qterms or any(dfs[t] == 0 for t in qterms):
+                return self._empty_result(with_meta, as_pdf=as_pandas)
+        else:
+            qterms = [t for t in qterms if dfs[t] > 0]
+            if not qterms:
+                return self._empty_result(with_meta, as_pdf=as_pandas)
+        nterms = [
+            t for t in dict.fromkeys(analyze_query(negative, self.analyzer))
+            if self._term_dfs([t])[t] > 0
+        ]
+        if not nterms:
+            # nothing to demote -> plain search, same paging
+            return self.search(
+                positive, k=k, offset=offset, filters=filters, mode=mode,
+                with_meta=with_meta, as_pandas=as_pandas,
+            )
+        idf = {t: self._idf(dfs[t]) for t in qterms}
+
+        if self._local_blocks is not None:
+            blocks = self._local_blocks[
+                self._local_blocks["term"].isin(qterms)
+            ]
+            allowed, excluded = self._local_masks(filters)
+            fn = K.select_kernel(mode, None, len(qterms))
+            r = fn(
+                blocks, qterms, idf, self.avgdl, self.bm25.k1, self.bm25.b,
+                None, allowed=allowed, excluded=excluded,
+            )
+            nb_blocks = self._local_blocks[
+                self._local_blocks["term"].isin(nterms)
+            ]
+            neg_ids = K.match_ids(nb_blocks, nterms, "or")
+            demoted = r["doc_id"].isin(neg_ids)
+            r = r.assign(
+                score=np.where(
+                    demoted, r["score"] * negative_boost, r["score"]
+                )
+            )
+            r = r.sort_values(
+                ["score", "doc_id"], ascending=[False, True],
+                kind="mergesort",
+            ).iloc[offset : offset + k]
+            return self._finish_local(r, with_meta, as_pandas)
+
+        params = dict(
+            qterms=qterms, idf=idf, avgdl=self.avgdl,
+            k1=self.bm25.k1, b=self.bm25.b, topn=None,
+        )
+        fn = K.score_and if mode == "and" else K.score_or
+        blocks = self.postings.filter(F.col("term").isin(qterms))
+        scored = self._scored_frame(blocks, fn, params, filters)
+        neg = self._matched_ids_frame(nterms, "or", [], None).withColumn(
+            "_neg", F.lit(True)
+        )
+        out = (
+            scored.join(F.broadcast(neg), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("_neg"),
+                    F.col("score") * F.lit(float(negative_boost)),
+                ).otherwise(F.col("score")).alias("score"),
+            )
+        )
+        topk_pdf = (
+            out.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(offset + k)
+            .toPandas()
+            .iloc[offset : offset + k]
+        )
+        return self._attach_meta(topk_pdf, with_meta, as_pandas)
 
     def search_many(
         self,

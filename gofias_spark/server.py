@@ -76,6 +76,10 @@ into ES `range` queries per filtered route, addressHandler.go:140-165):
                                         positional indexes only)
     minimum_should_match=N              bool.should msm (match=or): docs
                                         matching >= N distinct query terms
+    negative=<query>&negative_boost=f   ES boosting query (match=and|or):
+                                        docs also matching the negative
+                                        query score * f in (0,1] —
+                                        demoted, not excluded
     boost=term:w (repeatable)           ES term^w clause boost (match=
                                         and|or): w multiplies the term idf
     exclude=..                          bool.must_not analogue (match=and
@@ -519,6 +523,28 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                             as_pandas=True,
                         )
                     except ValueError as exc:  # bad/unportable regex
+                        raise BadRequest(str(exc)) from exc
+                elif match in ("and", "or") and "negative" in q:
+                    # ES boosting query: negative=<query> demotes (not
+                    # excludes) by negative_boost in (0, 1]
+                    if sort_by or after is not None or exclude is not None:
+                        raise BadRequest(
+                            "negative= combines with neither sort= nor "
+                            "search_after= nor exclude="
+                        )
+                    try:
+                        nb = float(q.get("negative_boost", ["0.5"])[0])
+                    except ValueError as e:
+                        raise BadRequest(
+                            "negative_boost must be a float"
+                        ) from e
+                    try:
+                        pdf = api.search_boosting(
+                            _term(q), q["negative"][0], negative_boost=nb,
+                            size=size, from_=from_, mode=match,
+                            filters=_filters_from_query(q), as_pandas=True,
+                        )
+                    except ValueError as exc:
                         raise BadRequest(str(exc)) from exc
                 elif match == "and" and not q.get("boost") and \
                         "minimum_should_match" not in q:

@@ -181,3 +181,77 @@ def test_msm_cursor_paging(engines, oracle):
     )
     got = list(page1["doc_id"]) + list(page2["doc_id"])
     assert got == [d for d, _ in exp]
+
+
+# ---- boosting query (positive/negative demotion) -------------------------
+
+
+def _boosting_oracle(engines, pos, neg, nb, mode="and"):
+    """Brute force from the local tier's own primitives: full positive
+    match set scored, negative OR-match set demotes, resort."""
+    loc = engines["local"]
+    base = loc.search(pos, k=10**6, mode=mode, as_pandas=True,
+                      with_meta=False)
+    negset = set(
+        loc.search(neg, k=10**6, mode="or", as_pandas=True,
+                   with_meta=False)["doc_id"]
+    )
+    out = base.copy()
+    out["score"] = [
+        s * nb if d in negset else s
+        for d, s in zip(out["doc_id"], out["score"])
+    ]
+    return out.sort_values(["score", "doc_id"],
+                           ascending=[False, True], kind="mergesort")
+
+
+@pytest.mark.parametrize("tier", ["local", "dist"])
+@pytest.mark.parametrize("mode", ["and", "or"])
+def test_boosting_matches_bruteforce(engines, tier, mode):
+    want = _boosting_oracle(
+        engines, "common_util helper", "slow", 0.3, mode=mode
+    ).head(15)
+    got = engines[tier].search_boosting(
+        "common_util helper", "slow", 0.3, k=15, mode=mode, as_pandas=True
+    )
+    assert list(got["doc_id"]) == list(want["doc_id"]), tier
+    assert np.allclose(got["score"].values, want["score"].values,
+                       rtol=1e-9), tier
+
+
+def test_boosting_demotes_not_excludes(engines):
+    loc = engines["local"]
+    n_plain = len(loc.search("common_util", k=10**6, as_pandas=True,
+                             with_meta=False))
+    n_boost = len(loc.search_boosting("common_util", "slow", 0.5, k=10**6,
+                                      as_pandas=True))
+    assert n_boost == n_plain  # nothing dropped
+
+
+def test_boosting_absent_negative_is_plain_search(engines):
+    loc = engines["local"]
+    plain = loc.search("common_util", k=10, as_pandas=True)
+    got = loc.search_boosting("common_util", "zzzqqqxyzzy", 0.5, k=10,
+                              as_pandas=True)
+    assert list(got["doc_id"]) == list(plain["doc_id"])
+
+
+def test_boosting_validates_negative_boost(engines):
+    loc = engines["local"]
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="negative_boost"):
+            loc.search_boosting("a", "b", bad)
+
+
+def test_boosting_with_filters_and_paging(engines):
+    want = _boosting_oracle(engines, "common_util", "slow", 0.4)
+    loc = engines["local"]
+    meta = loc._local_meta.set_index("doc_id")
+    want = want[[meta.loc[d, "lang"] == "py" for d in want["doc_id"]]]
+    for tier in ("local", "dist"):
+        got = engines[tier].search_boosting(
+            "common_util", "slow", 0.4, k=5, offset=3,
+            filters={"lang": "py"}, as_pandas=True,
+        )
+        exp = want.iloc[3:8]
+        assert list(got["doc_id"]) == list(exp["doc_id"]), tier

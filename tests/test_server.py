@@ -944,3 +944,39 @@ def test_suggest_phrase_route(gateway):
     )
     if res["suggestions"]:
         assert res["suggestions"][0]["suggestion"] == "common_util helper"
+
+
+def test_boosting_route(gateway):
+    """negative= demotes (ES boosting query) on /address/term."""
+    api, base = gateway
+    status, res = _get(
+        base,
+        "/api/v1/address/term?term=common_util&size=10"
+        "&negative=slow&negative_boost=0.3",
+    )
+    assert status == 200 and len(res["items"]) == 10
+    direct = api.search_boosting(
+        "common_util", "slow", negative_boost=0.3, size=10
+    ).collect()
+    assert [i["doc_id"] for i in res["items"]] == [
+        r["doc_id"] for r in direct
+    ]
+    # same doc count as plain search on a bigger page: demoted, not dropped
+    status, res_all = _get(
+        base,
+        "/api/v1/address/term?term=common_util&size=100&negative=slow",
+    )
+    status, plain_all = _get(
+        base, "/api/v1/address/term?term=common_util&size=100"
+    )
+    assert len(res_all["items"]) == len(plain_all["items"])
+    # contract errors are 400s
+    assert _get_status(
+        base, "/api/v1/address/term?term=a&negative=b&negative_boost=2.0"
+    ) == 400
+    assert _get_status(
+        base, "/api/v1/address/term?term=a&negative=b&negative_boost=x"
+    ) == 400
+    assert _get_status(
+        base, "/api/v1/address/term?term=a&negative=b&sort=lang:asc"
+    ) == 400
