@@ -983,6 +983,21 @@ def _q_sample_stratified(spark, sf):
     ).select("doc_id", "lang").orderBy("doc_id")
 
 
+def _q_sample_temperature(spark, sf):
+    """Temperature-based mixture sampling (GPT-3/PaLM/XLM-R dataset
+    mixing, weight ~ share**alpha): one combinable count rollup fixes the
+    per-lang tempered keep rates driver-side, then the deterministic
+    md5-threshold filter applies them in a pure map stage — reproducible
+    across partitioning and cluster size
+    (operators/sampling.temperature_sample)."""
+    from gofias_spark.operators.sampling import temperature_sample
+
+    docs = _documents(spark, sf)
+    return temperature_sample(
+        docs, alpha=0.5, group_col="lang"
+    ).select("doc_id", "lang")
+
+
 def _q_pack_sequences(spark, sf):
     """Token-budget sequence packing (training-shard assignment): walk
     docs in id order, bin = floor(tokens-before/budget). Distributed
@@ -1092,6 +1107,22 @@ def _q_evt_date_range(spark, sf):
         ("2024-01-10", "2024-01-20"),
         ("2024-01-15", None),
     ])
+
+
+def _q_evt_auto_histogram(spark, sf):
+    """ES auto_date_histogram: the engine picks the finest calendar
+    interval fitting the target bucket budget (one scalar min/max agg),
+    then runs the ordinary date_histogram at it — two jobs total, no
+    trial re-aggregation. The sf events span ~30 days, so target=10
+    resolves to 'week'; the oracle asserts that resolution by encoding
+    it (operators/events.auto_date_histogram)."""
+    from gofias_spark.operators.events import auto_date_histogram
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    interval, buckets = auto_date_histogram(
+        ev, target_buckets=10, group_col=None, value_col="value"
+    )
+    return buckets.select(F.lit(interval).alias("interval"), "*")
 
 
 def _q_evt_sessionize(spark, sf):
@@ -1529,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_classifier_score": _q_text_classifier_score,
         "curate_dsir_weights": _q_dsir_weights,
         "sample_stratified": _q_sample_stratified,
+        "sample_temperature": _q_sample_temperature,
         "pack_sequences": _q_pack_sequences,
         "percolate_match": _q_percolate,
         "pipeline_curate": _q_pipeline_curate,
@@ -1560,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_bucket_pipeline": _q_evt_bucket_pipeline,
         "evt_bucket_stats": _q_evt_bucket_stats,
         "evt_date_range": _q_evt_date_range,
+        "evt_auto_histogram": _q_evt_auto_histogram,
         "evt_sessionize": _q_evt_sessionize,
         # sources
         "src_xml_scan": _q_src_xml_scan,
@@ -2999,6 +3032,18 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0
                    WHEN 'fr' THEN 0.1 ELSE 0.0 END)
 ORDER BY doc_id
 """,
+        "sample_temperature": """
+WITH c AS (SELECT lang, count(*)::DOUBLE AS cnt FROM documents
+           WHERE lang IS NOT NULL GROUP BY lang),
+t AS (SELECT lang, cnt, pow(cnt / (SELECT sum(cnt) FROM c), 0.5) AS w
+      FROM c),
+r AS (SELECT lang, cnt, (w / (SELECT sum(w) FROM t)) / cnt AS raw FROM t),
+s AS (SELECT lang, least(1.0, raw / (SELECT max(raw) FROM r)) AS rate
+      FROM r)
+SELECT d.doc_id, d.lang FROM documents d JOIN s USING (lang)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+      / 4294967296.0 < s.rate
+""",
         "pack_sequences": """
 WITH T AS (SELECT doc_id,
                   len(regexp_extract_all(lower(text),
@@ -3048,6 +3093,14 @@ SELECT event_type,
        round(CAST(sum(cnt) AS DOUBLE), 4) AS sum_v,
        round(avg(cnt), 4) AS avg_v
 FROM h GROUP BY event_type ORDER BY event_type
+""",
+        "evt_auto_histogram": """
+SELECT 'week' AS interval,
+       CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket,
+       count(*)::BIGINT AS cnt,
+       round(sum(value), 4) AS sum_value, round(avg(value), 4) AS avg_value
+FROM events WHERE ts IS NOT NULL
+GROUP BY 2 ORDER BY 2
 """,
         "evt_date_range": """
 SELECT * FROM (

@@ -288,3 +288,60 @@ def date_range_agg(
         [(kk, int(row[f"_c{i}"])) for i, kk in enumerate(keys)],
         "range string, cnt long",
     )
+
+
+# calendar ladder for auto_date_histogram, coarse -> fine, with the rough
+# seconds-per-bucket used to pick the finest interval that still fits the
+# target bucket budget (ES's RoundingInfo ladder, sans sub-minute tiers)
+_AUTO_LADDER = (
+    ("year", 365 * 86400.0),
+    ("quarter", 91 * 86400.0),
+    ("month", 30 * 86400.0),
+    ("week", 7 * 86400.0),
+    ("day", 86400.0),
+    ("hour", 3600.0),
+    ("minute", 60.0),
+)
+
+
+def auto_date_histogram(
+    events: DataFrame,
+    target_buckets: int = 10,
+    ts_col: str = "ts",
+    group_col: str | None = None,
+    value_col: str | None = None,
+) -> tuple[str, DataFrame]:
+    """ES ``auto_date_histogram``: pick the FINEST calendar interval whose
+    bucket count stays within ``target_buckets`` (ES halves/rounds the
+    same way down its RoundingInfo ladder), then run the ordinary
+    :func:`date_histogram` at it. Returns ``(interval, buckets)`` — ES
+    reports the chosen ``interval`` in the response the same way.
+
+    Cost: ONE scalar min/max aggregation over the timestamp column
+    (map-side combined) to choose the interval, then the standard
+    single-rollup histogram — two jobs total, independent of bucket
+    count; no trial-and-error re-aggregation.
+    """
+    if target_buckets < 1:
+        raise ValueError("target_buckets must be >= 1")
+    ts = F.col(ts_col).cast("timestamp")
+    row = events.filter(ts.isNotNull()).agg(
+        F.min(ts).alias("lo"), F.max(ts).alias("hi")
+    ).collect()[0]
+    if row["lo"] is None:
+        return "day", date_histogram(
+            events, "day", ts_col=ts_col, group_col=group_col,
+            value_col=value_col,
+        )
+    span = (row["hi"] - row["lo"]).total_seconds()
+    interval = _AUTO_LADDER[0][0]
+    for name, secs in _AUTO_LADDER:
+        # buckets at this tier (ceil of span over width, min 1)
+        if span / secs < target_buckets:
+            interval = name
+        else:
+            break
+    return interval, date_histogram(
+        events, interval, ts_col=ts_col, group_col=group_col,
+        value_col=value_col,
+    )

@@ -160,3 +160,66 @@ def pack_sequences(
             F.floor(F.col("_before") / budget).alias("bin_id"),
         )
     )
+
+
+def temperature_rates(
+    counts: dict[str, int], alpha: float = 0.7, scale: float | None = None
+) -> dict[str, float]:
+    """Per-group keep rates for temperature-based mixture sampling
+    (the dataset-mixing rule of GPT-3 / PaLM / XLM-R: a group with share
+    ``p`` is sampled with weight proportional to ``p**alpha``, alpha<1
+    flattening the mixture toward small groups).
+
+    Returns, per group, the keep probability that realizes the
+    temperature mixture by DOWN-sampling only (no duplication):
+    ``rate(g) = scale * p_g**alpha / count_g`` normalized so the largest
+    rate is 1.0 unless an explicit ``scale`` is given. Deterministic,
+    driver-side arithmetic over the tiny (group, count) dict — pair with
+    :func:`stratified_sample` for the distributed filter.
+    """
+    if not counts:
+        return {}
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    total = float(sum(counts.values()))
+    if total <= 0:
+        return {g: 0.0 for g in counts}
+    weights = {g: (c / total) ** alpha for g, c in counts.items() if c > 0}
+    wsum = sum(weights.values())
+    # target share per group under the tempered mixture
+    target = {g: w / wsum for g, w in weights.items()}
+    # unnormalized keep rate realizing the share by down-sampling
+    raw = {g: target[g] / counts[g] for g in target}
+    s = scale if scale is not None else 1.0 / max(raw.values())
+    out = {g: min(1.0, raw[g] * s) for g in raw}
+    for g, c in counts.items():
+        if c <= 0:
+            out[g] = 0.0
+    return out
+
+
+def temperature_sample(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture sampling over a grouped corpus: measure
+    group sizes (ONE map-side-combinable groupBy producing #groups tiny
+    rows), derive tempered keep rates driver-side
+    (:func:`temperature_rates`), then apply the deterministic
+    md5-threshold filter (:func:`stratified_sample`) — the whole plan is
+    a count rollup plus a pure map-stage filter, reproducible across
+    partitioning and cluster size. Null groups are dropped (rate 0).
+    """
+    rows = (
+        docs.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    counts = {r[group_col]: int(r["cnt"]) for r in rows}
+    rates = temperature_rates(counts, alpha=alpha)
+    return stratified_sample(
+        docs, rates, stratum_col=group_col, id_col=id_col, default_rate=0.0
+    )

@@ -456,3 +456,85 @@ def test_reindex_preserves_analyzer_and_positions(spark, tmp_path):
     cfg = IndexStore(dest).read_manifest()["config"]
     assert cfg["analyzer"]["mode"] == "edge_ngram"
     assert cfg["analyzer"]["max_gram"] == 10
+
+
+# ---- temperature mixture sampling + auto_date_histogram ------------------
+
+from gofias_spark.operators.sampling import (  # noqa: E402
+    temperature_rates,
+    temperature_sample,
+)
+
+
+def test_temperature_rates_flatten_mixture():
+    counts = {"en": 800, "fr": 100, "de": 100}
+    r = temperature_rates(counts, alpha=0.5)
+    # smallest groups keep everything, the giant is down-sampled
+    assert r["fr"] == 1.0 and r["de"] == 1.0
+    assert 0.0 < r["en"] < 1.0
+    # realized shares follow p**alpha renormalized
+    kept = {g: counts[g] * r[g] for g in counts}
+    tot = sum(kept.values())
+    import math
+    w = {g: (c / 1000) ** 0.5 for g, c in counts.items()}
+    ws = sum(w.values())
+    for g in counts:
+        assert math.isclose(kept[g] / tot, w[g] / ws, rel_tol=1e-12), g
+
+
+def test_temperature_rates_edges():
+    assert temperature_rates({}) == {}
+    assert temperature_rates({"a": 0, "b": 10}) == {"a": 0.0, "b": 1.0}
+    # alpha=1 is the natural mixture: every rate 1.0 (no reshaping)
+    r = temperature_rates({"a": 700, "b": 300}, alpha=1.0)
+    assert r == {"a": 1.0, "b": 1.0}
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_rates({"a": 1}, alpha=0)
+
+
+def test_temperature_sample_deterministic_and_flattening(spark):
+    rows = [(i, "en" if i % 10 < 8 else ("fr" if i % 2 else "de"))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out1 = temperature_sample(df, alpha=0.5).toPandas()
+    out2 = temperature_sample(df, alpha=0.5).toPandas()
+    assert sorted(out1["doc_id"]) == sorted(out2["doc_id"])  # reproducible
+    mix = out1["lang"].value_counts(normalize=True)
+    base = df.toPandas()["lang"].value_counts(normalize=True)
+    # the dominant group's share shrinks toward the tempered mixture
+    assert mix["en"] < base["en"]
+
+
+from gofias_spark.operators.events import auto_date_histogram  # noqa: E402
+
+
+def test_auto_date_histogram_picks_interval(spark):
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    # 40 days of daily events, target 10 -> week (<=10 buckets)
+    days = mk([(i, base + dt.timedelta(days=i), "c", 1.0)
+               for i in range(40)])
+    iv, buckets = auto_date_histogram(days, 10, group_col=None,
+                                      value_col=None)
+    assert iv == "week"
+    assert buckets.count() <= 10
+    # 3 hours of minutely events, target 10 -> hour
+    mins = mk([(i, base + dt.timedelta(minutes=i * 10), "c", 1.0)
+               for i in range(18)])
+    iv2, b2 = auto_date_histogram(mins, 10, group_col=None, value_col=None)
+    assert iv2 == "hour" and b2.count() <= 10
+    with pytest.raises(ValueError, match="target_buckets"):
+        auto_date_histogram(days, 0)
+
+
+def test_auto_date_histogram_empty_input(spark):
+    df = spark.createDataFrame(
+        [], "event_id long, ts timestamp, event_type string, value double"
+    )
+    iv, buckets = auto_date_histogram(df, 10, group_col=None,
+                                      value_col=None)
+    assert iv == "day" and buckets.count() == 0
