@@ -295,6 +295,20 @@ def _q_ft_phrase_prefix(spark, sf):
     return _ft(_engine(spark, sf).search_phrase_prefix("table s", k=10))
 
 
+def _q_ft_bool_prefix(spark, sf):
+    """ES match_bool_prefix (search-as-you-type, bool form — no
+    adjacency): 'table' as a must term clause + any vocabulary completion
+    of 'sc' as a must prefix clause, scored as the BM25 sum over all
+    matched clauses with per-variant idf (the engine's wildcard-scoring
+    contract; exact — no expansion cap). Compiles onto the query_string
+    composition path (engine.search_bool_prefix)."""
+    return _ft(
+        _engine(spark, sf).search_bool_prefix(
+            "table sc", k=10, mode="and", max_expansions=None
+        )
+    )
+
+
 def _q_ft_fuzzy(spark, sf):
     """Fuzzy single-token match (ES fuzziness analogue): SymSpell
     deletion-neighborhood expansion over the term dictionary (levenshtein
@@ -1507,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_span_first": _q_ft_span_first,
         "ft_phrase_prefix": _q_ft_phrase_prefix,
         "ft_fuzzy_top10": _q_ft_fuzzy,
+        "ft_bool_prefix": _q_ft_bool_prefix,
         "ft_wildcard_top10": _q_ft_wildcard,
         "ft_count": _q_ft_count,
         "ft_count_many": _q_ft_count_many,
@@ -2041,6 +2056,31 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_prefix": _bm25_sql(
             ["table"], 10, phrase=["table"], prefix="s"
         ),
+        "ft_bool_prefix": f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+exp AS (SELECT DISTINCT term FROM tok WHERE regexp_matches(term, '^sc')),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term = 'table' OR term IN (SELECT term FROM exp)
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score,
+         max(CASE WHEN tf.term = 'table' THEN 1 ELSE 0 END) AS has_fixed,
+         max(CASE WHEN tf.term <> 'table' THEN 1 ELSE 0 END) AS has_exp
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM scored
+WHERE has_fixed = 1 AND has_exp = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
         "ft_fuzzy_top10": _bm25_sql([], 10, mode="or", fuzzy="fash"),
         "ft_wildcard_top10": _bm25_sql(
             [], 10, mode="or", wildcard="s?a*"

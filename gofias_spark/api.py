@@ -157,6 +157,24 @@ class FulltextAPI:
         SearchEngine.adjacency_matrix."""
         return self.engine.adjacency_matrix(queries, filters=filters)
 
+    def search_bool_prefix(
+        self,
+        query: str,
+        size: int = 100,
+        from_: int = 0,
+        mode: str = "or",
+        as_pandas: bool = False,
+        max_expansions: int | None = None,
+    ):
+        """ES match_bool_prefix analogue (search-as-you-type, no
+        adjacency): fixed tokens as term clauses + the final token as a
+        prefix clause; mode = ES operator. See
+        SearchEngine.search_bool_prefix."""
+        return self.engine.search_bool_prefix(
+            query, k=size, offset=from_, mode=mode, as_pandas=as_pandas,
+            max_expansions=max_expansions,
+        )
+
     def search_boosting(
         self,
         positive: str,

@@ -1541,12 +1541,6 @@ class SearchEngine:
                 schema="doc_id long",
             )
             return scored.join(F.broadcast(matched), "doc_id")
-        if first_end is not None:
-            raise ValueError(
-                "span_first requires a positional index (build with "
-                "IndexConfig(positions=True)) — like Lucene span queries, "
-                "it cannot run against a positions-less index"
-            )
         blocks = self.postings.filter(F.col("term").isin(qterms))
         scored = self._scored_frame(blocks, K.score_and, params, filters)
         if min(dfs[t] for t in qterms) <= 1_000_000:
@@ -2134,6 +2128,63 @@ class SearchEngine:
             self._fuzzy_map = m
             self._fuzzy_map_token = token
         return self._fuzzy_map
+
+    def search_bool_prefix(
+        self,
+        query: str,
+        k: int = 10,
+        offset: int = 0,
+        mode: str = "or",
+        with_meta: bool = True,
+        as_pandas: bool = False,
+        max_expansions: int | None = None,
+    ):
+        """ES ``match_bool_prefix`` analogue — search-box-as-you-type
+        over a standard-analyzer index: every analyzed token but the last
+        is a term clause, the last is a PREFIX clause (any vocabulary
+        term starting with it); ``mode`` maps to ES's ``operator``. Under
+        ``or`` a doc matches any clause; under ``and`` every fixed term
+        AND at least one prefix completion must be present. Unlike
+        match_phrase_prefix there is no adjacency/order requirement —
+        the bool form, exactly as in ES.
+
+        Scoring: BM25 sum over all matched clauses with per-variant idf
+        for prefix completions — the engine's standing wildcard-scoring
+        contract (deliberate divergence from ES's constant-score prefix
+        rewrite, which is expansion-cap dependent and not rank-stable).
+        Default ``max_expansions=None`` is EXACT (all completions); a cap
+        follows wildcard_terms' df-desc order.
+
+        Compiles onto the query_string engine (``a b la*`` /
+        ``+a +b +la*``), so tier routing, group scoring, and the
+        composition path apply unchanged; filter by field with
+        query_string syntax (``lang:py``) via ``api.query_string`` when
+        needed.
+        """
+        if mode not in ("or", "and"):
+            raise ValueError("mode must be 'or' or 'and'")
+        from gofias_spark.query.querystring import execute_query_string
+
+        toks = tokenize_text(
+            query,
+            AnalyzerConfig(
+                mode="standard", token_pattern=self.analyzer.token_pattern
+            ),
+        )
+        if not toks:
+            return self._empty_result(with_meta, as_pdf=as_pandas)
+        fixed, last = toks[:-1], toks[-1]
+        if mode == "or":
+            qs = " ".join([*fixed, last + "*"])
+        else:
+            qs = " ".join("+" + t for t in [*fixed]) + (
+                " " if fixed else ""
+            ) + "+" + last + "*"
+        return execute_query_string(
+            self, qs, k=k, offset=offset, default_operator="or",
+            max_expansions=max_expansions, with_meta=with_meta,
+            as_pandas=as_pandas,
+        )
 
     def search_fuzzy(
         self,

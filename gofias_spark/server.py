@@ -64,7 +64,7 @@ into ES `range` queries per filtered route, addressHandler.go:140-165):
                                         fragments per item (match=and|phrase)
     <field>.gte= .gt= .lte= .lt= .neq=  range predicates (F4), e.g.
                                         doclen.gte=100&doclen.lt=500
-    match=and|or|phrase|phrase_prefix|fuzzy|wildcard|regexp
+    match=and|or|phrase|phrase_prefix|bool_prefix|fuzzy|wildcard|regexp
                                         match mode on /address/term
                                         (default and; the others are
                                         extensions beyond the reference);
@@ -489,6 +489,19 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                         filters=_filters_from_query(q), as_pandas=True,
                         max_expansions=mx,
                     )
+                elif match == "bool_prefix":
+                    if sort_by or after is not None or exclude is not None:
+                        raise BadRequest(
+                            "match=bool_prefix combines with neither "
+                            "sort= nor search_after= nor exclude="
+                        )
+                    op = q.get("operator", ["or"])[0]
+                    if op not in ("or", "and"):
+                        raise BadRequest("operator must be or|and")
+                    pdf = api.search_bool_prefix(
+                        _term(q), size=size, from_=from_, mode=op,
+                        as_pandas=True,
+                    )
                 elif match == "fuzzy":
                     if sort_by:
                         raise BadRequest(
@@ -583,7 +596,7 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                 else:
                     raise BadRequest(
                         "match must be one of and|or|phrase|"
-                        "phrase_prefix|fuzzy|wildcard|regexp"
+                        "phrase_prefix|bool_prefix|fuzzy|wildcard|regexp"
                     )
                 if q.get("highlight", ["false"])[0].lower() in (
                     "1", "true",

@@ -13,6 +13,8 @@ JVM-regex content-verify plan — all three must return identical
 
 import re
 
+import numpy as np
+
 import pytest
 
 from gofias_spark.config import IndexConfig
@@ -141,3 +143,52 @@ def test_filters_apply(eng, eng_cold, eng_nopos):
             "alpha ga", k=20, filters={"doclen": {"lte": 2}}
         )
         assert sorted(r["path"] for r in out.collect()) == ["d4", "d6"]
+
+
+# ---- match_bool_prefix (bool form: no adjacency) -------------------------
+
+
+def test_bool_prefix_or_equals_expanded_or(eng):
+    """OR mode == plain OR search over fixed tokens + all completions."""
+    exp = eng.wildcard_terms("ga*", None)
+    assert set(exp) >= {"gamma", "gap", "gab", "galaxy"}
+    got = eng.search_bool_prefix("alpha ga", k=20, mode="or",
+                                 as_pandas=True)
+    want = eng.search(" ".join(["alpha"] + exp), k=20, mode="or",
+                      as_pandas=True)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert np.allclose(got["score"], want["score"], rtol=1e-9)
+
+
+def test_bool_prefix_and_requires_fixed_and_any_completion(eng):
+    got = eng.search_bool_prefix("alpha ga", k=100, mode="and",
+                                 as_pandas=True)
+    paths = sorted(got["path"])
+    # alpha present AND any ga* token present, order/adjacency irrelevant:
+    # d2 (alpha beta gamma) and d3 (gamma alpha) now match; d10 too
+    assert paths == ["d0", "d1", "d10", "d2", "d3", "d4", "d5", "d6"]
+
+
+def test_bool_prefix_ignores_order_unlike_phrase_prefix(eng):
+    bp = set(
+        eng.search_bool_prefix("alpha ga", k=100, mode="and",
+                               as_pandas=True)["path"]
+    )
+    pp = set(
+        r["path"] for r in eng.search_phrase_prefix("alpha ga",
+                                                    k=100).collect()
+    )
+    assert pp < bp  # strictly more docs without the adjacency gate
+    assert {"d2", "d3"} <= bp - pp
+
+
+def test_bool_prefix_edges(eng):
+    assert len(eng.search_bool_prefix("", k=5, as_pandas=True)) == 0
+    assert len(eng.search_bool_prefix("alpha zzzqx", k=5, mode="and",
+                                      as_pandas=True)) == 0
+    # single token degenerates to the pure prefix (wildcard) query
+    single = eng.search_bool_prefix("ga", k=100, as_pandas=True)
+    want = eng.search_wildcard("ga*", k=100, as_pandas=True)
+    assert list(single["doc_id"]) == list(want["doc_id"])
+    with pytest.raises(ValueError, match="mode"):
+        eng.search_bool_prefix("a b", mode="phrase")

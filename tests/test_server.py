@@ -980,3 +980,30 @@ def test_boosting_route(gateway):
     assert _get_status(
         base, "/api/v1/address/term?term=a&negative=b&sort=lang:asc"
     ) == 400
+
+
+def test_bool_prefix_route(gateway):
+    """match=bool_prefix: search-as-you-type without adjacency."""
+    api, base = gateway
+    status, res = _get(
+        base,
+        "/api/v1/address/term?term=common_ut&match=bool_prefix&size=5",
+    )
+    assert status == 200 and len(res["items"]) == 5
+    direct = api.search_bool_prefix("common_ut", size=5).collect()
+    assert [i["doc_id"] for i in res["items"]] == [
+        r["doc_id"] for r in direct
+    ]
+    status, res_and = _get(
+        base,
+        "/api/v1/address/term?term=helper+common_ut&match=bool_prefix"
+        "&operator=and&size=5",
+    )
+    assert status == 200 and len(res_and["items"]) == 5
+    assert _get_status(
+        base, "/api/v1/address/term?term=a&match=bool_prefix&operator=x"
+    ) == 400
+    assert _get_status(
+        base,
+        "/api/v1/address/term?term=a&match=bool_prefix&sort=lang:asc",
+    ) == 400
