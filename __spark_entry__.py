@@ -151,6 +151,18 @@ def _q_ft_top1(spark, sf):
     return _ft(_engine(spark, sf).search("merge batch", k=1))
 
 
+def _q_ft_constant_score(spark, sf):
+    """ES constant_score: filter-context match ('table scan' AND
+    lang='en'), every hit scores exactly boost=1.5, deterministic doc_id
+    paging. No scoring kernel at all — the k-free matched-id frame goes
+    straight to an ordered limit (engine.search_constant_score)."""
+    return _ft(
+        _engine(spark, sf).search_constant_score(
+            "table scan", filters={"lang": "en"}, boost=1.5, k=100_000
+        )
+    )
+
+
 def _q_ft_boosting(spark, sf):
     """ES boosting query: 'table scan' matches rank by BM25, docs also
     containing 'slow' are demoted by negative_boost=0.5 (not excluded).
@@ -1451,6 +1463,41 @@ def _q_rel_geo_nearest(spark, sf):
     )
 
 
+def _q_rel_geo_bbox(spark, sf):
+    """ES geo_bounding_box filter: customers (synthetic deterministic
+    coords) inside a lat/lon box — a pure column predicate that pushes
+    into the scan (functions/geo.in_bounding_box)."""
+    from gofias_spark.functions.geo import in_bounding_box
+
+    c = _t(spark, sf, "customer")
+    lat = (F.col("c_custkey") * 7 % 180 - 90 + 0.5).cast("double")
+    lon = (F.col("c_custkey") * 13 % 360 - 180 + 0.5).cast("double")
+    return (
+        c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+        .filter(in_bounding_box(F.col("lat"), F.col("lon"),
+                                top=60.0, left=-30.0, bottom=0.0,
+                                right=90.0))
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+def _q_rel_geo_rings(spark, sf):
+    """ES geo_distance aggregation: customer counts per [from, to) km
+    ring around the origin, all rings in ONE conditional-sum pass over
+    the haversine expression — no per-ring jobs
+    (functions/geo.distance_rings)."""
+    from gofias_spark.functions.geo import distance_rings
+
+    c = _t(spark, sf, "customer")
+    lat = (F.col("c_custkey") * 7 % 180 - 90 + 0.5).cast("double")
+    lon = (F.col("c_custkey") * 13 % 360 - 180 + 0.5).cast("double")
+    pts = c.select(lat.alias("lat"), lon.alias("lon"))
+    return distance_rings(pts, 0.0, 0.0, [
+        (None, 3000.0), (3000.0, 8000.0), (5000.0, None)
+    ])
+
+
 def _q_rel_date_filter(spark, sf):
     """X7/F2 date parse + compare: reference layouts via functions/dates.py
     (utils.go:5; active predicate jsonHouseDto.go:77-79). Orders dates are
@@ -1507,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_top1": _q_ft_top1,
         "ft_must_not": _q_ft_must_not,
         "ft_boosting": _q_ft_boosting,
+        "ft_constant_score": _q_ft_constant_score,
         "ft_msm": _q_ft_msm,
         "ft_boosted": _q_ft_boosted,
         "ft_search_after": _q_ft_search_after,
@@ -1599,6 +1647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_union_distinct": _q_rel_union_distinct,
         "rel_concat_display": _q_rel_concat_display,
         "rel_geo_nearest": _q_rel_geo_nearest,
+        "rel_geo_bbox": _q_rel_geo_bbox,
+        "rel_geo_rings": _q_rel_geo_rings,
         "rel_date_filter": _q_rel_date_filter,
         "rel_merge_coalesce": _q_rel_merge_coalesce,
         # event-stream analytics
@@ -2016,6 +2066,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ft_and_filter_lang": _bm25_sql(["table", "scan"], 10, lang="en"),
         "ft_top1": _bm25_sql(["merge", "batch"], 1),
+        "ft_constant_score": f"""
+WITH tok AS ({TOK}),
+m AS (SELECT t.doc_id FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+      WHERE t.term IN ('table', 'scan') AND d.lang = 'en'
+      GROUP BY t.doc_id HAVING count(DISTINCT t.term) = 2)
+SELECT doc_id, 1.5::DOUBLE AS score FROM m
+""",
         "ft_boosting": _bm25_sql(
             ["table", "scan"], 10, demote=(["slow"], 0.5)
         ),
@@ -2932,6 +2989,36 @@ SELECT n_name,
            + cos(radians(0.0)) * cos(radians(lat))
              * pow(sin(radians(lon) / 2), 2))), 2) AS dist_km
 FROM g ORDER BY dist_km ASC, n_name ASC LIMIT 5
+""",
+        "rel_geo_bbox": """
+WITH g AS (SELECT c_custkey,
+  ((c_custkey * 7) % 180 - 90 + 0.5)::DOUBLE AS lat,
+  ((c_custkey * 13) % 360 - 180 + 0.5)::DOUBLE AS lon
+  FROM customer)
+SELECT c_custkey FROM g
+WHERE lat <= 60.0 AND lat >= 0.0 AND lon >= -30.0 AND lon <= 90.0
+ORDER BY c_custkey
+""",
+        "rel_geo_rings": """
+WITH g AS (SELECT
+  2.0 * 6371.0 * asin(sqrt(
+      pow(sin(radians(((c_custkey * 7) % 180 - 90 + 0.5)::DOUBLE) / 2), 2)
+      + cos(radians(0.0))
+        * cos(radians(((c_custkey * 7) % 180 - 90 + 0.5)::DOUBLE))
+        * pow(sin(radians(((c_custkey * 13) % 360 - 180 + 0.5)::DOUBLE)
+                  / 2), 2))) AS d
+  FROM customer)
+SELECT * FROM (
+  SELECT '*-3000.0' AS ring,
+         (SELECT count(*) FROM g WHERE d < 3000.0)::BIGINT AS cnt
+  UNION ALL
+  SELECT '3000.0-8000.0',
+         (SELECT count(*) FROM g
+          WHERE d >= 3000.0 AND d < 8000.0)::BIGINT
+  UNION ALL
+  SELECT '5000.0-*',
+         (SELECT count(*) FROM g WHERE d >= 5000.0)::BIGINT
+)
 """,
         "rel_date_filter": """
 WITH d AS (SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m-%d') AS ds

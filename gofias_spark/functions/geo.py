@@ -53,3 +53,70 @@ def nearest(
     if radius_km is not None:
         out = out.filter(F.col("dist_km") <= radius_km)
     return out.orderBy(F.asc("dist_km")).limit(k)
+
+
+def in_bounding_box(
+    lat: Column,
+    lon: Column,
+    top: float,
+    left: float,
+    bottom: float,
+    right: float,
+) -> Column:
+    """ES ``geo_bounding_box`` filter predicate: latitude in
+    [bottom, top] and longitude in [left, right], with the anti-meridian
+    wrap when ``left > right`` (ES's dateline-crossing box). A pure
+    column expression — pushes down into the scan like any comparison."""
+    if not -90.0 <= bottom <= top <= 90.0:
+        raise ValueError("need -90 <= bottom <= top <= 90")
+    lat_ok = (lat <= F.lit(float(top))) & (lat >= F.lit(float(bottom)))
+    if left <= right:
+        lon_ok = (lon >= F.lit(float(left))) & (lon <= F.lit(float(right)))
+    else:  # crosses the anti-meridian
+        lon_ok = (lon >= F.lit(float(left))) | (lon <= F.lit(float(right)))
+    return lat_ok & lon_ok
+
+
+def distance_rings(
+    df: DataFrame,
+    lat: float,
+    lon: float,
+    ranges: list[tuple[float | None, float | None]],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """ES ``geo_distance`` aggregation: doc counts per ``[from, to)``
+    distance ring (km) around an origin — from-inclusive / to-exclusive,
+    open ends as None, overlapping rings counted independently, exactly
+    like the numeric range agg. Returns ``(ring, cnt)`` with ES-style
+    keys ``"from-to"`` / ``"*-to"`` / ``"from-*"`` in the given order.
+
+    One pass: the haversine is a pure column expression and every ring is
+    a conditional-sum aggregate over it — a single scan producing one
+    scalar row (no shuffle of rows, no per-ring jobs), unpivoted
+    driver-side.
+    """
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    dist = haversine_km(
+        F.col(lat_col), F.col(lon_col), F.lit(float(lat)),
+        F.lit(float(lon)),
+    )
+    aggs, keys = [], []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = dist.isNotNull()
+        if lo is not None:
+            cond = cond & (dist >= float(lo))
+        if hi is not None:
+            cond = cond & (dist < float(hi))
+        keys.append(f"{'*' if lo is None else float(lo)}-"
+                    f"{'*' if hi is None else float(hi)}")
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, F.lit(1))), F.lit(0))
+            .cast("long").alias(f"_c{i}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    return df.sparkSession.createDataFrame(
+        [(kk, int(row[f"_c{i}"])) for i, kk in enumerate(keys)],
+        "ring string, cnt long",
+    )

@@ -2687,6 +2687,91 @@ class SearchEngine:
             ),
         )
 
+    def search_constant_score(
+        self,
+        query: str | None = None,
+        filters: dict | None = None,
+        boost: float = 1.0,
+        k: int = 10,
+        offset: int = 0,
+        mode: str = "and",
+        with_meta: bool = True,
+        as_pandas: bool = False,
+    ):
+        """ES ``constant_score`` query: every doc matching the wrapped
+        query/filters scores exactly ``boost`` — no BM25, no term
+        statistics, the classic filter-context wrapper. ES leaves
+        equal-score order undefined; the engine fixes the deterministic
+        tie-break doc_id asc so pagination is stable (the standing
+        contract).
+
+        Plan: the k-free matched-id frame (postings mapInPandas or the
+        filter-aware cogroup — no scoring kernel at all) straight into an
+        ordered limit; filter-only queries skip the postings entirely and
+        page doc_meta. Driver-resident indexes answer without a job.
+        """
+        self._validate_filters(filters)
+        if filters_impossible(filters):
+            return self._empty_result(with_meta, as_pdf=as_pandas)
+        bs = float(boost)
+
+        def _page_ids_pdf(ids: np.ndarray):
+            ids = np.sort(ids)[offset : offset + k]
+            return pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "score": np.full(ids.size, bs, dtype=np.float64),
+            })
+
+        if query is not None:
+            qterms = analyze_query(query, self.analyzer)
+            dfs = self._term_dfs(qterms)
+            if mode == "and":
+                if not qterms or any(dfs[t] == 0 for t in qterms):
+                    return self._empty_result(with_meta, as_pdf=as_pandas)
+            else:
+                qterms = [t for t in qterms if dfs[t] > 0]
+                if not qterms:
+                    return self._empty_result(with_meta, as_pdf=as_pandas)
+            if self._local_blocks is not None:
+                lb = self._local_blocks[
+                    self._local_blocks["term"].isin(qterms)
+                ]
+                allowed, excluded = self._local_masks(filters)
+                ids = K.match_ids(lb, qterms, mode, allowed=allowed,
+                                  excluded=excluded)
+                return self._finish_local(
+                    _page_ids_pdf(ids), with_meta, as_pandas
+                )
+            matched = self._matched_ids_frame(qterms, mode, [], filters)
+        else:
+            if self._local_blocks is not None:
+                allowed, excluded = self._local_masks(filters)
+                ids = self._local_meta["doc_id"].to_numpy(dtype=np.int64)
+                if allowed is not None:
+                    ids = ids[np.isin(ids, allowed)]
+                if excluded is not None and len(ids):
+                    ids = ids[~np.isin(ids, excluded)]
+                return self._finish_local(
+                    _page_ids_pdf(ids), with_meta, as_pandas
+                )
+            df = self.doc_meta
+            cond = compile_filters(filters)
+            if cond is not None:
+                df = df.filter(cond)
+            if self._tombstones is not None:
+                df = df.join(
+                    self._tombstones.select("doc_id"), "doc_id", "left_anti"
+                )
+            matched = df.select("doc_id")
+        topk_pdf = (
+            matched.orderBy(F.asc("doc_id"))
+            .limit(offset + k)
+            .toPandas()
+            .iloc[offset : offset + k]
+            .assign(score=bs)
+        )
+        return self._attach_meta(topk_pdf, with_meta, as_pandas)
+
     def search_boosting(
         self,
         positive: str,

@@ -377,3 +377,36 @@ def test_multi_terms_validation(engines):
 def test_multi_terms_unmatched_query_is_empty(engines):
     got = engines["local"].multi_terms(["lang", "repo"], "zzzqqqxyzzy")
     assert len(got) == 0
+
+
+# ---- constant_score ------------------------------------------------------
+
+
+@pytest.mark.parametrize("tier", ["dist", "local"])
+def test_constant_score_matches_and_pages(engines, matched_meta, tier):
+    eng = engines[tier]
+    all_ids = sorted(matched_meta.index)
+    got = eng.search_constant_score(Q, boost=2.5, k=10**6, as_pandas=True)
+    assert list(got["doc_id"]) == all_ids, tier
+    assert (got["score"] == 2.5).all()
+    # stable doc_id-asc pagination
+    p1 = eng.search_constant_score(Q, k=5, as_pandas=True)
+    p2 = eng.search_constant_score(Q, k=5, offset=5, as_pandas=True)
+    assert list(p1["doc_id"]) + list(p2["doc_id"]) == all_ids[:10]
+
+
+def test_constant_score_filter_only(engines):
+    eng = engines["local"]
+    got = eng.search_constant_score(
+        filters={"lang": "py"}, k=10**6, as_pandas=True
+    )
+    meta = eng._local_meta
+    assert len(got) == int((meta["lang"] == "py").sum())
+    assert (got["score"] == 1.0).all()
+
+
+def test_constant_score_empty_and_impossible(engines):
+    eng = engines["local"]
+    assert len(eng.search_constant_score("zzzqqq", as_pandas=True)) == 0
+    assert len(eng.search_constant_score(Q, filters={"lang": []},
+                                         as_pandas=True)) == 0

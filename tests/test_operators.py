@@ -310,3 +310,59 @@ def test_redact_pii_kinds_subset_and_validation(spark):
     assert r["n_email"] == 1 and "n_ip" not in r.asDict()
     with pytest.raises(ValueError, match="unknown PII kinds"):
         redact_pii(docs, kinds=["email", "ssn"])
+
+
+# ---- geo: bounding box + distance rings ----------------------------------
+
+from gofias_spark.functions.geo import (  # noqa: E402
+    distance_rings,
+    haversine_km,
+    in_bounding_box,
+)
+
+
+def test_bounding_box_plain_and_dateline(spark):
+    pts = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, 50.0, -100.0), (3, -20.0, 20.0),
+         (4, 10.0, 175.0), (5, 10.0, -175.0)],
+        "id long, lat double, lon double",
+    )
+    from pyspark.sql import functions as F
+    plain = pts.filter(
+        in_bounding_box(F.col("lat"), F.col("lon"), 60, 0, 0, 90)
+    )
+    assert sorted(r["id"] for r in plain.collect()) == [1]
+    # box crossing the anti-meridian: lon >= 170 OR lon <= -170
+    wrap = pts.filter(
+        in_bounding_box(F.col("lat"), F.col("lon"), 60, 170, 0, -170)
+    )
+    assert sorted(r["id"] for r in wrap.collect()) == [4, 5]
+    with pytest.raises(ValueError, match="bottom"):
+        in_bounding_box(F.col("lat"), F.col("lon"), -10, 0, 10, 0)
+
+
+def test_distance_rings_bruteforce(spark):
+    import math
+
+    rows = [(i, float(i), float(2 * i)) for i in range(-10, 11)]
+    pts = spark.createDataFrame(rows, "id long, lat double, lon double")
+
+    def hv(lat, lon):
+        dlat = math.radians(lat) / 2
+        dlon = math.radians(lon) / 2
+        a = (math.sin(dlat) ** 2
+             + math.cos(0.0) * math.cos(math.radians(lat))
+             * math.sin(dlon) ** 2)
+        return 2 * 6371.0 * math.asin(math.sqrt(a))
+
+    d = [hv(lat, lon) for _, lat, lon in rows]
+    out = distance_rings(
+        pts, 0.0, 0.0, [(None, 1000.0), (1000.0, 2000.0), (1500.0, None)]
+    ).toPandas().set_index("ring")
+    assert out.loc["*-1000.0", "cnt"] == sum(x < 1000 for x in d)
+    assert out.loc["1000.0-2000.0", "cnt"] == sum(
+        1000 <= x < 2000 for x in d
+    )
+    assert out.loc["1500.0-*", "cnt"] == sum(x >= 1500 for x in d)
+    with pytest.raises(ValueError, match="non-empty"):
+        distance_rings(pts, 0, 0, [])
