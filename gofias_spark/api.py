@@ -634,6 +634,66 @@ class FulltextAPI:
         self._reopen()
         return manifest
 
+    def bulk(
+        self,
+        upserts: list[dict] | None = None,
+        deletes: list[dict] | None = None,
+    ) -> dict:
+        """ES ``_bulk`` analogue — the reference's bulk upsert sink (S6,
+        elasticAddressRepository.go:648-732: buffered index + delete
+        actions, fail-fast) as ONE MERGE: index actions upsert full docs,
+        delete actions tombstone (repo, path) keys. Within a batch the
+        engine's standing last-wins-per-key contract applies (A3).
+        Reopens the engine on the updated manifest and returns
+        ``{indexed, deleted, n_docs}``.
+        """
+        fields = ("repo", "path", "commit", "lang", "content")
+        ups = upserts or []
+        dels = deletes or []
+        if not ups and not dels:
+            raise ValueError("bulk needs at least one action")
+        for d in ups:
+            missing = [f for f in fields if not isinstance(d.get(f), str)]
+            if missing:
+                raise ValueError(
+                    f"index action missing string fields {missing}: "
+                    f"{ {k: d.get(k) for k in fields} }"
+                )
+        for d in dels:
+            if not isinstance(d.get("repo"), str) or not isinstance(
+                d.get("path"), str
+            ):
+                raise ValueError(
+                    f"delete action needs string repo and path: {d!r}"
+                )
+        from gofias_spark.corpus import DOCS_SCHEMA
+        from gofias_spark.index.merge import apply_delta
+
+        ups_df = (
+            self.spark.createDataFrame(
+                [tuple(d[f] for f in fields) for d in ups], DOCS_SCHEMA
+            )
+            if ups
+            else None
+        )
+        del_df = (
+            self.spark.createDataFrame(
+                [(d["repo"], d["path"]) for d in dels],
+                "repo string, path string",
+            )
+            if dels
+            else None
+        )
+        manifest = apply_delta(
+            self.spark, self.index_root, upserts=ups_df, deletes=del_df
+        )
+        self._reopen()
+        return {
+            "indexed": len(ups),
+            "deleted": len(dels),
+            "n_docs": manifest.get("n_docs"),
+        }
+
     def update_by_query(
         self,
         term: str,

@@ -35,6 +35,11 @@ Routes (reference analogues):
     GET /api/v1/terms_stats?group=..&metric=..[&term=..&size=..] terms+stats
     GET /api/v1/composite?field=..[&size=..&after=..&term=..]    composite agg
     GET /api/v1/suggest_terms?term=..[&size=..]                  term suggester
+    POST /api/v1/bulk (NDJSON: {"index":{}} + doc lines with
+         repo/path/commit/lang/content, {"delete":{"repo","path"}})
+                                        ES _bulk / reference S6 sink:
+                                        one MERGE per request, last-wins
+                                        within the batch, fail-fast
     GET /api/v1/suggest_phrase?term=..[&size=..&collate=true]    phrase
                                         suggester (did-you-mean, unigram)
     GET /api/v1/complete?prefix=..[&size=..]                     completion
@@ -282,6 +287,53 @@ def _items(pdf) -> list[dict]:
     return out
 
 
+def _parse_bulk_ndjson(body: str) -> tuple[list[dict], list[dict]]:
+    """ES _bulk NDJSON: an action line ``{"index": {...}}`` followed by
+    its source line, or a standalone ``{"delete": {"repo","path"}}``.
+    Returns (upserts, deletes); malformed input raises BadRequest."""
+    lines = [ln for ln in body.splitlines() if ln.strip()]
+    upserts: list[dict] = []
+    deletes: list[dict] = []
+    i = 0
+    while i < len(lines):
+        try:
+            action = json.loads(lines[i])
+        except json.JSONDecodeError as e:
+            raise BadRequest(f"line {i + 1}: invalid JSON") from e
+        if not isinstance(action, dict) or len(action) != 1:
+            raise BadRequest(
+                f"line {i + 1}: expected one-key action object"
+            )
+        kind = next(iter(action))
+        if kind == "index":
+            if i + 1 >= len(lines):
+                raise BadRequest(
+                    f"line {i + 1}: index action missing source line"
+                )
+            try:
+                doc = json.loads(lines[i + 1])
+            except json.JSONDecodeError as e:
+                raise BadRequest(f"line {i + 2}: invalid JSON") from e
+            if not isinstance(doc, dict):
+                raise BadRequest(f"line {i + 2}: source must be an object")
+            upserts.append(doc)
+            i += 2
+        elif kind == "delete":
+            key = action["delete"]
+            if not isinstance(key, dict):
+                raise BadRequest(
+                    f"line {i + 1}: delete action must carry a key object"
+                )
+            deletes.append(key)
+            i += 1
+        else:
+            raise BadRequest(
+                f"line {i + 1}: unsupported action {kind!r} "
+                "(index | delete)"
+            )
+    return upserts, deletes
+
+
 def make_handler(api: FulltextAPI, cache_size: int = 256):
     """Handler factory. ``cache_size`` > 0 enables the response cache: a
     thread-safe LRU of successful /api/v1/* GET bodies keyed by the full
@@ -375,6 +427,40 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                 self._json({"error": str(exc)}, code=400)
             except Exception as exc:  # fail-fast surface, like bulk errors
                 self._cache_key = None
+                self._json({"error": str(exc)}, code=500)
+            self._finish_metrics(url.path, t0)
+
+        MAX_BULK_BYTES = 64 * 1024 * 1024  # fail loudly, not OOM
+
+        def do_POST(self) -> None:  # noqa: N802 (stdlib API)
+            t0 = time.perf_counter()
+            url = urlparse(self.path)
+            self._cache_key = None
+            try:
+                if url.path != "/api/v1/bulk":
+                    self._json({"error": "not found"}, code=404)
+                    self._finish_metrics(url.path, t0)
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                except ValueError as e:
+                    raise BadRequest("bad Content-Length") from e
+                if length <= 0:
+                    raise BadRequest("empty bulk body")
+                if length > self.MAX_BULK_BYTES:
+                    raise BadRequest(
+                        f"bulk body exceeds {self.MAX_BULK_BYTES} bytes"
+                    )
+                body = self.rfile.read(length).decode("utf-8")
+                upserts, deletes = _parse_bulk_ndjson(body)
+                try:
+                    res = api.bulk(upserts=upserts, deletes=deletes)
+                except ValueError as exc:
+                    raise BadRequest(str(exc)) from exc
+                self._json({**res, "errors": False})
+            except BadRequest as exc:
+                self._json({"error": str(exc)}, code=400)
+            except Exception as exc:  # fail-fast, like bulk errors (S6)
                 self._json({"error": str(exc)}, code=500)
             self._finish_metrics(url.path, t0)
 

@@ -1007,3 +1007,73 @@ def test_bool_prefix_route(gateway):
         base,
         "/api/v1/address/term?term=a&match=bool_prefix&sort=lang:asc",
     ) == 400
+
+
+def test_bulk_route(spark, tmp_path_factory):
+    """POST /api/v1/bulk (ES _bulk / reference S6 sink): index + delete
+    actions apply as one MERGE; own index so the shared gateway fixture
+    stays immutable."""
+    root = str(tmp_path_factory.mktemp("bulkidx"))
+    docs = synth_corpus(spark, 40)
+    build_segment(spark, docs, root, CFG)
+    api = FulltextAPI(spark, root)
+    api.engine.warm()
+    server, _ = serve(api, port=0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        victim = api.engine.search("common_util", k=1).collect()[0]
+        n0 = api.engine.stats()["n_docs"]
+        body = "\n".join([
+            json.dumps({"index": {}}),
+            json.dumps({"repo": "newrepo", "path": "a.py", "commit": "c1",
+                        "lang": "py",
+                        "content": "def bulk_added(): return 1"}),
+            json.dumps({"delete": {"repo": victim["repo"],
+                                   "path": victim["path"]}}),
+        ])
+        req = urllib.request.Request(
+            base + "/api/v1/bulk", data=body.encode(),
+            headers={"Content-Type": "application/x-ndjson"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            res = json.loads(r.read())
+        assert res["indexed"] == 1 and res["deleted"] == 1
+        assert res["errors"] is False
+        # api reopened over the post-merge state
+        assert api.engine.stats()["n_docs"] == n0  # -1 +1
+        assert api.get_doc(repo=victim["repo"],
+                           path=victim["path"]).collect() == []
+        hits = api.engine.search("bulk_added", k=5).collect()
+        assert len(hits) == 1 and hits[0]["repo"] == "newrepo"
+        # reads through the gateway see the new state (token-keyed cache)
+        status, res2 = _get(base, "/api/v1/address/term?term=bulk_added")
+        assert status == 200 and len(res2["items"]) == 1
+
+        # contract errors are 400s
+        def post(b):
+            req = urllib.request.Request(base + "/api/v1/bulk",
+                                         data=b.encode())
+            try:
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    return r.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        assert post("") == 400
+        assert post("not json") == 400
+        assert post(json.dumps({"index": {}})) == 400        # no source
+        assert post(json.dumps({"upsert": {}})) == 400       # bad action
+        assert post("\n".join([json.dumps({"index": {}}),
+                               json.dumps({"repo": "x"})])) == 400
+        assert post(json.dumps({"delete": {"repo": "x"}})) == 400
+        # POST to a non-bulk path is a 404
+        req = urllib.request.Request(base + "/api/v1/address/term",
+                                     data=b"x")
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                code = r.status
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 404
+    finally:
+        server.shutdown()
