@@ -14,6 +14,10 @@ Steps (all read (doc_id, <text-col>, ...) parquet, write parquet):
   dsir-sample       DSIR-resampled subset (--frac) vs a --target corpus
   sample            deterministic stratified sample (--rates lang=0.3,..)
   pack              token-budget sequence packing (--budget)
+  code-flags        The Stack / StarCoder code-quality filter (or
+                    per-rule flags with --flags-only)
+  repo-rollup       per-repo curation report (files/tokens/pass-rate)
+  temperature-sample GPT-3/PaLM temperature mixture sampling (--alpha)
   redact            PII/link redaction pass
   decontaminate     n-gram overlap vs a --benchmark corpus
 
@@ -105,6 +109,22 @@ def main(argv=None) -> None:
                     help="also apply the Gopher repetition thresholds "
                          "(dup lines / dup line chars / top bigram)")
 
+    cf = sub.add_parser("code-flags")
+    _add_io(cf)
+    cf.add_argument("--flags-only", action="store_true",
+                    help="emit per-rule flags for every doc instead of "
+                         "filtering to code_pass docs")
+
+    rr = sub.add_parser("repo-rollup")
+    _add_io(rr)
+    rr.add_argument("--group-col", default="repo")
+    rr.add_argument("--lang-col", default="lang")
+
+    ts = sub.add_parser("temperature-sample")
+    _add_io(ts)
+    ts.add_argument("--alpha", type=float, default=0.7)
+    ts.add_argument("--group-col", default="lang")
+
     rd = sub.add_parser("redact")
     _add_io(rd)
 
@@ -189,6 +209,26 @@ def main(argv=None) -> None:
 
         out = pack_sequences(docs, budget=args.budget, id_col=ic,
                              text_col=tc)
+    elif args.step == "code-flags":
+        from gofias_spark.operators.textstats import code_quality_flags
+
+        if args.flags_only:
+            out = code_quality_flags(docs, id_col=ic, text_col=tc)
+        else:
+            flags = code_quality_flags(docs, id_col=ic, text_col=tc)
+            out = docs.join(
+                flags.filter("code_pass").select(ic), ic, "inner"
+            )
+    elif args.step == "repo-rollup":
+        from gofias_spark.operators.textstats import repo_rollup
+
+        out = repo_rollup(docs, group_col=args.group_col, id_col=ic,
+                          text_col=tc, lang_col=args.lang_col)
+    elif args.step == "temperature-sample":
+        from gofias_spark.operators.sampling import temperature_sample
+
+        out = temperature_sample(docs, alpha=args.alpha,
+                                 group_col=args.group_col, id_col=ic)
     elif args.step == "redact":
         from gofias_spark.operators.textstats import redact_pii
 

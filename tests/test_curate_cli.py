@@ -99,3 +99,31 @@ def test_gopher_filter_and_flags(io_dirs):
     out2 = str(root / "gpass.parquet")
     _run(["gopher", "--input", inp, "--output", out2])
     assert spark.read.parquet(out2).count() == 0
+
+
+def test_code_flags_rollup_and_temperature(io_dirs):
+    spark, root, inp, _ = io_dirs
+    out = str(root / "codeflags.parquet")
+    _run(["code-flags", "--input", inp, "--output", out, "--flags-only"])
+    flags = spark.read.parquet(out)
+    assert flags.count() == 4
+    assert "code_pass" in flags.columns and "ok_max_line" in flags.columns
+
+    out2 = str(root / "codekept.parquet")
+    _run(["code-flags", "--input", inp, "--output", out2])
+    kept = spark.read.parquet(out2)
+    assert 0 < kept.count() <= 4
+    assert set(kept.columns) == {"doc_id", "content", "lang"}
+
+    out3 = str(root / "rollup.parquet")
+    _run(["repo-rollup", "--input", inp, "--output", out3,
+          "--group-col", "lang"])
+    roll = spark.read.parquet(out3)
+    assert {r["lang"] for r in roll.collect()} == {"en", "de"}
+    assert roll.filter("lang = 'en'").collect()[0]["n_files"] == 3
+
+    out4 = str(root / "tempsample.parquet")
+    _run(["temperature-sample", "--input", inp, "--output", out4,
+          "--alpha", "0.5"])
+    samp = spark.read.parquet(out4)
+    assert samp.count() <= 4
