@@ -1330,6 +1330,19 @@ def _q_ivf(spark, sf):  # approximate -> rows-only
     )
 
 
+def _q_pq(spark, sf):  # approximate -> rows-only
+    """PQ/ADC approximate top-10 (Jegou et al. 2011): sample-trained
+    per-subspace codebooks, Arrow-batched encoding, asymmetric-distance
+    scan (m table lookups per vector instead of dims multiplies), exact
+    refine of the top k*4 — the billion-scale memory-bandwidth path.
+    Recall-gated in tests/test_similarity_recall.py
+    (operators/similarity.pq_topk)."""
+    vecs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return SIM.pq_topk(
+        vecs, _query_vec(spark, sf), k=10, m=8, nbits=4, refine_factor=4
+    )
+
+
 def _q_mm_decode(spark, sf):
     media = MM.with_binary_payload(_documents(spark, sf), text_col="text")
     return MM.decode_features(media).select(
@@ -1632,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_top10": _q_hybrid_rrf,
         "sim_ann_lsh_top10": _q_ann_lsh,  # approximate, rows-only
         "sim_ivf_top10": _q_ivf,  # approximate, rows-only
+        "sim_pq_top10": _q_pq,  # approximate, rows-only
         "dedup_embedding_cosine": _q_neardup_cosine,
         "dedup_embedding_lsh": _q_neardup_lsh,  # approximate, rows-only
         "mm_decode_features": _q_mm_decode,

@@ -318,3 +318,144 @@ def ivf_topk(
     probe = np.argsort(-(cn @ qn))[:n_probe].tolist()
     cand = assigned.filter(F.col("_cell").isin(probe)).select(id_col, vec_col)
     return cosine_topk(cand, query_vec, k, id_col, vec_col, round_to=4)
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    nbits: int = 4,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_sample: int = 4096,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the L2-normalized
+    vector into ``m`` subvectors and learn a ``2**nbits``-entry codebook
+    per subspace with Lloyd iterations.
+
+    Training follows standard PQ practice: a DETERMINISTIC
+    xxhash64-ordered sample of ``train_sample`` vectors comes to the
+    driver (sample-sized, never corpus-sized — FAISS trains on samples
+    the same way) and the per-subspace k-means runs in numpy with
+    hash-spread seeds, so codebooks are reproducible at any parallelism.
+    Returns ``(m, 2**nbits, dims//m)`` float64.
+    """
+    if m < 1 or nbits < 1 or nbits > 8:
+        raise ValueError("need m >= 1 and 1 <= nbits <= 8")
+    rows = (
+        vectors.select(vec_col, F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(train_sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("no vectors to train on")
+    x = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dims = x.shape[1]
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    d_sub = dims // m
+    ksub = 1 << nbits
+    books = np.zeros((m, ksub, d_sub))
+    for j in range(m):
+        sub = x[:, j * d_sub : (j + 1) * d_sub]
+        # deterministic seeds: spread over the hash-ordered sample
+        idx = (np.arange(ksub) * max(len(sub) // ksub, 1)) % len(sub)
+        cents = sub[idx].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cell = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = cell == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """Arrow-batched PQ encoder: per batch, one (batch x ksub) distance
+    argmin per subspace — numpy throughout, no per-row Python."""
+    m, ksub, d_sub = books.shape
+
+    @F.pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(e, dtype=np.float64) for e in v])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((x.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            sub = x[:, j * d_sub : (j + 1) * d_sub]
+            # ||s - c||^2 = ||s||^2 - 2 s.c + ||c||^2 ; argmin over c
+            d2 = (
+                -2.0 * (sub @ books[j].T)
+                + (books[j] ** 2).sum(axis=1)[None, :]
+            )
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    nbits: int = 4,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ/ADC approximate top-k: encode every vector to ``m`` sub-codes,
+    score with asymmetric distance computation — the driver precomputes
+    the (m x 2**nbits) lookup table of query-subvector · codebook-entry
+    dot products, and each row's approximate cosine is the sum of ``m``
+    table lookups (an Arrow-batched numpy gather, ~m ops per vector
+    instead of ``dims`` multiplies). The ADC top ``k*refine_factor``
+    candidates are then exactly re-scored (brute cosine over only the
+    candidate ids) — FAISS's standard refine step, so the returned page
+    is exact-ranked within the recalled set.
+
+    Scale shape: codebook training is sample-sized on the driver;
+    encoding and ADC are single map passes (no shuffle, no crossJoin);
+    the refine pass touches ``k*refine_factor`` rows via a broadcastable
+    id filter. At 100 TB the ADC scan reads m bytes-ish of codes per
+    vector instead of the full embedding — the classic memory-bandwidth
+    win that makes PQ the billion-scale default. Approximate — recall
+    gated in tests/test_similarity_recall.py.
+    """
+    if refine_factor < 1:
+        raise ValueError("refine_factor must be >= 1")
+    if books is None:
+        books = pq_codebooks(
+            vectors, m=m, nbits=nbits, vec_col=vec_col, id_col=id_col
+        )
+    m_, ksub, d_sub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    # ADC lookup table: lut[j][c] = q_j . books[j][c]
+    lut = np.stack([
+        books[j] @ qn[j * d_sub : (j + 1) * d_sub]
+        for j in range(m_)
+    ])
+
+    @F.pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        c = np.stack([np.asarray(e, dtype=np.int64) for e in codes])
+        return pd.Series(
+            lut[np.arange(m_)[None, :], c].sum(axis=1)
+        )
+
+    encode = _pq_encode_udf(books)
+    coded = vectors.select(
+        F.col(id_col), F.col(vec_col), encode(F.col(vec_col)).alias("_pq")
+    )
+    cand = (
+        coded.select(id_col, vec_col, adc(F.col("_pq")).alias("_adc"))
+        .orderBy(F.desc("_adc"), F.asc(id_col))
+        .limit(k * refine_factor)
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col, round_to=4)

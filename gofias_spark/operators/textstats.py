@@ -693,16 +693,23 @@ def repo_rollup(
     ordered by ``n_files`` desc, group asc.
     """
     txt = F.col(text_col)
-    flags = code_quality_flags(docs, id_col=id_col, text_col=text_col)
-    per_doc = docs.select(
+    # identity inside a grouped corpus is (group, id) — id_col alone may
+    # repeat across groups (every repo has a README.md), so the flag join
+    # keys on a composite uid, not the bare id
+    uid = "_rr_uid"
+    tagged = docs.withColumn(
+        uid, F.concat_ws("\x1f", F.col(group_col), F.col(id_col))
+    )
+    flags = code_quality_flags(tagged, id_col=uid, text_col=text_col)
+    per_doc = tagged.select(
         F.col(group_col),
-        F.col(id_col),
+        F.col(uid),
         F.size(
             F.filter(F.split(F.trim(txt), r"\s+"), lambda w: w != "")
         ).alias("_tok"),
         F.length(txt).alias("_chars"),
         *([F.col(lang_col)] if lang_col else []),
-    ).join(flags.select(id_col, "code_pass"), id_col)
+    ).join(flags.select(uid, "code_pass"), uid)
     aggs = [
         F.count(F.lit(1)).alias("n_files"),
         F.sum("_tok").alias("n_tokens"),

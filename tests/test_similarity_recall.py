@@ -179,3 +179,52 @@ def test_minhash_candidate_recall_production_banding(docs):
         f"minhash-LSH 64/16 candidate recall {recall:.2f} < 0.95 "
         f"({len(true_pairs)} true pairs)"
     )
+
+
+# ---- PQ / ADC ------------------------------------------------------------
+
+
+def test_pq_recall_fixture(vecs):
+    """ADC with refine on the near-random fixture vectors: wide-ish
+    codebooks (m=8, nbits=4) + refine_factor=8 must recover most of the
+    exact top-10 even in the worst-case geometry. Deterministic
+    (hash-ordered training sample, fixed seeds) -> tight threshold."""
+    recalls = []
+    for qid in (0, 7, 23):
+        q = _qvec(vecs, qid)
+        exact = SIM.cosine_topk(vecs, q, k=10).collect()
+        approx = SIM.pq_topk(vecs, q, k=10, m=8, nbits=4,
+                             refine_factor=8).collect()
+        recalls.append(_recall_at_k(approx, exact))
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_pq_planted_neardup_recall(planted):
+    """Production workload: jittered twins at cosine ~0.98 must come back
+    first under PQ/ADC at modest settings."""
+    df, twins = planted
+    hits = 0
+    for orig, tid in list(twins.items())[:10]:
+        q = _qvec(df, orig)
+        got = SIM.pq_topk(df, q, k=3, m=8, nbits=4,
+                          refine_factor=4).collect()
+        ids = [r["vec_id"] for r in got]
+        if tid in ids:
+            hits += 1
+    assert hits >= 9, hits
+
+
+def test_pq_deterministic_and_validates(vecs):
+    q = _qvec(vecs, 3)
+    a = SIM.pq_topk(vecs, q, k=5).collect()
+    b = SIM.pq_topk(vecs, q, k=5).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in a] == \
+        [(r["vec_id"], r["cosine"]) for r in b]
+    with pytest.raises(ValueError, match="divisible"):
+        SIM.pq_codebooks(vecs, m=7)
+    with pytest.raises(ValueError, match="refine_factor"):
+        SIM.pq_topk(vecs, q, refine_factor=0)
+    # refined page is exact-ranked within the recalled set: scores are
+    # true cosines, descending
+    cs = [r["cosine"] for r in a]
+    assert cs == sorted(cs, reverse=True)
