@@ -491,6 +491,28 @@ def _q_ft_percentiles(spark, sf):
     )
 
 
+def _q_ft_percentile_ranks(spark, sf):
+    """ES percentile_ranks (inverse percentiles): exact inclusive
+    empirical CDF of doclen at given values over the docs matching
+    'table' — same single grouped value-count plan as percentiles
+    (engine.percentile_ranks)."""
+    d = _engine(spark, sf).percentile_ranks(
+        "doclen", [100.0, 300.0], "table"
+    )
+    return spark.createDataFrame(
+        sorted(d.items()), schema="value double, rank double"
+    )
+
+
+def _q_ft_mad(spark, sf):
+    """ES median_absolute_deviation: weighted median of |doclen -
+    median| over the matching docs, both medians exact interpolated
+    quantiles over the (value, cnt) table — never expanded
+    (engine.mad)."""
+    v = _engine(spark, sf).mad("doclen", "table")
+    return spark.createDataFrame([(v,)], schema="mad double")
+
+
 def _q_ft_range_agg(spark, sf):
     """ES range aggregation: doc counts per [from, to) bucket (ES's
     from-inclusive/to-exclusive contract, open ends, independent —
@@ -1476,6 +1498,28 @@ def _q_rel_geo_nearest(spark, sf):
     )
 
 
+def _q_rel_weighted_avg(spark, sf):
+    """ES weighted_avg agg: quantity-weighted mean extended price over
+    lineitem — one combinable scalar aggregation, rows missing either
+    field skipped (operators/stats.weighted_avg)."""
+    from gofias_spark.operators.stats import weighted_avg
+
+    return weighted_avg(
+        _t(spark, sf, "lineitem"), "l_extendedprice", "l_quantity"
+    )
+
+
+def _q_rel_matrix_stats(spark, sf):
+    """ES matrix_stats agg for a field pair: population moments +
+    Pearson correlation of (l_quantity, l_discount) via Spark's
+    var_pop/covar_pop/corr built-ins — one partial+final pass
+    (operators/stats.matrix_stats)."""
+    from gofias_spark.operators.stats import matrix_stats
+
+    return matrix_stats(_t(spark, sf, "lineitem"), "l_quantity",
+                        "l_discount")
+
+
 def _q_rel_geo_bbox(spark, sf):
     """ES geo_bounding_box filter: customers (synthetic deterministic
     coords) inside a lat/lon box — a pure column predicate that pushes
@@ -1598,6 +1642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_complete_prefix": _q_ft_complete_prefix,
         "ft_cardinality": _q_ft_cardinality,
         "ft_percentiles": _q_ft_percentiles,
+        "ft_percentile_ranks": _q_ft_percentile_ranks,
+        "ft_mad": _q_ft_mad,
         "ft_range_agg": _q_ft_range_agg,
         "ft_top_hits": _q_ft_top_hits,
         "ft_multi_match": _q_ft_multi_match,
@@ -1661,6 +1707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_union_distinct": _q_rel_union_distinct,
         "rel_concat_display": _q_rel_concat_display,
         "rel_geo_nearest": _q_rel_geo_nearest,
+        "rel_weighted_avg": _q_rel_weighted_avg,
+        "rel_matrix_stats": _q_rel_matrix_stats,
         "rel_geo_bbox": _q_rel_geo_bbox,
         "rel_geo_rings": _q_rel_geo_rings,
         "rel_date_filter": _q_rel_date_filter,
@@ -2346,6 +2394,32 @@ SELECT round(quantile_cont(dl.dl, 0.25), 4) AS p25,
        round(quantile_cont(dl.dl, 0.95), 4) AS p95
 FROM m JOIN dl USING (doc_id)
 """,
+        "ft_percentile_ranks": f"""
+WITH tok AS ({TOK}),
+m AS (SELECT doc_id FROM tok WHERE term = 'table' GROUP BY doc_id),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id),
+v AS (SELECT dl.dl FROM m JOIN dl USING (doc_id))
+SELECT * FROM (
+  SELECT 100.0 AS value,
+         round(100.0 * (SELECT count(*) FROM v WHERE dl <= 100.0)
+               / (SELECT count(*) FROM v), 6) AS rank
+  UNION ALL
+  SELECT 300.0,
+         round(100.0 * (SELECT count(*) FROM v WHERE dl <= 300.0)
+               / (SELECT count(*) FROM v), 6)
+)
+""",
+        "ft_mad": f"""
+WITH tok AS ({TOK}),
+m AS (SELECT doc_id FROM tok WHERE term = 'table' GROUP BY doc_id),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id),
+v AS (SELECT dl.dl::DOUBLE AS dl FROM m JOIN dl USING (doc_id))
+SELECT round(quantile_cont(abs(dl - (SELECT quantile_cont(dl, 0.5)
+                                     FROM v)), 0.5), 6) AS mad
+FROM v
+""",
         "ft_range_agg": f"""
 WITH tok AS ({TOK}),
 dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
@@ -3003,6 +3077,24 @@ SELECT n_name,
            + cos(radians(0.0)) * cos(radians(lat))
              * pow(sin(radians(lon) / 2), 2))), 2) AS dist_km
 FROM g ORDER BY dist_km ASC, n_name ASC LIMIT 5
+""",
+        "rel_weighted_avg": """
+SELECT round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
+         AS weighted_avg,
+       count(*)::BIGINT AS n
+FROM lineitem
+WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+""",
+        "rel_matrix_stats": """
+SELECT count(*)::BIGINT AS n,
+       round(avg(l_quantity), 6) AS mean_x,
+       round(avg(l_discount), 6) AS mean_y,
+       round(var_pop(l_quantity), 6) AS var_x,
+       round(var_pop(l_discount), 6) AS var_y,
+       round(covar_pop(l_quantity, l_discount), 6) AS covariance,
+       round(corr(l_quantity, l_discount), 6) AS correlation
+FROM lineitem
+WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
 """,
         "rel_geo_bbox": """
 WITH g AS (SELECT c_custkey,

@@ -47,6 +47,29 @@ from gofias_spark.query.serve import ServeCache, state_token
 RESULT_SCHEMA = "doc_id long, score double"
 
 
+def _weighted_quantiles(vals: np.ndarray, cnts: np.ndarray, ps) -> list:
+    """Exact linear-interpolation quantiles over a (value, count) table —
+    numpy 'linear' == DuckDB ``quantile_cont`` — without expanding the
+    counts (the driver holds distinct values only, never per-doc
+    copies)."""
+    order = np.argsort(vals, kind="mergesort")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)          # 1-based rank of each value's LAST copy
+    n = int(cum[-1])
+    out = []
+    for p in ps:
+        h = (p / 100.0) * (n - 1)  # fractional 0-based rank (linear)
+        lo_rank, frac = int(np.floor(h)), h - np.floor(h)
+        # value at 0-based rank r = first i with cum[i] > r
+        i_lo = int(np.searchsorted(cum, lo_rank, side="right"))
+        if frac == 0.0 or lo_rank + 1 >= n:
+            out.append(float(vals[i_lo]))
+            continue
+        i_hi = int(np.searchsorted(cum, lo_rank + 1, side="right"))
+        out.append(float(vals[i_lo] + frac * (vals[i_hi] - vals[i_lo])))
+    return out
+
+
 def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
                             excluded_bc=None, allowed: np.ndarray | None = None,
                             slop: int = 0,
@@ -3277,24 +3300,75 @@ class SearchEngine:
             return {float(p): None for p in ps}
         vals = vc[field].to_numpy(dtype=np.float64)
         cnts = vc["cnt"].to_numpy(dtype=np.int64)
+        return {
+            float(p): v
+            for p, v in zip(ps, _weighted_quantiles(vals, cnts, ps))
+        }
+
+    def percentile_ranks(
+        self,
+        field: str,
+        values: list[float],
+        query: str | None = None,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+    ) -> dict[float, float | None]:
+        """ES ``percentile_ranks`` aggregation (the inverse of
+        percentiles): for each given value, the percentage of matching
+        docs whose ``field`` is <= it. ES interpolates t-digest
+        centroids; over the exact (value, cnt) table this is the exact
+        inclusive empirical CDF — same single grouped-value-count plan
+        as percentiles, nothing extra. Returns {value: rank_pct} (None
+        on an empty match)."""
+        self._require_numeric_field(field, "percentile_ranks")
+        if not values:
+            raise ValueError("values must be non-empty")
+        vc = self._matched_value_counts(field, query, mode, filters)
+        if not len(vc):
+            return {float(v): None for v in values}
+        vals = vc[field].to_numpy(dtype=np.float64)
+        cnts = vc["cnt"].to_numpy(dtype=np.int64)
         order = np.argsort(vals, kind="mergesort")
         vals, cnts = vals[order], cnts[order]
-        cum = np.cumsum(cnts)          # 1-based rank of each value's LAST copy
+        cum = np.cumsum(cnts)
         n = int(cum[-1])
-        out: dict[float, float] = {}
-        for p in ps:
-            h = (p / 100.0) * (n - 1)  # fractional 0-based rank (linear)
-            lo_rank, frac = int(np.floor(h)), h - np.floor(h)
-            # value at 0-based rank r = first i with cum[i] > r
-            i_lo = int(np.searchsorted(cum, lo_rank, side="right"))
-            if frac == 0.0 or lo_rank + 1 >= n:
-                out[float(p)] = float(vals[i_lo])
-                continue
-            i_hi = int(np.searchsorted(cum, lo_rank + 1, side="right"))
-            out[float(p)] = float(
-                vals[i_lo] + frac * (vals[i_hi] - vals[i_lo])
-            )
+        out: dict[float, float | None] = {}
+        for v in values:
+            i = int(np.searchsorted(vals, float(v), side="right"))
+            le = int(cum[i - 1]) if i > 0 else 0
+            out[float(v)] = round(100.0 * le / n, 6)
         return out
+
+    def mad(
+        self,
+        field: str,
+        query: str | None = None,
+        *,
+        mode: str = "and",
+        filters: dict | None = None,
+    ) -> float | None:
+        """ES ``median_absolute_deviation`` aggregation: the weighted
+        median of |value - median| over the matching docs. ES computes it
+        on t-digest sketches (approximate); here both medians are exact
+        linear-interpolation quantiles over the grouped (value, cnt)
+        table (numpy 'linear' == DuckDB quantile_cont), re-grouping the
+        absolute deviations WITHOUT expanding counts — still
+        distinct-values-sized on the driver."""
+        self._require_numeric_field(field, "mad")
+        vc = self._matched_value_counts(field, query, mode, filters)
+        if not len(vc):
+            return None
+        vals = vc[field].to_numpy(dtype=np.float64)
+        cnts = vc["cnt"].to_numpy(dtype=np.int64)
+        med = _weighted_quantiles(vals, cnts, (50.0,))[0]
+        dev = np.abs(vals - med)
+        # merge equal deviations (v above and below the median can land
+        # on the same |dev|) so the helper's cumsum ranks stay correct
+        uniq, inv = np.unique(dev, return_inverse=True)
+        dcnt = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(dcnt, inv, cnts)
+        return round(_weighted_quantiles(uniq, dcnt, (50.0,))[0], 6)
 
     def range_agg(
         self,

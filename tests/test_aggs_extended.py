@@ -410,3 +410,66 @@ def test_constant_score_empty_and_impossible(engines):
     assert len(eng.search_constant_score("zzzqqq", as_pandas=True)) == 0
     assert len(eng.search_constant_score(Q, filters={"lang": []},
                                          as_pandas=True)) == 0
+
+
+# ---- percentile_ranks / mad ---------------------------------------------
+
+
+@pytest.mark.parametrize("tier", ["dist", "serve", "local"])
+def test_percentile_ranks_matches_bruteforce(engines, matched_meta, tier):
+    vals = matched_meta["doclen"].to_numpy(dtype=float)
+    probes = [float(np.min(vals)), float(np.median(vals)),
+              float(np.max(vals)), float(np.max(vals)) + 10.0, -5.0]
+    got = engines[tier].percentile_ranks("doclen", probes, Q)
+    for v in probes:
+        want = round(100.0 * (vals <= v).sum() / vals.size, 6)
+        assert got[v] == want, (tier, v)
+    assert got[probes[3]] == 100.0 and got[-5.0] == 0.0
+
+
+@pytest.mark.parametrize("tier", ["dist", "serve", "local"])
+def test_mad_matches_numpy(engines, matched_meta, tier):
+    vals = matched_meta["doclen"].to_numpy(dtype=float)
+    med = np.quantile(vals, 0.5, method="linear")
+    want = round(float(np.quantile(np.abs(vals - med), 0.5,
+                                   method="linear")), 6)
+    assert engines[tier].mad("doclen", Q) == want, tier
+
+
+def test_percentile_ranks_and_mad_empty(engines):
+    eng = engines["local"]
+    assert eng.mad("doclen", "zzzqqq") is None
+    assert eng.percentile_ranks("doclen", [1.0], "zzzqqq") == {1.0: None}
+    with pytest.raises(ValueError, match="non-empty"):
+        eng.percentile_ranks("doclen", [], Q)
+
+
+# ---- weighted_avg / matrix_stats ----------------------------------------
+
+from gofias_spark.operators.stats import (  # noqa: E402
+    matrix_stats,
+    weighted_avg,
+)
+
+
+def test_weighted_avg_bruteforce(spark):
+    rows = [(1.0, 2.0), (3.0, 1.0), (10.0, None), (None, 5.0), (4.0, 3.0)]
+    df = spark.createDataFrame(rows, "v double, w double")
+    out = weighted_avg(df, "v", "w").collect()[0]
+    want = round((1 * 2 + 3 * 1 + 4 * 3) / (2 + 1 + 3), 6)
+    assert out["weighted_avg"] == want and out["n"] == 3
+
+
+def test_matrix_stats_bruteforce(spark):
+    rng = np.random.default_rng(7)
+    x = rng.normal(10, 2, 200)
+    y = 0.5 * x + rng.normal(0, 1, 200)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    out = matrix_stats(df, "x", "y").collect()[0]
+    assert out["n"] == 200
+    assert abs(out["mean_x"] - x.mean()) < 1e-6
+    assert abs(out["var_y"] - y.var()) < 1e-6
+    assert abs(out["covariance"] - np.cov(x, y, bias=True)[0, 1]) < 1e-6
+    assert abs(out["correlation"] - np.corrcoef(x, y)[0, 1]) < 1e-6
