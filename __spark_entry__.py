@@ -287,6 +287,21 @@ def _q_ft_span_first(spark, sf):
     return _ft(_engine(spark, sf).search_span_first("table scan", 32, k=10))
 
 
+def _q_ft_span_not(spark, sf):
+    """ES/Lucene span_not: 'table scan' spans with no 'key' occurrence
+    inside the +/-2-token widened window (pre=2, post=2). Per-SPAN
+    exclusion — a doc where some occurrence escapes still matches,
+    unlike bool must_not. Exclude spans are located by the same masked
+    positional chains; one vectorized sorted-range probe per include
+    match; scores stay the conjunctive phrase BM25
+    (engine.search_span_not)."""
+    return _ft(
+        _engine(spark, sf).search_span_not(
+            "table scan", "key", k=10, pre=2, post=2
+        )
+    )
+
+
 def _q_ft_phrase_slop(spark, sf):
     """Proximity phrase (ES match_phrase slop / span_near in_order=true):
     'key scan' within a window of <=2 intervening tokens, in order. Runs
@@ -1624,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_top10": _q_ft_phrase,
         "ft_phrase_slop": _q_ft_phrase_slop,
         "ft_span_first": _q_ft_span_first,
+        "ft_span_not": _q_ft_span_not,
         "ft_phrase_prefix": _q_ft_phrase_prefix,
         "ft_fuzzy_top10": _q_ft_fuzzy,
         "ft_bool_prefix": _q_ft_bool_prefix,
@@ -2169,6 +2185,37 @@ SELECT doc_id, 1.5::DOUBLE AS score FROM m
         "ft_phrase_slop": _bm25_sql(
             ["key", "scan"], 10, phrase=["key", "scan"], slop=2
         ),
+        "ft_span_not": f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tkn AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+        FROM documents),
+m AS (SELECT doc_id FROM tkn
+      WHERE len(list_filter(range(1, len(tk) + 1),
+            i -> tk[i] = 'table' AND tk[i+1] = 'scan'
+                 AND len(list_filter(range(greatest(i - 2, 1), i + 4),
+                       j -> tk[j] = 'key')) = 0)) > 0),
+tf AS (SELECT t.doc_id, t.term, count(*)::DOUBLE AS tf FROM tok t
+       JOIN m ON t.doc_id = m.doc_id
+       WHERE t.term IN ('table', 'scan') GROUP BY t.doc_id, t.term),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+       WHERE term IN ('table', 'scan') GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score,
+         count(*) AS matched
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM scored
+WHERE matched = 2
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
         "ft_span_first": _bm25_sql(
             ["table", "scan"], 10, phrase=["table", "scan"], span_first=32
         ),

@@ -118,6 +118,25 @@ class FulltextAPI:
             as_pandas=as_pandas, slop=slop, first_end=span_first,
         )
 
+    def search_span_not(
+        self,
+        include: str,
+        exclude: str,
+        size: int = 100,
+        from_: int = 0,
+        pre: int = 0,
+        post: int = 0,
+        filters: dict | None = None,
+        as_pandas: bool = False,
+    ):
+        """ES/Lucene span_not: include-phrase spans not overlapping any
+        exclude-phrase span (window widened by pre/post tokens). Per-span
+        exclusion, not per-doc. See SearchEngine.search_span_not."""
+        return self.engine.search_span_not(
+            include, exclude, k=size, offset=from_, pre=pre, post=post,
+            filters=filters, as_pandas=as_pandas,
+        )
+
     def search_phrase_prefix(
         self,
         phrase: str,

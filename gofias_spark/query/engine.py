@@ -74,7 +74,9 @@ def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
                             excluded_bc=None, allowed: np.ndarray | None = None,
                             slop: int = 0,
                             prefix_terms: list[str] | None = None,
-                            first_end: int | None = None):
+                            first_end: int | None = None,
+                            not_seq: list[str] | None = None,
+                            not_pre: int = 0, not_post: int = 0):
     """applyInPandas kernel over one doc_part of the positional sidecar:
     decode the phrase terms' position blocks, find the doc_ids where the
     token sequence ``seq`` occurs consecutively. Runs on the sidecar's own
@@ -101,9 +103,21 @@ def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
     p + len(seq). Expansion rows ride the same pdf; they gate matches but
     never score (the conjunctive-candidate and BM25 stages see only
     ``seq``). Mutually exclusive with ``slop`` (a sloppy prefix phrase is
-    ill-defined — the chain end varies per match)."""
+    ill-defined — the chain end varies per match).
+
+    ``not_seq`` (ES/Lucene ``span_not``) drops every match of ``seq``
+    whose span overlaps a span of ``not_seq`` in the same doc, the
+    overlap window widened by ``not_pre`` tokens before and ``not_post``
+    after (Lucene's pre/post). Exclude spans are located with the SAME
+    chain machinery over masked any-presence keys (candidates need not
+    contain the exclude phrase), then each include start runs one
+    sorted-range probe against the exclude-start key array — fully
+    vectorized, no per-candidate loop. Exclude rows gate; they never
+    score. Requires slop=0 (exact include spans)."""
     if prefix_terms is not None and slop:
         raise ValueError("prefix_terms cannot combine with slop")
+    if not_seq is not None and (slop or prefix_terms is not None):
+        raise ValueError("not_seq requires slop=0 and no prefix_terms")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         from gofias_spark.index.codec import (
@@ -293,6 +307,36 @@ def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
                 )
             )
             keys = np.intersect1d(keys, exp_keys, assume_unique=True)
+        if not_seq is not None and keys.size:
+            # exclude-span starts via the masked chain (docs need not
+            # contain the exclude phrase); absent terms -> no exclusions
+            ex_keys = (
+                term_keys_any(not_seq[0], 0)
+                if not_seq[0] in per_term else np.empty(0, dtype=np.int64)
+            )
+            for j, t in enumerate(not_seq[1:], 1):
+                if ex_keys.size == 0:
+                    break
+                nxt = (
+                    term_keys_any(t, j)
+                    if t in per_term else np.empty(0, dtype=np.int64)
+                )
+                ex_keys = np.intersect1d(ex_keys, nxt, assume_unique=True)
+            if ex_keys.size:
+                len_a = np.int64(len(seq))
+                len_b = np.int64(len(not_seq))
+                owners_k = keys // big
+                starts_k = keys % big
+                # overlap of [s-pre, s+len_a+post) with [e, e+len_b):
+                # e > s - pre - len_b  AND  e < s + len_a + post
+                lo = owners_k * big + np.maximum(
+                    starts_k - np.int64(not_pre) - len_b + 1, np.int64(0)
+                )
+                hi = owners_k * big + starts_k + len_a + np.int64(not_post)
+                has = np.searchsorted(ex_keys, lo) < np.searchsorted(
+                    ex_keys, hi
+                )
+                keys = keys[~has]
         owners = np.unique(keys // big) if keys.size else keys
         verified = cand[owners] if owners.size else cand[:0]
         if score_params is None:
@@ -1217,6 +1261,9 @@ class SearchEngine:
         as_pandas: bool = False,
         slop: int = 0,
         first_end: int | None = None,
+        not_seq: list[str] | None = None,
+        not_pre: int = 0,
+        not_post: int = 0,
     ):
         """Exact phrase top-k (ES ``match_phrase`` analogue — an extension
         beyond the reference, which only issues operator=and matches,
@@ -1258,6 +1305,17 @@ class SearchEngine:
         dfs = self._term_dfs(qterms)
         if any(dfs[t] == 0 for t in qterms):
             return self._empty_result(with_meta, as_pdf=as_pandas)
+        # span_not exclude terms: fetched alongside (their positions gate,
+        # never score); a vocab-absent exclude term simply never excludes
+        nterms: list[str] = []
+        if not_seq is not None:
+            nts = list(dict.fromkeys(not_seq))
+            ndfs = self._term_dfs(nts)
+            if all(ndfs[t] > 0 for t in nts):
+                nterms = [t for t in nts if t not in qterms]
+            else:
+                not_seq = None  # unmatchable exclude phrase -> no-op
+        fetch_terms = qterms + nterms
         if (
             self._local_positions is not None
             and "dls" in self._local_positions.columns
@@ -1267,7 +1325,7 @@ class SearchEngine:
             # zero Spark jobs — same kernel, suggest-tier latency
             allowed, excl = self._local_masks(filters)
             sub = self._local_positions[
-                self._local_positions["term"].isin(qterms)
+                self._local_positions["term"].isin(fetch_terms)
             ]
             res = _phrase_position_kernel(
                 seq,
@@ -1277,6 +1335,7 @@ class SearchEngine:
                 allowed=allowed,
                 slop=slop,
                 first_end=first_end,
+                not_seq=not_seq, not_pre=not_pre, not_post=not_post,
             )(sub)
             r = res.sort_values(
                 ["score", "doc_id"], ascending=[False, True],
@@ -1313,7 +1372,7 @@ class SearchEngine:
             # kernel — no Spark job, so phrase p50 is independent of core
             # count and index partition count (the r3 serving-tier
             # property, extended to phrase)
-            pdf = self._serve.fetch_positions(qterms)
+            pdf = self._serve.fetch_positions(fetch_terms)
             res = _phrase_position_kernel(
                 seq,
                 dict(idf={t: self._idf(dfs[t]) for t in qterms},
@@ -1321,6 +1380,7 @@ class SearchEngine:
                 excluded_bc=self._tomb_arr,
                 slop=slop,
                 first_end=first_end,
+                not_seq=not_seq, not_pre=not_pre, not_post=not_post,
             )(pdf)
             topk_pdf = res.sort_values(
                 ["score", "doc_id"], ascending=[False, True],
@@ -1328,7 +1388,8 @@ class SearchEngine:
             ).iloc[offset : offset + k]
             return self._attach_meta(topk_pdf, with_meta, as_pandas)
         verified = self._phrase_frame(
-            seq, filters, slop=slop, first_end=first_end
+            seq, filters, slop=slop, first_end=first_end,
+            not_seq=not_seq, not_pre=not_pre, not_post=not_post,
         )
         if verified is None:
             return self._empty_result(with_meta, as_pdf=as_pandas)
@@ -1377,6 +1438,56 @@ class SearchEngine:
         return self.search_phrase(
             query, k=k, offset=offset, filters=filters, with_meta=with_meta,
             as_pandas=as_pandas, slop=slop, first_end=end,
+        )
+
+    def search_span_not(
+        self,
+        include: str,
+        exclude: str,
+        k: int = 10,
+        offset: int = 0,
+        pre: int = 0,
+        post: int = 0,
+        filters: dict | None = None,
+        with_meta: bool = True,
+        as_pandas: bool = False,
+    ):
+        """ES/Lucene ``span_not`` query: docs where the ``include``
+        phrase occurs as a span NOT overlapping any span of the
+        ``exclude`` phrase — with Lucene's ``pre``/``post`` widening the
+        forbidden window that many tokens before/after the include span.
+        "foo bar" but never inside "baz foo bar" is the canonical use.
+
+        Per-span semantics, not per-doc: a doc where SOME include
+        occurrence escapes the exclude overlap still matches (that is
+        what distinguishes span_not from bool must_not). Scoring keeps
+        the engine's phrase contract — conjunctive BM25 over the include
+        terms; exclude spans gate, never score. Requires the positional
+        sidecar, exactly as Lucene span queries require positions; an
+        exclude phrase with a vocab-absent term excludes nothing.
+
+        Same three-tier routing and single positions-scan cost as
+        :meth:`search_phrase`: exclude-span location rides the same
+        kernel via masked any-presence chains plus one vectorized
+        sorted-range probe per include match.
+        """
+        if pre < 0 or post < 0:
+            raise ValueError("pre and post must be >= 0")
+        ex_seq = tokenize_text(
+            exclude,
+            AnalyzerConfig(
+                mode="standard", token_pattern=self.analyzer.token_pattern
+            ),
+        )
+        if not ex_seq:
+            return self.search_phrase(
+                include, k=k, offset=offset, filters=filters,
+                with_meta=with_meta, as_pandas=as_pandas,
+            )
+        return self.search_phrase(
+            include, k=k, offset=offset, filters=filters,
+            with_meta=with_meta, as_pandas=as_pandas,
+            not_seq=ex_seq, not_pre=pre, not_post=post,
         )
 
     def search_phrase_prefix(
@@ -1652,6 +1763,8 @@ class SearchEngine:
     def _phrase_frame(
         self, seq: list[str], filters: dict | None, slop: int = 0,
         first_end: int | None = None,
+        not_seq: list[str] | None = None,
+        not_pre: int = 0, not_post: int = 0,
     ) -> DataFrame | None:
         """Lazy (doc_id, score) frame of verified phrase matches, or None
         when a phrase term is absent from the vocabulary (short-circuit —
@@ -1662,6 +1775,9 @@ class SearchEngine:
         dfs = self._term_dfs(qterms)
         if any(dfs[t] == 0 for t in qterms):
             return None
+        nterms = [t for t in dict.fromkeys(not_seq or [])
+                  if t not in qterms]
+        fetch_terms = qterms + nterms
         idf = {t: self._idf(dfs[t]) for t in qterms}
         params = dict(
             qterms=qterms,
@@ -1677,7 +1793,9 @@ class SearchEngine:
             # blocks (postings-sized), never the doc store. At 100 TB
             # that's the difference between MBs and the whole corpus per
             # phrase query.
-            pos = self._positions.filter(F.col("term").isin(qterms))
+            pos = self._positions.filter(
+                F.col("term").isin(fetch_terms)
+            )
             one_pass = (
                 "dls" in self._positions.columns
                 and filters is None
@@ -1692,6 +1810,8 @@ class SearchEngine:
                     _phrase_position_kernel(
                         seq, score_params, excluded_bc=self._tomb_bc,
                         slop=slop, first_end=first_end,
+                        not_seq=not_seq, not_pre=not_pre,
+                        not_post=not_post,
                     ),
                     schema=RESULT_SCHEMA,
                 )
@@ -1701,15 +1821,19 @@ class SearchEngine:
             blocks = self.postings.filter(F.col("term").isin(qterms))
             scored = self._scored_frame(blocks, K.score_and, params, filters)
             matched = pos.groupby("doc_part").applyInPandas(
-                _phrase_position_kernel(seq, slop=slop, first_end=first_end),
+                _phrase_position_kernel(
+                    seq, slop=slop, first_end=first_end,
+                    not_seq=not_seq, not_pre=not_pre, not_post=not_post,
+                ),
                 schema="doc_id long",
             )
             return scored.join(F.broadcast(matched), "doc_id")
-        if first_end is not None:
+        if first_end is not None or not_seq is not None:
             raise ValueError(
-                "span_first requires a positional index (build with "
-                "IndexConfig(positions=True)) — like Lucene span queries, "
-                "it cannot run against a positions-less index"
+                "span queries (span_first / span_not) require a positional "
+                "index (build with IndexConfig(positions=True)) — like "
+                "Lucene span queries, they cannot run against a "
+                "positions-less index"
             )
         blocks = self.postings.filter(F.col("term").isin(qterms))
         scored = self._scored_frame(blocks, K.score_and, params, filters)

@@ -75,7 +75,10 @@ into ES `range` queries per filtered route, addressHandler.go:140-165):
                                         extensions beyond the reference);
                                         phrase_prefix takes optional
                                         max_expansions= (alphabetical cap);
-                                        phrase takes optional span_first=N
+                                        phrase takes optional span_not=
+                                        <query>&span_not_pre/post=N (ES
+                                        span_not: per-span exclusion) or
+                                        span_first=N
                                         (ES span_first: span must end
                                         within the first N positions —
                                         positional indexes only)
@@ -542,12 +545,41 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                             raise BadRequest(
                                 "span_first must be in [1, 1000000]"
                             )
+                    sn = q.get("span_not", [None])[0]
+                    sn_pre = sn_post = 0
+                    if sn is not None:
+                        try:
+                            sn_pre = int(q.get("span_not_pre", ["0"])[0])
+                            sn_post = int(q.get("span_not_post", ["0"])[0])
+                        except ValueError as e:
+                            raise BadRequest(
+                                "span_not_pre/post must be integers"
+                            ) from e
+                        if not (0 <= sn_pre <= 1000
+                                and 0 <= sn_post <= 1000):
+                            raise BadRequest(
+                                "span_not_pre/post must be in [0, 1000]"
+                            )
+                        if slop or span_first is not None:
+                            raise BadRequest(
+                                "span_not combines with neither slop= "
+                                "nor span_first="
+                            )
                     try:
-                        pdf = api.search_phrase(
-                            _term(q), size=size, from_=from_,
-                            filters=_filters_from_query(q), as_pandas=True,
-                            slop=slop, span_first=span_first,
-                        )
+                        if sn is not None:
+                            pdf = api.search_span_not(
+                                _term(q), sn, size=size, from_=from_,
+                                pre=sn_pre, post=sn_post,
+                                filters=_filters_from_query(q),
+                                as_pandas=True,
+                            )
+                        else:
+                            pdf = api.search_phrase(
+                                _term(q), size=size, from_=from_,
+                                filters=_filters_from_query(q),
+                                as_pandas=True,
+                                slop=slop, span_first=span_first,
+                            )
                     except ValueError as e:
                         if "positional index" in str(e):
                             raise BadRequest(str(e)) from e

@@ -404,3 +404,113 @@ def test_span_first_validates_end(engines):
     ep = engines[0]
     with pytest.raises(ValueError, match="end must be"):
         ep.search_span_first("alpha beta", 0)
+
+
+# ---- span_not (include spans not overlapping exclude spans) --------------
+
+SPAN_NOT_DOCS = [
+    ("s0", "alpha beta clean tail"),             # no exclude anywhere
+    ("s1", "bad alpha beta x"),                  # 'bad' 1 before span
+    ("s2", "x x bad x alpha beta"),              # 'bad' 3 before: escapes pre=2
+    ("s3", "alpha beta bad"),                    # 'bad' right after
+    ("s4", "bad alpha beta x alpha beta"),       # second occurrence escapes
+    ("s5", "alpha bad beta"),                    # no include span at all
+    ("s6", "worse alpha beta"),                  # multi-tok exclude tail part
+    ("s7", "much worse alpha beta"),             # full exclude phrase before
+]
+
+
+def _span_not_oracle(include, exclude, pre, post):
+    inc = include.split()
+    exc = exclude.split()
+    la, lb = len(inc), len(exc)
+    out = []
+    for path, text in SPAN_NOT_DOCS:
+        toks = _re.findall(r"[a-z0-9_]+", text.lower())
+        inc_starts = [
+            s for s in range(len(toks) - la + 1)
+            if toks[s:s + la] == inc
+        ]
+        exc_starts = [
+            e for e in range(len(toks) - lb + 1)
+            if toks[e:e + lb] == exc
+        ]
+        ok = any(
+            not any(
+                e > s - pre - lb and e < s + la + post
+                for e in exc_starts
+            )
+            for s in inc_starts
+        )
+        if ok:
+            out.append(path)
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def sn_engines(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("snidx"))
+    build_segment(
+        spark, _docs_df(spark, SPAN_NOT_DOCS), root,
+        IndexConfig(n_buckets=2, block_size=4, positions=True),
+    )
+    local = SearchEngine(spark, root)
+    local.warm()
+    dist = SearchEngine(spark, root, serve=False)
+    dist.warm(local_max_blocks=0)
+    srv = SearchEngine(spark, root)
+    srv.warm(local_max_blocks=0)
+    return local, dist, srv
+
+
+@pytest.mark.parametrize(
+    "exclude,pre,post",
+    [
+        ("bad", 0, 0),
+        ("bad", 2, 0),
+        ("bad", 0, 1),
+        ("bad", 2, 2),
+        ("much worse", 1, 0),
+        ("zzz_absent", 3, 3),   # vocab-absent exclude -> plain phrase
+    ],
+    ids=str,
+)
+def test_span_not_matches_bruteforce(sn_engines, exclude, pre, post):
+    want = _span_not_oracle("alpha beta", exclude, pre, post)
+    for eng, tier in zip(sn_engines, ("local", "dist", "serve")):
+        got = sorted(
+            r["path"]
+            for r in eng.search_span_not("alpha beta", exclude, k=20,
+                                         pre=pre, post=post).collect()
+        )
+        assert got == want, (tier, exclude, pre, post, got, want)
+
+
+def test_span_not_is_per_span_not_per_doc(sn_engines):
+    local = sn_engines[0]
+    # s4: first occurrence overlaps 'bad', the second escapes -> matches;
+    # bool must_not would drop the whole doc
+    got = {r["path"] for r in
+           local.search_span_not("alpha beta", "bad", k=20, pre=1).collect()}
+    assert "s4" in got
+    mn = {r["path"] for r in local.search("alpha beta", k=20,
+                                          must_not="bad").collect()}
+    assert "s4" not in mn
+
+
+def test_span_not_scores_match_phrase(sn_engines):
+    local = sn_engines[0]
+    ph = {r["path"]: round(r["score"], 9)
+          for r in local.search_phrase("alpha beta", k=20).collect()}
+    sn = {r["path"]: round(r["score"], 9)
+          for r in local.search_span_not("alpha beta", "bad", k=20,
+                                         pre=2).collect()}
+    assert set(sn) <= set(ph)
+    for p, sc in sn.items():
+        assert sc == ph[p]
+
+
+def test_span_not_validation(sn_engines):
+    local = sn_engines[0]
+    with pytest.raises(ValueError, match="pre and post"):
+        local.search_span_not("a b", "c", pre=-1)

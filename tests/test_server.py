@@ -1077,3 +1077,48 @@ def test_bulk_route(spark, tmp_path_factory):
         assert code == 404
     finally:
         server.shutdown()
+
+
+def test_span_not_route(spark, tmp_path_factory):
+    """match=phrase&span_not= on a positional index (per-span exclusion)."""
+    root = str(tmp_path_factory.mktemp("snridx"))
+    docs = synth_corpus(spark, 60)
+    build_segment(spark, docs, root,
+                  IndexConfig(n_buckets=2, block_size=16, positions=True))
+    api = FulltextAPI(spark, root)
+    api.engine.warm()
+    server, _ = serve(api, port=0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        status, plain = _get(
+            base,
+            "/api/v1/address/term?term=common_util+helper&match=phrase"
+            "&size=50",
+        )
+        assert status == 200 and plain["items"]
+        status, sn = _get(
+            base,
+            "/api/v1/address/term?term=common_util+helper&match=phrase"
+            "&span_not=slow&span_not_pre=3&span_not_post=3&size=50",
+        )
+        assert status == 200
+        direct = api.search_span_not("common_util helper", "slow",
+                                     size=50, pre=3, post=3).collect()
+        assert [i["doc_id"] for i in sn["items"]] == [
+            r["doc_id"] for r in direct
+        ]
+        assert set(i["doc_id"] for i in sn["items"]) <= set(
+            i["doc_id"] for i in plain["items"]
+        )
+        assert _get_status(
+            base,
+            "/api/v1/address/term?term=a+b&match=phrase&span_not=x"
+            "&slop=1",
+        ) == 400
+        assert _get_status(
+            base,
+            "/api/v1/address/term?term=a+b&match=phrase&span_not=x"
+            "&span_not_pre=-1",
+        ) == 400
+    finally:
+        server.shutdown()
