@@ -514,3 +514,27 @@ def test_span_not_validation(sn_engines):
     local = sn_engines[0]
     with pytest.raises(ValueError, match="pre and post"):
         local.search_span_not("a b", "c", pre=-1)
+
+
+def test_span_not_with_filters_and_paging(sn_engines):
+    want_all = _span_not_oracle("alpha beta", "bad", 2, 0)
+    for eng, tier in zip(sn_engines, ("local", "dist", "serve")):
+        # doclen filter engages the filter-aware (two-stage) plan
+        got = sorted(
+            r["path"]
+            for r in eng.search_span_not(
+                "alpha beta", "bad", k=20, pre=2,
+                filters={"doclen": {"lte": 4}},
+            ).collect()
+        )
+        lens = {p: len(t.split()) for p, t in SPAN_NOT_DOCS}
+        want = sorted(p for p in want_all if lens[p] <= 4)
+        assert got == want, (tier, got, want)
+    # paging is stable
+    local = sn_engines[0]
+    p1 = [r["path"] for r in
+          local.search_span_not("alpha beta", "bad", k=2, pre=2).collect()]
+    p2 = [r["path"] for r in
+          local.search_span_not("alpha beta", "bad", k=2, offset=2,
+                                pre=2).collect()]
+    assert len(set(p1) & set(p2)) == 0
