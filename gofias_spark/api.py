@@ -442,6 +442,61 @@ class FulltextAPI:
             field, ps, term, mode=mode, filters=filters
         )
 
+    def rare_terms(
+        self,
+        field: str,
+        term: str | None = None,
+        max_doc_count: int = 1,
+        max_buckets: int = 10_000,
+        mode: str = "and",
+        filters: dict | None = None,
+    ):
+        """ES rare_terms agg (exact long tail). See
+        SearchEngine.rare_terms."""
+        return self.engine.rare_terms(
+            field, term, mode=mode, filters=filters,
+            max_doc_count=max_doc_count, max_buckets=max_buckets,
+        )
+
+    def multi_terms(
+        self,
+        fields: list[str],
+        term: str | None = None,
+        size: int = 10,
+        mode: str = "and",
+        filters: dict | None = None,
+    ):
+        """ES multi_terms agg (composite-key buckets). See
+        SearchEngine.multi_terms."""
+        return self.engine.multi_terms(
+            fields, term, mode=mode, filters=filters, k=size
+        )
+
+    def percentile_ranks(
+        self,
+        field: str,
+        values: list[float],
+        term: str | None = None,
+        mode: str = "and",
+        filters: dict | None = None,
+    ):
+        """ES percentile_ranks agg (exact inclusive CDF). See
+        SearchEngine.percentile_ranks."""
+        return self.engine.percentile_ranks(
+            field, values, term, mode=mode, filters=filters
+        )
+
+    def mad(
+        self,
+        field: str,
+        term: str | None = None,
+        mode: str = "and",
+        filters: dict | None = None,
+    ):
+        """ES median_absolute_deviation agg (exact weighted medians).
+        See SearchEngine.mad."""
+        return self.engine.mad(field, term, mode=mode, filters=filters)
+
     def range_agg(
         self,
         field: str,

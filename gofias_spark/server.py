@@ -30,6 +30,10 @@ Routes (reference analogues):
     GET /api/v1/field_stats?field=..[&term=..&match=..]          stats agg
     GET /api/v1/cardinality?field=..[&term=..&exact=false]       cardinality agg
     GET /api/v1/percentiles?field=..[&ps=25,50,99&term=..]       percentiles agg
+    GET /api/v1/percentile_ranks?field=..&values=..[&term=..]    inverse CDF
+    GET /api/v1/mad?field=..[&term=..]                           median abs dev
+    GET /api/v1/rare_terms?field=..[&max_doc_count=1&term=..]    rare_terms agg
+    GET /api/v1/multi_terms?fields=a,b[&size=10&term=..]         multi_terms
     GET /api/v1/range?field=..&ranges=*-100;100-500;500-*[&term=..] range agg
     GET /api/v1/top_hits?field=..&term=..[&k=3&groups=10]        top-hits agg
     GET /api/v1/terms_stats?group=..&metric=..[&term=..&size=..] terms+stats
@@ -939,6 +943,71 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                     raise BadRequest(str(exc)) from exc
                 self._json({"values": {str(p): v
                                        for p, v in vals.items()}})
+            elif url.path == "/api/v1/rare_terms":
+                field = q.get("field", [""])[0]
+                if not field:
+                    raise BadRequest("field= is required")
+                try:
+                    mdc = int(q.get("max_doc_count", ["1"])[0])
+                    mb = int(q.get("max_buckets", ["100"])[0])
+                except ValueError:
+                    raise BadRequest("max_doc_count/max_buckets must be "
+                                     "integers") from None
+                if not 1 <= mb <= 10_000:
+                    raise BadRequest("max_buckets must be in [1, 10000]")
+                try:
+                    pdf = api.rare_terms(
+                        field, _term(q) or None, max_doc_count=mdc,
+                        max_buckets=mb, filters=_filters_from_query(q),
+                    )
+                except ValueError as exc:
+                    raise BadRequest(str(exc)) from exc
+                self._json({"buckets": _items(pdf)})
+            elif url.path == "/api/v1/multi_terms":
+                flds = [f for f in q.get("fields", [""])[0].split(",") if f]
+                try:
+                    k = int(q.get("size", ["10"])[0])
+                except ValueError:
+                    raise BadRequest("size must be an integer") from None
+                if not 1 <= k <= 10_000:
+                    raise BadRequest("size must be in [1, 10000]")
+                try:
+                    pdf = api.multi_terms(
+                        flds, _term(q) or None, size=k,
+                        filters=_filters_from_query(q),
+                    )
+                except ValueError as exc:
+                    raise BadRequest(str(exc)) from exc
+                self._json({"buckets": _items(pdf)})
+            elif url.path == "/api/v1/percentile_ranks":
+                field = q.get("field", [""])[0]
+                if not field:
+                    raise BadRequest("field= is required")
+                try:
+                    values = [float(v)
+                              for v in q.get("values", [""])[0].split(",")
+                              if v]
+                except ValueError:
+                    raise BadRequest("values= must be comma-separated "
+                                     "numbers") from None
+                try:
+                    d = api.percentile_ranks(
+                        field, values, _term(q) or None,
+                        filters=_filters_from_query(q),
+                    )
+                except ValueError as exc:
+                    raise BadRequest(str(exc)) from exc
+                self._json({"values": {str(v): r for v, r in d.items()}})
+            elif url.path == "/api/v1/mad":
+                field = q.get("field", [""])[0]
+                if not field:
+                    raise BadRequest("field= is required")
+                try:
+                    v = api.mad(field, _term(q) or None,
+                                filters=_filters_from_query(q))
+                except ValueError as exc:
+                    raise BadRequest(str(exc)) from exc
+                self._json({"mad": v})
             elif url.path == "/api/v1/range":
                 field = q.get("field", [""])[0]
                 if not field:

@@ -1122,3 +1122,46 @@ def test_span_not_route(spark, tmp_path_factory):
         ) == 400
     finally:
         server.shutdown()
+
+
+def test_new_agg_routes(gateway):
+    """rare_terms / multi_terms / percentile_ranks / mad routes."""
+    api, base = gateway
+    status, rt = _get(
+        base, "/api/v1/rare_terms?field=doclen&term=common_util"
+              "&max_doc_count=3&max_buckets=5",
+    )
+    assert status == 200 and len(rt["buckets"]) <= 5
+    direct = api.rare_terms("doclen", "common_util", max_doc_count=3,
+                            max_buckets=5)
+    assert [b["doclen"] for b in rt["buckets"]] == \
+        direct["doclen"].tolist()
+
+    status, mt = _get(
+        base, "/api/v1/multi_terms?fields=lang,repo&term=common_util&size=4"
+    )
+    assert status == 200 and 1 <= len(mt["buckets"]) <= 4
+    direct = api.multi_terms(["lang", "repo"], "common_util", size=4)
+    assert [(b["lang"], b["repo"], b["cnt"]) for b in mt["buckets"]] == \
+        list(map(tuple, direct[["lang", "repo", "cnt"]].values.tolist()))
+
+    status, pr = _get(
+        base,
+        "/api/v1/percentile_ranks?field=doclen&values=10,100000"
+        "&term=common_util",
+    )
+    assert status == 200
+    assert pr["values"]["100000.0"] == 100.0
+
+    status, md = _get(base, "/api/v1/mad?field=doclen&term=common_util")
+    assert status == 200
+    assert md["mad"] == api.mad("doclen", "common_util")
+
+    for bad in (
+        "/api/v1/rare_terms?term=x",                       # no field
+        "/api/v1/rare_terms?field=bogus",                  # unknown field
+        "/api/v1/multi_terms?fields=lang",                 # < 2 fields
+        "/api/v1/percentile_ranks?field=doclen&values=x",  # bad values
+        "/api/v1/mad?field=lang",                          # non-numeric
+    ):
+        assert _get_status(base, bad) == 400, bad
