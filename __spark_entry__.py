@@ -302,6 +302,19 @@ def _q_ft_span_not(spark, sf):
     )
 
 
+def _q_ft_span_within(spark, sf):
+    """ES/Lucene span_within: 'filter scan' spans lying fully inside a
+    'part filter scan' span — the little phrase is the scored query
+    (conjunctive BM25 over its terms), the big phrase gates per SPAN via
+    the same masked positional chains + one sorted-range containment
+    probe (engine.search_span_within; span_containing is the dual)."""
+    return _ft(
+        _engine(spark, sf).search_span_within(
+            "filter scan", "part filter scan", k=10
+        )
+    )
+
+
 def _q_ft_phrase_slop(spark, sf):
     """Proximity phrase (ES match_phrase slop / span_near in_order=true):
     'key scan' within a window of <=2 intervening tokens, in order. Runs
@@ -1640,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_slop": _q_ft_phrase_slop,
         "ft_span_first": _q_ft_span_first,
         "ft_span_not": _q_ft_span_not,
+        "ft_span_within": _q_ft_span_within,
         "ft_phrase_prefix": _q_ft_phrase_prefix,
         "ft_fuzzy_top10": _q_ft_fuzzy,
         "ft_bool_prefix": _q_ft_bool_prefix,
@@ -2185,6 +2199,36 @@ SELECT doc_id, 1.5::DOUBLE AS score FROM m
         "ft_phrase_slop": _bm25_sql(
             ["key", "scan"], 10, phrase=["key", "scan"], slop=2
         ),
+        "ft_span_within": f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tkn AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+        FROM documents),
+m AS (SELECT doc_id FROM tkn
+      WHERE len(list_filter(range(2, len(tk) + 1),
+            i -> tk[i] = 'filter' AND tk[i+1] = 'scan'
+                 AND tk[i-1] = 'part')) > 0),
+tf AS (SELECT t.doc_id, t.term, count(*)::DOUBLE AS tf FROM tok t
+       JOIN m ON t.doc_id = m.doc_id
+       WHERE t.term IN ('filter', 'scan') GROUP BY t.doc_id, t.term),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+       WHERE term IN ('filter', 'scan') GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score,
+         count(*) AS matched
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM scored
+WHERE matched = 2
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
         "ft_span_not": f"""
 WITH tok AS ({TOK}),
 dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl

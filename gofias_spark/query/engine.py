@@ -76,7 +76,8 @@ def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
                             prefix_terms: list[str] | None = None,
                             first_end: int | None = None,
                             not_seq: list[str] | None = None,
-                            not_pre: int = 0, not_post: int = 0):
+                            not_pre: int = 0, not_post: int = 0,
+                            span_gate: str = "not"):
     """applyInPandas kernel over one doc_part of the positional sidecar:
     decode the phrase terms' position blocks, find the doc_ids where the
     token sequence ``seq`` occurs consecutively. Runs on the sidecar's own
@@ -113,11 +114,22 @@ def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
     contain the exclude phrase), then each include start runs one
     sorted-range probe against the exclude-start key array — fully
     vectorized, no per-candidate loop. Exclude rows gate; they never
-    score. Requires slop=0 (exact include spans)."""
+    score. Requires slop=0 (exact include spans).
+
+    ``span_gate`` selects the relation when ``not_seq`` is given:
+    ``"not"`` (default) DROPS matches overlapping an other-phrase span
+    (window widened by pre/post); ``"containing"`` KEEPS only matches
+    whose span fully contains an other-phrase span (Lucene
+    ``span_containing`` with ``seq`` as big); ``"within"`` KEEPS only
+    matches whose span lies fully inside an other-phrase span (Lucene
+    ``span_within`` with ``seq`` as little). All three are the same
+    two-searchsorted sorted-range probe with different bounds."""
     if prefix_terms is not None and slop:
         raise ValueError("prefix_terms cannot combine with slop")
     if not_seq is not None and (slop or prefix_terms is not None):
         raise ValueError("not_seq requires slop=0 and no prefix_terms")
+    if span_gate not in ("not", "containing", "within"):
+        raise ValueError("span_gate must be not|containing|within")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         from gofias_spark.index.codec import (
@@ -322,21 +334,38 @@ def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
                     if t in per_term else np.empty(0, dtype=np.int64)
                 )
                 ex_keys = np.intersect1d(ex_keys, nxt, assume_unique=True)
+            len_a = np.int64(len(seq))
+            len_b = np.int64(len(not_seq))
             if ex_keys.size:
-                len_a = np.int64(len(seq))
-                len_b = np.int64(len(not_seq))
                 owners_k = keys // big
                 starts_k = keys % big
-                # overlap of [s-pre, s+len_a+post) with [e, e+len_b):
-                # e > s - pre - len_b  AND  e < s + len_a + post
-                lo = owners_k * big + np.maximum(
-                    starts_k - np.int64(not_pre) - len_b + 1, np.int64(0)
-                )
-                hi = owners_k * big + starts_k + len_a + np.int64(not_post)
+                if span_gate == "not":
+                    # overlap of [s-pre, s+len_a+post) with [e, e+len_b):
+                    # e > s - pre - len_b  AND  e < s + len_a + post
+                    lo = owners_k * big + np.maximum(
+                        starts_k - np.int64(not_pre) - len_b + 1,
+                        np.int64(0),
+                    )
+                    hi = (owners_k * big + starts_k + len_a
+                          + np.int64(not_post))
+                elif span_gate == "containing":
+                    # some little span inside [s, s+len_a):
+                    # s <= e AND e + len_b <= s + len_a
+                    lo = owners_k * big + starts_k
+                    hi = owners_k * big + starts_k + len_a - len_b + 1
+                else:  # within: some big span around [s, s+len_a):
+                    # e <= s AND s + len_a <= e + len_b
+                    lo = owners_k * big + np.maximum(
+                        starts_k + len_a - len_b, np.int64(0)
+                    )
+                    hi = owners_k * big + starts_k + 1
                 has = np.searchsorted(ex_keys, lo) < np.searchsorted(
                     ex_keys, hi
                 )
-                keys = keys[~has]
+                keys = keys[~has] if span_gate == "not" else keys[has]
+            elif span_gate in ("containing", "within"):
+                # the other phrase never occurs -> nothing can qualify
+                keys = keys[:0]
         owners = np.unique(keys // big) if keys.size else keys
         verified = cand[owners] if owners.size else cand[:0]
         if score_params is None:
@@ -1264,6 +1293,7 @@ class SearchEngine:
         not_seq: list[str] | None = None,
         not_pre: int = 0,
         not_post: int = 0,
+        span_gate: str = "not",
     ):
         """Exact phrase top-k (ES ``match_phrase`` analogue — an extension
         beyond the reference, which only issues operator=and matches,
@@ -1313,8 +1343,11 @@ class SearchEngine:
             ndfs = self._term_dfs(nts)
             if all(ndfs[t] > 0 for t in nts):
                 nterms = [t for t in nts if t not in qterms]
-            else:
+            elif span_gate == "not":
                 not_seq = None  # unmatchable exclude phrase -> no-op
+            else:
+                # containing/within REQUIRE the other phrase to occur
+                return self._empty_result(with_meta, as_pdf=as_pandas)
         fetch_terms = qterms + nterms
         if (
             self._local_positions is not None
@@ -1336,6 +1369,7 @@ class SearchEngine:
                 slop=slop,
                 first_end=first_end,
                 not_seq=not_seq, not_pre=not_pre, not_post=not_post,
+                span_gate=span_gate,
             )(sub)
             r = res.sort_values(
                 ["score", "doc_id"], ascending=[False, True],
@@ -1381,6 +1415,7 @@ class SearchEngine:
                 slop=slop,
                 first_end=first_end,
                 not_seq=not_seq, not_pre=not_pre, not_post=not_post,
+                span_gate=span_gate,
             )(pdf)
             topk_pdf = res.sort_values(
                 ["score", "doc_id"], ascending=[False, True],
@@ -1390,6 +1425,7 @@ class SearchEngine:
         verified = self._phrase_frame(
             seq, filters, slop=slop, first_end=first_end,
             not_seq=not_seq, not_pre=not_pre, not_post=not_post,
+            span_gate=span_gate,
         )
         if verified is None:
             return self._empty_result(with_meta, as_pdf=as_pandas)
@@ -1488,6 +1524,61 @@ class SearchEngine:
             include, k=k, offset=offset, filters=filters,
             with_meta=with_meta, as_pandas=as_pandas,
             not_seq=ex_seq, not_pre=pre, not_post=post,
+        )
+
+    def search_span_containing(
+        self,
+        big: str,
+        little: str,
+        k: int = 10,
+        offset: int = 0,
+        filters: dict | None = None,
+        with_meta: bool = True,
+        as_pandas: bool = False,
+    ):
+        """ES/Lucene ``span_containing``: docs where the ``big`` phrase
+        occurs as a span that FULLY CONTAINS a span of the ``little``
+        phrase. Per-span semantics over the positional sidecar (same
+        single positions-scan as a phrase query; the containment check is
+        one vectorized sorted-range probe per big match). Scores: the
+        conjunctive BM25 sum over the big phrase's terms — the little
+        phrase gates, never scores. A vocab-absent little phrase matches
+        nothing (it can never be contained)."""
+        return self._span_relation(big, little, "containing", k, offset,
+                                   filters, with_meta, as_pandas)
+
+    def search_span_within(
+        self,
+        little: str,
+        big: str,
+        k: int = 10,
+        offset: int = 0,
+        filters: dict | None = None,
+        with_meta: bool = True,
+        as_pandas: bool = False,
+    ):
+        """ES/Lucene ``span_within``: docs where the ``little`` phrase
+        occurs as a span LYING FULLY INSIDE a span of the ``big`` phrase.
+        The dual of :meth:`search_span_containing` — here the LITTLE
+        phrase is the scored query (conjunctive BM25 over its terms) and
+        the big phrase gates. Same positional-tier routing and cost."""
+        return self._span_relation(little, big, "within", k, offset,
+                                   filters, with_meta, as_pandas)
+
+    def _span_relation(self, include, other, gate, k, offset, filters,
+                       with_meta, as_pandas):
+        other_seq = tokenize_text(
+            other,
+            AnalyzerConfig(
+                mode="standard", token_pattern=self.analyzer.token_pattern
+            ),
+        )
+        if not other_seq:
+            return self._empty_result(with_meta, as_pdf=as_pandas)
+        return self.search_phrase(
+            include, k=k, offset=offset, filters=filters,
+            with_meta=with_meta, as_pandas=as_pandas,
+            not_seq=other_seq, span_gate=gate,
         )
 
     def search_phrase_prefix(
@@ -1765,6 +1856,7 @@ class SearchEngine:
         first_end: int | None = None,
         not_seq: list[str] | None = None,
         not_pre: int = 0, not_post: int = 0,
+        span_gate: str = "not",
     ) -> DataFrame | None:
         """Lazy (doc_id, score) frame of verified phrase matches, or None
         when a phrase term is absent from the vocabulary (short-circuit —
@@ -1811,7 +1903,7 @@ class SearchEngine:
                         seq, score_params, excluded_bc=self._tomb_bc,
                         slop=slop, first_end=first_end,
                         not_seq=not_seq, not_pre=not_pre,
-                        not_post=not_post,
+                        not_post=not_post, span_gate=span_gate,
                     ),
                     schema=RESULT_SCHEMA,
                 )
@@ -1824,6 +1916,7 @@ class SearchEngine:
                 _phrase_position_kernel(
                     seq, slop=slop, first_end=first_end,
                     not_seq=not_seq, not_pre=not_pre, not_post=not_post,
+                    span_gate=span_gate,
                 ),
                 schema="doc_id long",
             )

@@ -538,3 +538,103 @@ def test_span_not_with_filters_and_paging(sn_engines):
           local.search_span_not("alpha beta", "bad", k=2, offset=2,
                                 pre=2).collect()]
     assert len(set(p1) & set(p2)) == 0
+
+
+# ---- span_containing / span_within ---------------------------------------
+
+SPAN_REL_DOCS = [
+    ("c0", "alpha beta gamma tail"),        # big=alpha beta gamma ⊇ beta
+    ("c1", "alpha beta delta"),             # big occurs, no little inside
+    ("c2", "beta alpha gamma"),             # big phrase absent
+    ("c3", "x alpha beta gamma x beta"),    # big contains little; extra beta
+    ("c4", "beta x alpha other gamma"),     # little present, big absent
+]
+
+
+def _span_rel_oracle(big, little, relation):
+    bi, li = big.split(), little.split()
+    la, lb = len(bi), len(li)
+    out = []
+    for path, text in SPAN_REL_DOCS:
+        toks = _re.findall(r"[a-z0-9_]+", text.lower())
+        bigs = [s for s in range(len(toks) - la + 1)
+                if toks[s:s + la] == bi]
+        littles = [e for e in range(len(toks) - lb + 1)
+                   if toks[e:e + lb] == li]
+        if relation == "containing":
+            ok = any(any(s <= e and e + lb <= s + la for e in littles)
+                     for s in bigs)
+        else:  # within: little spans inside some big span
+            ok = any(any(e <= s and s + lb <= e + la for e in bigs)
+                     for s in littles)
+        if ok:
+            out.append(path)
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def sr_engines(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("sridx"))
+    build_segment(
+        spark, _docs_df(spark, SPAN_REL_DOCS), root,
+        IndexConfig(n_buckets=2, block_size=4, positions=True),
+    )
+    local = SearchEngine(spark, root)
+    local.warm()
+    dist = SearchEngine(spark, root, serve=False)
+    dist.warm(local_max_blocks=0)
+    srv = SearchEngine(spark, root)
+    srv.warm(local_max_blocks=0)
+    return local, dist, srv
+
+
+@pytest.mark.parametrize(
+    "little", ["beta", "beta gamma", "alpha beta gamma", "zz_absent"],
+    ids=str,
+)
+def test_span_containing_bruteforce(sr_engines, little):
+    want = _span_rel_oracle("alpha beta gamma", little, "containing")
+    for eng, tier in zip(sr_engines, ("local", "dist", "serve")):
+        got = sorted(
+            r["path"] for r in eng.search_span_containing(
+                "alpha beta gamma", little, k=20
+            ).collect()
+        )
+        assert got == want, (tier, little, got, want)
+
+
+@pytest.mark.parametrize("little", ["beta", "beta gamma"], ids=str)
+def test_span_within_bruteforce(sr_engines, little):
+    want = _span_rel_oracle("alpha beta gamma", little, "within")
+    for eng, tier in zip(sr_engines, ("local", "dist", "serve")):
+        got = sorted(
+            r["path"] for r in eng.search_span_within(
+                little, "alpha beta gamma", k=20
+            ).collect()
+        )
+        assert got == want, (tier, little, got, want)
+
+
+def test_span_relation_scoring_sides(sr_engines):
+    local = sr_engines[0]
+    # containing scores the BIG phrase's terms...
+    ph_big = {r["path"]: round(r["score"], 9) for r in
+              local.search_phrase("alpha beta gamma", k=20).collect()}
+    cont = {r["path"]: round(r["score"], 9) for r in
+            local.search_span_containing("alpha beta gamma", "beta",
+                                         k=20).collect()}
+    assert cont and all(cont[p] == ph_big[p] for p in cont)
+    # ...within scores the LITTLE phrase's terms
+    ph_lit = {r["path"]: round(r["score"], 9) for r in
+              local.search_phrase("beta", k=20).collect()}
+    within = {r["path"]: round(r["score"], 9) for r in
+              local.search_span_within("beta", "alpha beta gamma",
+                                       k=20).collect()}
+    assert within and all(within[p] == ph_lit[p] for p in within)
+
+
+def test_span_containing_little_longer_than_big(sr_engines):
+    local = sr_engines[0]
+    got = local.search_span_containing("beta gamma",
+                                       "alpha beta gamma", k=20).collect()
+    assert got == []  # a longer little can never be contained
