@@ -18,6 +18,8 @@ spark-submit --py-files (see scripts/query_cli.py).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,6 +40,9 @@ class FulltextAPI:
     ):
         self.spark = spark
         self.index_root = str(index_root)
+        # serializes engine swaps (_reopen) against each other; reads
+        # keep going against whichever engine object they grabbed
+        self._reopen_lock = threading.Lock()
         self.engine = SearchEngine(spark, index_root)
         self.prefix_engine = (
             SearchEngine(spark, prefix_index_root)
@@ -182,6 +187,7 @@ class FulltextAPI:
         size: int = 100,
         from_: int = 0,
         mode: str = "or",
+        filters: dict | None = None,
         as_pandas: bool = False,
         max_expansions: int | None = None,
     ):
@@ -190,8 +196,8 @@ class FulltextAPI:
         prefix clause; mode = ES operator. See
         SearchEngine.search_bool_prefix."""
         return self.engine.search_bool_prefix(
-            query, k=size, offset=from_, mode=mode, as_pandas=as_pandas,
-            max_expansions=max_expansions,
+            query, k=size, offset=from_, mode=mode, filters=filters,
+            as_pandas=as_pandas, max_expansions=max_expansions,
         )
 
     def search_boosting(
@@ -712,18 +718,58 @@ class FulltextAPI:
         self,
         upserts: list[dict] | None = None,
         deletes: list[dict] | None = None,
+        actions: list[tuple[str, dict]] | None = None,
     ) -> dict:
         """ES ``_bulk`` analogue — the reference's bulk upsert sink (S6,
         elasticAddressRepository.go:648-732: buffered index + delete
         actions, fail-fast) as ONE MERGE: index actions upsert full docs,
-        delete actions tombstone (repo, path) keys. Within a batch the
-        engine's standing last-wins-per-key contract applies (A3).
+        delete actions tombstone (repo, path) keys.
+
+        Two calling forms:
+
+        * ``actions=[("index", doc) | ("delete", key), ...]`` — ordered,
+          ES-sequential semantics: the LAST action on a (repo, path) key
+          wins the batch (an index followed by a delete leaves the doc
+          absent; a delete followed by an index leaves it live). Winners
+          are resolved driver-side (the batch is HTTP-bounded) before the
+          single MERGE, because apply_delta's tombstone-then-index order
+          would otherwise make same-batch upserts always beat deletes.
+          The NDJSON gateway route uses this form.
+        * ``upserts=/deletes=`` — two unordered lists, kept for
+          programmatic callers. With no order to honor, the documented
+          semantics are UPSERT-WINS on keys present in both lists
+          (apply_delta tombstones only pre-existing rows, then indexes
+          the upsert).
+
         Reopens the engine on the updated manifest and returns
-        ``{indexed, deleted, n_docs}``.
+        ``{indexed, deleted, n_docs}`` (counts of actions accepted, as in
+        ES's per-action results — not of merge winners).
         """
         fields = ("repo", "path", "commit", "lang", "content")
-        ups = upserts or []
-        dels = deletes or []
+        if actions is not None:
+            if upserts or deletes:
+                raise ValueError(
+                    "pass either actions= or upserts=/deletes=, not both"
+                )
+            n_idx = sum(1 for kind, _ in actions if kind == "index")
+            n_del = len(actions) - n_idx
+            last: dict[tuple[str, str], tuple[str, dict]] = {}
+            for kind, obj in actions:
+                if kind not in ("index", "delete"):
+                    raise ValueError(f"unsupported bulk action {kind!r}")
+                if not isinstance(obj.get("repo"), str) or not isinstance(
+                    obj.get("path"), str
+                ):
+                    raise ValueError(
+                        f"{kind} action needs string repo and path: {obj!r}"
+                    )
+                last[(obj["repo"], obj["path"])] = (kind, obj)
+            ups = [o for k, o in last.values() if k == "index"]
+            dels = [o for k, o in last.values() if k == "delete"]
+        else:
+            ups = upserts or []
+            dels = deletes or []
+            n_idx, n_del = len(ups), len(dels)
         if not ups and not dels:
             raise ValueError("bulk needs at least one action")
         for d in ups:
@@ -758,14 +804,16 @@ class FulltextAPI:
             if dels
             else None
         )
-        manifest = apply_delta(
+        apply_delta(
             self.spark, self.index_root, upserts=ups_df, deletes=del_df
         )
         self._reopen()
         return {
-            "indexed": len(ups),
-            "deleted": len(dels),
-            "n_docs": manifest.get("n_docs"),
+            "indexed": n_idx,
+            "deleted": n_del,
+            # live count post-merge (manifest keeps only per-segment +
+            # tombstone counts; the reopened engine nets them out)
+            "n_docs": self.engine.n_docs,
         }
 
     def update_by_query(
@@ -847,10 +895,23 @@ class FulltextAPI:
         return build_segment(self.spark, docs, dest_root, cfg)
 
     def _reopen(self) -> None:
-        """Swap in a fresh engine over the updated on-disk state."""
-        self.engine.close()
-        self.engine = SearchEngine(self.spark, self.index_root)
-        self.engine.warm()
+        """Swap in a fresh engine over the updated on-disk state.
+
+        Build-then-swap: the replacement engine is constructed and warmed
+        FIRST, only then atomically published and the old engine closed —
+        so (a) concurrent readers on a threaded server never observe a
+        closed/unwarmed engine mid-swap, and (b) a failed rebuild raises
+        while the old engine stays live instead of wedging the API. The
+        lock serializes concurrent mutators (two bulk posts)."""
+        with self._reopen_lock:
+            new = SearchEngine(self.spark, self.index_root)
+            try:
+                new.warm()
+            except Exception:
+                new.close()
+                raise
+            old, self.engine = self.engine, new
+            old.close()
 
     def version(self) -> dict:
         return self.engine.stats()

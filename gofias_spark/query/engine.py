@@ -2375,6 +2375,7 @@ class SearchEngine:
         k: int = 10,
         offset: int = 0,
         mode: str = "or",
+        filters: dict | None = None,
         with_meta: bool = True,
         as_pandas: bool = False,
         max_expansions: int | None = None,
@@ -2422,8 +2423,8 @@ class SearchEngine:
             ) + "+" + last + "*"
         return execute_query_string(
             self, qs, k=k, offset=offset, default_operator="or",
-            max_expansions=max_expansions, with_meta=with_meta,
-            as_pandas=as_pandas,
+            max_expansions=max_expansions, filters=filters,
+            with_meta=with_meta, as_pandas=as_pandas,
         )
 
     def search_fuzzy(

@@ -473,16 +473,27 @@ def execute_query_string(
     default_operator: str = "or",
     minimum_should_match: int | None = None,
     max_expansions: int | None = 50,
+    filters: dict | None = None,
     with_meta: bool = True,
     as_pandas: bool = False,
 ):
     """Parse ``qs`` and run it against ``engine`` (a SearchEngine). Result
     contract identical to ``engine.search`` (top-k by combined score desc,
-    doc_id asc tie-break, meta columns unless ``with_meta=False``)."""
+    doc_id asc tie-break, meta columns unless ``with_meta=False``).
+
+    ``filters`` is an externally-supplied engine filter dict (the gateway's
+    ``lang=`` / ``<field>.gte=`` params), merged with any in-query
+    ``field:value`` filters — a field constrained both ways with
+    conflicting equality raises ValueError (range specs merge)."""
     if minimum_should_match is not None and minimum_should_match < 1:
         raise ValueError("minimum_should_match must be >= 1")
     meta_fields = set(engine.doc_meta.columns)
     pq = parse_query_string(qs, default_operator, filter_fields=meta_fields)
+    if filters:
+        merged = dict(pq.filters or {})
+        for fld, spec in filters.items():
+            _add_filter(merged, fld, spec)
+        pq.filters = merged
     if not pq.clauses:
         if pq.filters:
             raise ValueError(

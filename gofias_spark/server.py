@@ -294,13 +294,15 @@ def _items(pdf) -> list[dict]:
     return out
 
 
-def _parse_bulk_ndjson(body: str) -> tuple[list[dict], list[dict]]:
+def _parse_bulk_ndjson(body: str) -> list[tuple[str, dict]]:
     """ES _bulk NDJSON: an action line ``{"index": {...}}`` followed by
     its source line, or a standalone ``{"delete": {"repo","path"}}``.
-    Returns (upserts, deletes); malformed input raises BadRequest."""
+    Returns the actions IN ORDER as ``[("index", doc) | ("delete", key),
+    ...]`` — order matters: ES applies a batch sequentially, so the last
+    action on a (repo, path) key wins (api.bulk resolves this).
+    Malformed input raises BadRequest."""
     lines = [ln for ln in body.splitlines() if ln.strip()]
-    upserts: list[dict] = []
-    deletes: list[dict] = []
+    actions: list[tuple[str, dict]] = []
     i = 0
     while i < len(lines):
         try:
@@ -323,7 +325,7 @@ def _parse_bulk_ndjson(body: str) -> tuple[list[dict], list[dict]]:
                 raise BadRequest(f"line {i + 2}: invalid JSON") from e
             if not isinstance(doc, dict):
                 raise BadRequest(f"line {i + 2}: source must be an object")
-            upserts.append(doc)
+            actions.append(("index", doc))
             i += 2
         elif kind == "delete":
             key = action["delete"]
@@ -331,14 +333,14 @@ def _parse_bulk_ndjson(body: str) -> tuple[list[dict], list[dict]]:
                 raise BadRequest(
                     f"line {i + 1}: delete action must carry a key object"
                 )
-            deletes.append(key)
+            actions.append(("delete", key))
             i += 1
         else:
             raise BadRequest(
                 f"line {i + 1}: unsupported action {kind!r} "
                 "(index | delete)"
             )
-    return upserts, deletes
+    return actions
 
 
 def make_handler(api: FulltextAPI, cache_size: int = 256):
@@ -459,9 +461,9 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                         f"bulk body exceeds {self.MAX_BULK_BYTES} bytes"
                     )
                 body = self.rfile.read(length).decode("utf-8")
-                upserts, deletes = _parse_bulk_ndjson(body)
+                actions = _parse_bulk_ndjson(body)
                 try:
-                    res = api.bulk(upserts=upserts, deletes=deletes)
+                    res = api.bulk(actions=actions)
                 except ValueError as exc:
                     raise BadRequest(str(exc)) from exc
                 self._json({**res, "errors": False})
@@ -620,10 +622,14 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                     op = q.get("operator", ["or"])[0]
                     if op not in ("or", "and"):
                         raise BadRequest("operator must be or|and")
-                    pdf = api.search_bool_prefix(
-                        _term(q), size=size, from_=from_, mode=op,
-                        as_pandas=True,
-                    )
+                    try:
+                        pdf = api.search_bool_prefix(
+                            _term(q), size=size, from_=from_, mode=op,
+                            filters=_filters_from_query(q),
+                            as_pandas=True,
+                        )
+                    except ValueError as exc:  # conflicting filters
+                        raise BadRequest(str(exc)) from exc
                 elif match == "fuzzy":
                     if sort_by:
                         raise BadRequest(
@@ -666,6 +672,14 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                         raise BadRequest(
                             "negative= combines with neither sort= nor "
                             "search_after= nor exclude="
+                        )
+                    # this branch wins over the msm/boost bool branch
+                    # below, so those params would be silently dropped —
+                    # reject rather than ignore (same contract as above)
+                    if "minimum_should_match" in q or "boost" in q:
+                        raise BadRequest(
+                            "negative= combines with neither "
+                            "minimum_should_match= nor boost="
                         )
                     try:
                         nb = float(q.get("negative_boost", ["0.5"])[0])

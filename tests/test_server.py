@@ -1165,3 +1165,110 @@ def test_new_agg_routes(gateway):
         "/api/v1/mad?field=lang",                          # non-numeric
     ):
         assert _get_status(base, bad) == 400, bad
+
+
+def test_bool_prefix_filter_params(gateway):
+    """match=bool_prefix now applies the same filter params every other
+    match mode honors (lang=, <field>.gte=), instead of silently
+    returning unfiltered results."""
+    api, base = gateway
+    status, res = _get(
+        base,
+        "/api/v1/address/term?term=common_ut&match=bool_prefix"
+        "&lang=py&size=10",
+    )
+    assert status == 200
+    assert res["items"], "filtered bool_prefix should still match"
+    assert all(i["lang"] == "py" for i in res["items"])
+    direct = api.search_bool_prefix(
+        "common_ut", size=10, filters={"lang": "py"}
+    ).collect()
+    assert [i["doc_id"] for i in res["items"]] == [
+        r["doc_id"] for r in direct
+    ]
+    # range filters reach the engine too
+    status, res2 = _get(
+        base,
+        "/api/v1/address/term?term=common_ut&match=bool_prefix"
+        "&doclen.gte=1&size=10",
+    )
+    assert status == 200 and res2["items"]
+
+
+def test_negative_rejects_msm_and_boost(gateway):
+    """negative= (boosting query) wins branch dispatch over the bool
+    msm/boost branch — those params must 400, not silently drop."""
+    _, base = gateway
+    q = "term=common_util&match=or&negative=helper"
+    assert _get_status(
+        base, f"/api/v1/address/term?{q}&minimum_should_match=1"
+    ) == 400
+    assert _get_status(
+        base, f"/api/v1/address/term?{q}&boost=common_util:2.0"
+    ) == 400
+    # sanity: without the conflicting params the boosting route still runs
+    assert _get_status(base, f"/api/v1/address/term?{q}") == 200
+
+
+def test_bulk_ordered_last_wins(spark, tmp_path_factory):
+    """ES _bulk sequential semantics: within one NDJSON batch the LAST
+    action on a (repo, path) key wins — index-then-delete leaves the doc
+    absent, delete-then-index leaves it live (the pre-fix merge let the
+    upsert always win)."""
+    root = str(tmp_path_factory.mktemp("bulkorder"))
+    docs = synth_corpus(spark, 30)
+    build_segment(spark, docs, root, CFG)
+    api = FulltextAPI(spark, root)
+    api.engine.warm()
+    server, _ = serve(api, port=0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        victim = api.engine.search("common_util", k=1).collect()[0]
+        doc_a = {"repo": "ord/r1", "path": "a.py", "commit": "c1",
+                 "lang": "py", "content": "def ordered_batch_a(): pass"}
+        body = "\n".join([
+            # new doc indexed then deleted in the SAME batch -> absent
+            json.dumps({"index": {}}),
+            json.dumps(doc_a),
+            json.dumps({"delete": {"repo": "ord/r1", "path": "a.py"}}),
+            # pre-existing doc deleted then re-indexed -> live, new body
+            json.dumps({"delete": {"repo": victim["repo"],
+                                   "path": victim["path"]}}),
+            json.dumps({"index": {}}),
+            json.dumps({"repo": victim["repo"], "path": victim["path"],
+                        "commit": "c2", "lang": victim["lang"],
+                        "content": "def ordered_batch_b(): pass"}),
+        ])
+        req = urllib.request.Request(
+            base + "/api/v1/bulk", data=body.encode(),
+            headers={"Content-Type": "application/x-ndjson"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            res = json.loads(r.read())
+        # counts report actions accepted, ES-style
+        assert res["indexed"] == 2 and res["deleted"] == 2
+        assert api.get_doc(repo="ord/r1", path="a.py").collect() == []
+        assert api.engine.search("ordered_batch_a", k=5).collect() == []
+        hits = api.engine.search("ordered_batch_b", k=5).collect()
+        assert len(hits) == 1
+        assert hits[0]["repo"] == victim["repo"]
+        assert hits[0]["commit"] == "c2"
+    finally:
+        server.shutdown()
+
+
+def test_bulk_two_list_form_upsert_wins(spark, tmp_path_factory):
+    """The programmatic upserts=/deletes= form keeps its documented
+    UPSERT-WINS semantics on keys present in both lists."""
+    root = str(tmp_path_factory.mktemp("bulklists"))
+    docs = synth_corpus(spark, 20)
+    build_segment(spark, docs, root, CFG)
+    api = FulltextAPI(spark, root)
+    api.engine.warm()
+    doc = {"repo": "ord/r2", "path": "b.py", "commit": "c9",
+           "lang": "py", "content": "def twolist_doc(): pass"}
+    res = api.bulk(upserts=[doc],
+                   deletes=[{"repo": "ord/r2", "path": "b.py"}])
+    assert res["indexed"] == 1 and res["deleted"] == 1
+    assert len(api.engine.search("twolist_doc", k=5).collect()) == 1
+    api.close()
