@@ -360,8 +360,13 @@ def _q_ft_fuzzy(spark, sf):
 def _q_ft_wildcard(spark, sf):
     """Wildcard term query (ES wildcard analogue): 's?a*' expands against
     the term dictionary to {scan, small, spark} on this corpus, scored as
-    a disjunctive match with per-variant idf."""
-    return _ft(_engine(spark, sf).search_wildcard("s?a*", k=10))
+    a disjunctive match with per-variant idf. max_expansions=None = exact
+    expansion (the engine default is the Lucene-style 512 cap) so the
+    DuckDB oracle (vocabulary regexp, uncapped) matches at any sf."""
+    return _ft(
+        _engine(spark, sf).search_wildcard("s?a*", k=10,
+                                           max_expansions=None)
+    )
 
 
 def _q_ft_query_string(spark, sf):
@@ -1264,9 +1269,14 @@ def _q_ft_collapse(spark, sf):
 
 def _q_ft_regexp(spark, sf):
     """ES regexp term query: anchored pattern expanded against the term
-    dictionary (vocabulary-sized scan, like wildcard/fuzzy), variants
+    dictionary (vocabulary-sized scan, like wildcard/fuzzy;
+    max_expansions=None = exact so the uncapped DuckDB oracle matches at
+    any sf — the engine default is the Lucene-style 512 cap), variants
     scored disjunctively with per-variant idf."""
-    return _ft(_engine(spark, sf).search_regexp("s(c|t)a[a-z]*", k=10))
+    return _ft(
+        _engine(spark, sf).search_regexp("s(c|t)a[a-z]*", k=10,
+                                         max_expansions=None)
+    )
 
 
 def _query_vec(spark, sf):

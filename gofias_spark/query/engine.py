@@ -46,6 +46,14 @@ from gofias_spark.query.serve import ServeCache, state_token
 
 RESULT_SCHEMA = "doc_id long, score double"
 
+# Lucene-style multi-term rewrite bound: the default cap on how many
+# vocabulary terms a wildcard/regexp/prefix rewrite may expand to. At
+# code-corpus scale the term dictionary is 10^8+; a pattern like ``a*``
+# with no cap means an unbounded driver collect and an OR-query over
+# millions of variants (Lucene caps its own rewrites the same way).
+# Pass ``max_expansions=None`` explicitly for exact expansion (oracles).
+DEFAULT_MAX_EXPANSIONS = 512
+
 
 def _weighted_quantiles(vals: np.ndarray, cnts: np.ndarray, ps) -> list:
     """Exact linear-interpolation quantiles over a (value, count) table —
@@ -2214,17 +2222,38 @@ class SearchEngine:
                 parts.append(_re.escape(ch))
         return "^" + "".join(parts) + "$"
 
+    def _expansion_scan(self, rx: str, max_expansions: int | None):
+        """Cold-path expansion candidates as a DataFrame: the (term, df)
+        stats table filtered by the rewrite regex, with the expansion cap
+        pushed INTO the plan as ``orderBy(df desc, term asc).limit(n)``
+        (physical TakeOrderedAndProject), so a hot pattern (``a*``) over
+        a 10^8-term dictionary ships at most n rows to the driver, never
+        the whole matching vocabulary. ``max_expansions=None`` is the
+        explicit exact escape hatch (oracle runs) and collects every
+        match."""
+        df = self._stats.filter(F.col("term").rlike(rx)).select("term", "df")
+        if max_expansions is not None:
+            df = df.orderBy(F.desc("df"), F.asc("term")).limit(
+                max_expansions
+            )
+        return df
+
     def wildcard_terms(
-        self, pattern: str, max_expansions: int | None = None
+        self,
+        pattern: str,
+        max_expansions: int | None = DEFAULT_MAX_EXPANSIONS,
     ) -> list[str]:
         """Vocabulary terms matching an ES-style wildcard pattern
-        (``*``/``?``), most-frequent first (df desc, term asc).
+        (``*``/``?``), most-frequent first (df desc, term asc), capped at
+        ``max_expansions`` (default 512, the Lucene-style multi-term
+        rewrite bound — ``None`` = exact, every match).
 
         The scan is over the (term, df) stats table — vocabulary-sized,
         never corpus-sized — exactly how Lucene rewrites wildcard queries
         against the term dictionary (leading wildcards scan the whole
         vocabulary there too). Driver fast path when the warm stats dict
-        is resident; Spark ``rlike`` filter otherwise."""
+        is resident; Spark ``rlike`` filter with the cap pushed into the
+        plan otherwise (``_expansion_scan``)."""
         rx = self._wildcard_regex(pattern.lower())
         if self._stats_cache is not None:
             import re as _re
@@ -2234,11 +2263,7 @@ class SearchEngine:
                 (t, n) for t, n in self._stats_cache.items() if crx.match(t)
             ]
         else:
-            rows = (
-                self._stats.filter(F.col("term").rlike(rx))
-                .select("term", "df")
-                .collect()
-            )
+            rows = self._expansion_scan(rx, max_expansions).collect()
             out = [(r["term"], int(r["df"])) for r in rows]
         out.sort(key=lambda p: (-p[1], p[0]))
         terms = [t for t, _ in out]
@@ -2249,7 +2274,7 @@ class SearchEngine:
         pattern: str,
         k: int = 10,
         offset: int = 0,
-        max_expansions: int | None = None,
+        max_expansions: int | None = DEFAULT_MAX_EXPANSIONS,
         filters: dict | None = None,
         with_meta: bool = True,
         sort_by: list[tuple[str, str]] | None = None,
@@ -2285,12 +2310,16 @@ class SearchEngine:
                           "\\5", "\\6", "\\7", "\\8", "\\9")
 
     def regexp_terms(
-        self, pattern: str, max_expansions: int | None = None
+        self,
+        pattern: str,
+        max_expansions: int | None = DEFAULT_MAX_EXPANSIONS,
     ) -> list[str]:
         """Vocabulary terms fully matching a regular expression (ES
         ``regexp`` query semantics: anchored — the whole term must match),
-        most-frequent first (df desc, term asc). Same vocabulary-sized
-        scan as wildcard_terms: the term dictionary, never the corpus."""
+        most-frequent first (df desc, term asc), capped at
+        ``max_expansions`` (default 512; ``None`` = exact). Same
+        vocabulary-sized scan as wildcard_terms: the term dictionary,
+        never the corpus, with the cap pushed into the cold-path plan."""
         import re as _re
 
         for bad in self._REGEXP_UNPORTABLE:
@@ -2310,11 +2339,7 @@ class SearchEngine:
                 (t, n) for t, n in self._stats_cache.items() if crx.match(t)
             ]
         else:
-            rows = (
-                self._stats.filter(F.col("term").rlike(rx))
-                .select("term", "df")
-                .collect()
-            )
+            rows = self._expansion_scan(rx, max_expansions).collect()
             out = [(r["term"], int(r["df"])) for r in rows]
         out.sort(key=lambda p: (-p[1], p[0]))
         terms = [t for t, _ in out]
@@ -2325,7 +2350,7 @@ class SearchEngine:
         pattern: str,
         k: int = 10,
         offset: int = 0,
-        max_expansions: int | None = None,
+        max_expansions: int | None = DEFAULT_MAX_EXPANSIONS,
         filters: dict | None = None,
         with_meta: bool = True,
         sort_by: list[tuple[str, str]] | None = None,
@@ -2378,7 +2403,7 @@ class SearchEngine:
         filters: dict | None = None,
         with_meta: bool = True,
         as_pandas: bool = False,
-        max_expansions: int | None = None,
+        max_expansions: int | None = DEFAULT_MAX_EXPANSIONS,
     ):
         """ES ``match_bool_prefix`` analogue — search-box-as-you-type
         over a standard-analyzer index: every analyzed token but the last
@@ -2393,8 +2418,9 @@ class SearchEngine:
         for prefix completions — the engine's standing wildcard-scoring
         contract (deliberate divergence from ES's constant-score prefix
         rewrite, which is expansion-cap dependent and not rank-stable).
-        Default ``max_expansions=None`` is EXACT (all completions); a cap
-        follows wildcard_terms' df-desc order.
+        ``max_expansions`` defaults to the Lucene-style rewrite bound
+        (512, df-desc order per wildcard_terms); ``None`` is the explicit
+        EXACT escape hatch (all completions — oracle runs).
 
         Compiles onto the query_string engine (``a b la*`` /
         ``+a +b +la*``), so tier routing, group scoring, and the

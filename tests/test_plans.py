@@ -199,3 +199,28 @@ def test_dsir_scoring_is_shuffle_free(spark):
     out = dsir_log_weights(docs, tgt, dim=64)
     plan = C.physical_plan(out)
     assert "Exchange" not in plan, plan
+
+
+def test_wildcard_expansion_cap_pushed_into_plan(engine):
+    """The multi-term rewrite cold path (no warm stats dict) must push
+    the expansion cap INTO the stats scan as orderBy(df desc).limit(n)
+    -> TakeOrderedAndProject — at code-corpus scale the dictionary is
+    10^8+ terms and an uncapped `a*` rewrite would collect the whole
+    matching vocabulary driver-side (r3 verdict weak #2)."""
+    from gofias_spark.query.engine import DEFAULT_MAX_EXPANSIONS
+
+    assert engine._stats_cache is None  # cold path is what we assert
+    rx = engine._wildcard_regex("s?a*")
+    df = engine._expansion_scan(rx, DEFAULT_MAX_EXPANSIONS)
+    assert C.uses_take_ordered(df), C.physical_plan(df)
+    # the explicit exact escape hatch has no limit (oracle runs)
+    assert not C.uses_take_ordered(engine._expansion_scan(rx, None))
+    # capped defaults flow through the search surface: same top terms,
+    # same order as the exact expansion when matches < cap
+    assert engine.wildcard_terms("s?a*") == engine.wildcard_terms(
+        "s?a*", max_expansions=None
+    )
+    # a binding cap keeps the most-frequent variants
+    exact = engine.wildcard_terms("*", max_expansions=None)
+    top2 = engine.wildcard_terms("*", max_expansions=2)
+    assert top2 == exact[:2]
