@@ -42,6 +42,7 @@ from gofias_spark.analyzer import analyze_query, tokenize_text
 from gofias_spark.config import AnalyzerConfig, BM25Params
 from gofias_spark.index.store import IndexStore
 from gofias_spark.query import kernel as K
+from gofias_spark.query.memgov import GOVERNOR
 from gofias_spark.query.serve import ServeCache, state_token
 
 RESULT_SCHEMA = "doc_id long, score double"
@@ -617,6 +618,9 @@ class SearchEngine:
         self._stats_cache: dict[str, int] | None = None
         self._fuzzy_map: dict[str, list[str]] | None = None
         self._fuzzy_map_token: str | None = None
+        # identity key for the process-wide CacheGovernor (byte budget
+        # across every warmed engine on this driver)
+        self._gov_key = object()
         self._positions = self._load_positions()
         # doclen rides along (8 bytes/doc): function_score's distributed
         # join then hits the doc_id-partitioned cache — only the scored
@@ -819,6 +823,48 @@ class SearchEngine:
                 # queries on a small index run entirely driver-side (the
                 # same one-pass kernel, no Spark job)
                 self._local_positions = self._positions.toPandas()
+        # process-level BYTE governance across engines (a gateway can
+        # host several warmed indexes): register what this warm actually
+        # holds; over-budget admission drops our caches (cold routing
+        # still serves correctly), under-budget admission evicts LRU
+        # peers instead
+        nbytes = self._resident_cache_bytes()
+        if nbytes and not GOVERNOR.admit(
+            self._gov_key, nbytes, self._drop_resident_caches
+        ):
+            self._drop_resident_caches()
+
+    def _resident_cache_bytes(self) -> int:
+        """Measured bytes of the driver-resident caches warm() built:
+        pandas deep memory + numpy nbytes + a per-entry estimate for the
+        stats dict. This is what the CacheGovernor accounts."""
+        total = 0
+        for pdf in (
+            self._local_blocks,
+            self._local_meta,
+            self._local_positions,
+        ):
+            if pdf is not None:
+                total += int(pdf.memory_usage(deep=True).sum())
+        if self._local_tombs is not None:
+            total += int(self._local_tombs.nbytes)
+        if self._stats_cache:
+            # dict overhead ~100 B/slot + key string bytes + int value
+            total += sum(len(t) for t in self._stats_cache) + 128 * len(
+                self._stats_cache
+            )
+        return total
+
+    def _drop_resident_caches(self) -> None:
+        """Eviction callback: return the engine to its cold routing state
+        (serve-cache parquet / distributed paths — same results). Called
+        by the CacheGovernor when a peer engine's warm needs the bytes."""
+        self._local_blocks = None
+        self._local_meta = None
+        self._local_tombs = None
+        self._local_positions = None
+        self._stats_cache = None
+        self._fuzzy_map = None
 
     def _build_serve(self, n_blocks: int) -> None:
         """Materialize the term-bucketed serve cache (idempotent per index
@@ -1116,6 +1162,9 @@ class SearchEngine:
         weights must be > 0 (a non-positive weight would invalidate the
         block upper bounds)."""
         spark = self.spark
+        # LRU bump: the engine serving traffic is the last the process-
+        # wide cache governor evicts (multi-index drivers)
+        GOVERNOR.touch(self._gov_key)
         self._validate_filters(filters)
         if minimum_should_match is not None:
             if mode != "or":
@@ -4555,6 +4604,7 @@ class SearchEngine:
         mirrors search(): docs containing ANY of its analyzed terms are
         excluded from the count, their postings riding the same
         term-pruned scan (no extra job on any tier)."""
+        GOVERNOR.touch(self._gov_key)
         self._validate_filters(filters)
         if filters_impossible(filters):
             return 0
@@ -5686,6 +5736,7 @@ class SearchEngine:
             except Exception:  # noqa: BLE001
                 pass
             self._tomb_bc = None
+        GOVERNOR.release(self._gov_key)
         self._local_blocks = None
         self._local_meta = None
         self._local_positions = None

@@ -362,13 +362,44 @@ _REQUEST_TYPES = {
 }
 
 
+def make_wire_handler(servicer: FulltextServicer, method: str):
+    """Bytes-level unary handler for ``method`` — the whole JSON wire
+    codec (request bytes -> request dataclass -> servicer -> response
+    dataclass -> response bytes), TRANSPORT-FREE: ``context`` only needs
+    an ``abort(status: str, detail: str)`` that raises, so the codec is
+    drivable by an in-process fake channel in tests (grpcio absent in
+    this container). :func:`serve_grpc` binds the same handler to
+    ``grpc.unary_unary_rpc_method_handler`` with a context adapter that
+    maps the status STRING (``"NOT_FOUND"`` / ``"INVALID_ARGUMENT"``) to
+    ``grpc.StatusCode``."""
+    req_cls = _REQUEST_TYPES[method]
+
+    def handler(request_bytes: bytes, context) -> bytes:
+        try:
+            d = json.loads(request_bytes or b"{}")
+            req = None if req_cls is type(None) else from_dict(req_cls, d)
+            resp = getattr(servicer, method)(req)
+        except NotFound as exc:
+            context.abort("NOT_FOUND", str(exc))
+            raise AssertionError("context.abort must raise")
+        except (InvalidArgument, json.JSONDecodeError, TypeError) as exc:
+            # decode failures (bad JSON, wrong field types, unknown
+            # fields) are request errors, same status as semantic ones
+            context.abort("INVALID_ARGUMENT", str(exc))
+            raise AssertionError("context.abort must raise")
+        return json.dumps(to_dict(resp)).encode()
+
+    return handler
+
+
 def serve_grpc(api: FulltextAPI, port: int = 50051, max_workers: int = 8):
     """Start a grpcio server for :class:`FulltextServicer`.
 
     Requires grpcio (NOT shipped in this container — the servicer and
-    codec above are the tested surface; this function is the thin
-    transport binding, structured exactly like the reference's generated
-    registration in app/interfaces/grpc/server.go). Returns the started
+    the :func:`make_wire_handler` codec are the tested surface; this
+    function is the thin transport binding, structured exactly like the
+    reference's generated registration in
+    app/interfaces/grpc/server.go). Returns the started
     ``grpc.Server``."""
     try:
         import grpc
@@ -384,19 +415,18 @@ def serve_grpc(api: FulltextAPI, port: int = 50051, max_workers: int = 8):
 
     servicer = FulltextServicer(api)
 
-    def unary(method: str):
-        req_cls = _REQUEST_TYPES[method]
+    class _Ctx:  # pragma: no cover - needs grpcio
+        def __init__(self, grpc_ctx):
+            self._ctx = grpc_ctx
+
+        def abort(self, status: str, detail: str):
+            self._ctx.abort(getattr(grpc.StatusCode, status), detail)
+
+    def unary(method: str):  # pragma: no cover - needs grpcio
+        wire = make_wire_handler(servicer, method)
 
         def handler(request_bytes, context):
-            d = json.loads(request_bytes or b"{}")
-            req = None if req_cls is type(None) else from_dict(req_cls, d)
-            try:
-                resp = getattr(servicer, method)(req)
-            except NotFound as exc:
-                context.abort(grpc.StatusCode.NOT_FOUND, str(exc))
-            except InvalidArgument as exc:
-                context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(exc))
-            return json.dumps(to_dict(resp)).encode()
+            return wire(request_bytes, _Ctx(context))
 
         return grpc.unary_unary_rpc_method_handler(
             handler,

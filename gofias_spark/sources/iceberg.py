@@ -108,3 +108,87 @@ def read_docs_table(
     # narrow projection: only the contract columns reach the build, so
     # pruning pushes to the (parquet or Iceberg) scan
     return df.select(*DOCS_COLS)
+
+
+def build_index_from_table(
+    spark: SparkSession,
+    source: str,
+    index_root: str,
+    cfg=None,
+    snapshot_id: int | None = None,
+    as_of_timestamp: str | None = None,
+) -> dict:
+    """Build an index segment directly from a docs table — the north-rule
+    ingestion entry (`over Iceberg tables of source-code repositories`):
+    ``source`` is a catalog (Iceberg) table name or a parquet path, with
+    optional snapshot pinning for reproducible builds; everything after
+    the read is the standard :func:`build_segment` path (one content
+    shuffle, resumable, lineage-stamped). Returns the manifest."""
+    from gofias_spark.config import IndexConfig
+    from gofias_spark.index.build import build_segment
+
+    docs = read_docs_table(
+        spark, source, snapshot_id=snapshot_id,
+        as_of_timestamp=as_of_timestamp,
+    )
+    return build_segment(spark, docs, index_root, cfg or IndexConfig())
+
+
+def export_docs_table(
+    spark: SparkSession,
+    index_root: str,
+    dest: str,
+    mode: str = "errorifexists",
+) -> int:
+    """Export the index's LIVE doc store (tombstones netted out) back to
+    a docs table — the round-trip counterpart of ``read_docs_table``, so
+    the engine slots next to an existing lakehouse: filter/curate inside
+    the engine, export the survivors as the next pipeline stage's input.
+
+    ``dest`` routing mirrors ``read_docs_table``: a path-shaped dest
+    writes parquet; a bare identifier writes through the session catalog
+    via ``DataFrameWriterV2.createOrReplace`` (Iceberg when the catalog
+    is configured). Environments without an Iceberg runtime get the same
+    actionable error as the reader — the parquet path needs nothing.
+    Returns the number of rows exported.
+
+    The export is a single narrow scan of doc_meta (five contract
+    columns + an anti-join against the tombstone set) — no index
+    structures are touched, and the write parallelism is the scan's.
+    """
+    from gofias_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, index_root, cache=False)
+    docs = eng.doc_meta
+    if eng._tombstones is not None:
+        # tombstone set is delta-sized: broadcast anti-join, no shuffle
+        # of the doc store
+        docs = docs.join(
+            eng._tombstones.select("doc_id").hint("broadcast"),
+            "doc_id",
+            "left_anti",
+        )
+    docs = docs.select(*DOCS_COLS)
+    n = docs.count()
+    path_like = os.path.sep in dest or dest.endswith(".parquet")
+    if path_like:
+        if "://" not in dest:
+            dest = os.path.abspath(dest)
+        docs.write.mode(mode).parquet(dest)
+    else:
+        try:
+            writer = docs.writeTo(dest)
+            if mode in ("overwrite", "createOrReplace"):
+                writer.createOrReplace()
+            else:
+                writer.create()
+        except Exception as exc:  # noqa: BLE001 - repackage with context
+            raise RuntimeError(
+                f"cannot write catalog table {dest!r}: the session catalog "
+                "does not serve it (for Iceberg tables the runtime jar and "
+                "catalog config must be on the session, e.g. "
+                "--packages org.apache.iceberg:iceberg-spark-runtime and "
+                "spark.sql.catalog.<name>=org.apache.iceberg.spark."
+                "SparkCatalog)"
+            ) from exc
+    return int(n)

@@ -159,3 +159,80 @@ def test_every_declared_rpc_exists():
         for m in methods:
             assert hasattr(FulltextServicer, m), m
             assert m in rpc._REQUEST_TYPES, m
+
+
+class _FakeAbort(Exception):
+    def __init__(self, status, detail):
+        super().__init__(detail)
+        self.status = status
+        self.detail = detail
+
+
+class _FakeContext:
+    """In-process stand-in for grpc.ServicerContext: abort raises, as the
+    real one does."""
+
+    def abort(self, status, detail):
+        raise _FakeAbort(status, detail)
+
+
+def _call(servicer, method, payload: dict | None) -> dict:
+    sv, _ = servicer
+    handler = rpc.make_wire_handler(sv, method)
+    body = b"" if payload is None else json.dumps(payload).encode()
+    return json.loads(handler(body, _FakeContext()))
+
+
+def test_wire_codec_roundtrip_all_methods(servicer):
+    """The bytes-level JSON codec (r3 verdict #8): every declared RPC
+    round-trips request bytes -> servicer -> response bytes through the
+    exact handler serve_grpc would bind, no grpcio needed."""
+    h = _call(servicer, "CheckHealth", None)
+    assert h["n_docs"] > 0 and h["uptime_secs"] >= 0
+
+    v = _call(servicer, "GetVersion", None)
+    assert json.loads(v["index_state"])["n_docs"] == h["n_docs"]
+
+    r = _call(servicer, "GetAddressByTerm",
+              {"term": "common_util", "size": 5})
+    assert len(r["items"]) == 5
+    direct = servicer[1].search_by_term("common_util", size=5).collect()
+    assert [d["doc_id"] for d in r["items"]] == [
+        x["doc_id"] for x in direct
+    ]
+
+    s = _call(servicer, "GetSuggests", {"term": "func", "size": 3})
+    assert len(s["items"]) == 3
+
+    key = direct[0]
+    g = _call(servicer, "GetByGuid", {"guid": str(key["doc_id"])})
+    assert g["repo"] == key["repo"] and g["path"] == key["path"]
+
+    ld = _call(servicer, "ListDocs", {"filter": {
+        "lang": {"values": ["py"]}}, "limit": 4})
+    assert 0 < len(ld["items"]) <= 4
+    assert all(d["lang"] == "py" for d in ld["items"])
+
+
+def test_wire_codec_error_statuses(servicer):
+    """NOT_FOUND / INVALID_ARGUMENT map to status strings the grpc
+    binding converts to grpc.StatusCode — and abort RAISES, matching the
+    real context contract."""
+    with pytest.raises(_FakeAbort) as e:
+        _call(servicer, "GetByGuid", {"guid": "999999999999"})
+    assert e.value.status == "NOT_FOUND"
+    with pytest.raises(_FakeAbort) as e:
+        _call(servicer, "ListDocs", {"limit": 5})  # filter required
+    assert e.value.status == "INVALID_ARGUMENT"
+    with pytest.raises(_FakeAbort) as e:
+        _call(servicer, "GetAddressByTerm", {"term": "x", "size": -1})
+    assert e.value.status == "INVALID_ARGUMENT"
+    # unknown fields and malformed JSON are rejected at the codec layer
+    # with the same status (typo'd filters must not match everything)
+    with pytest.raises(_FakeAbort) as e:
+        _call(servicer, "ListDocs", {"size": 5})
+    assert e.value.status == "INVALID_ARGUMENT"
+    handler = rpc.make_wire_handler(servicer[0], "ListDocs")
+    with pytest.raises(_FakeAbort) as e:
+        handler(b"not json", _FakeContext())
+    assert e.value.status == "INVALID_ARGUMENT"

@@ -129,3 +129,88 @@ def test_read_docs_table_catalog_wins_over_cwd_file(spark, tmp_path, monkeypatch
     monkeypatch.chdir(tmp_path)
     df = read_docs_table(spark, "plaindir_pq")
     assert df.count() == 10
+
+
+def test_iceberg_roundtrip_parquet_path(spark, tmp_path):
+    """build_index_from_table -> export_docs_table round-trip on the
+    parquet fallback (no Iceberg runtime in this container): the exported
+    docs table equals the live doc store, and a rebuild from the export
+    searches identically."""
+    from gofias_spark.config import IndexConfig
+    from gofias_spark.corpus import synth_corpus
+    from gofias_spark.query.engine import SearchEngine
+    from gofias_spark.sources.iceberg import (
+        build_index_from_table, export_docs_table,
+    )
+
+    src = str(tmp_path / "docs_src")
+    synth_corpus(spark, 40).write.parquet(src)
+    root = str(tmp_path / "idx")
+    build_index_from_table(
+        spark, src, root, IndexConfig(n_buckets=3, block_size=16)
+    )
+    out = str(tmp_path / "docs_export")
+    n = export_docs_table(spark, root, out)
+    assert n == 40
+    back = spark.read.parquet(out)
+    assert sorted(back.columns) == sorted(
+        ["repo", "path", "commit", "lang", "content"]
+    )
+    assert back.count() == 40
+    # identical corpus -> identical search results after a rebuild
+    root2 = str(tmp_path / "idx2")
+    build_index_from_table(
+        spark, out, root2, IndexConfig(n_buckets=3, block_size=16)
+    )
+    a = SearchEngine(spark, root, cache=False)
+    b = SearchEngine(spark, root2, cache=False)
+    ra = [(r["repo"], r["path"], round(r["score"], 9))
+          for r in a.search("common_util", k=10).collect()]
+    rb = [(r["repo"], r["path"], round(r["score"], 9))
+          for r in b.search("common_util", k=10).collect()]
+    assert ra == rb
+
+
+def test_iceberg_export_excludes_tombstones(spark, tmp_path):
+    from gofias_spark.config import IndexConfig
+    from gofias_spark.corpus import synth_corpus
+    from gofias_spark.index.build import build_segment
+    from gofias_spark.index.merge import apply_delta
+    from gofias_spark.sources.iceberg import export_docs_table
+
+    root = str(tmp_path / "idxt")
+    docs = synth_corpus(spark, 20)
+    build_segment(spark, docs, root, IndexConfig(n_buckets=3, block_size=16))
+    victim = docs.limit(1).collect()[0]
+    apply_delta(
+        spark, root,
+        deletes=spark.createDataFrame(
+            [(victim["repo"], victim["path"])], "repo string, path string"
+        ),
+    )
+    out = str(tmp_path / "docs_live")
+    n = export_docs_table(spark, root, out)
+    assert n == 19
+    back = spark.read.parquet(out)
+    assert back.filter(
+        (back["repo"] == victim["repo"]) & (back["path"] == victim["path"])
+    ).count() == 0
+
+
+def test_iceberg_export_catalog_error_actionable(spark, tmp_path):
+    """A catalog-table dest without an Iceberg runtime fails with install
+    guidance (same gate pattern as rpc.serve_grpc), not a raw JVM error."""
+    import pytest as _pytest
+
+    from gofias_spark.config import IndexConfig
+    from gofias_spark.corpus import synth_corpus
+    from gofias_spark.index.build import build_segment
+    from gofias_spark.sources.iceberg import export_docs_table
+
+    root = str(tmp_path / "idxe")
+    build_segment(
+        spark, synth_corpus(spark, 10), root,
+        IndexConfig(n_buckets=3, block_size=16),
+    )
+    with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        export_docs_table(spark, root, "nocat.nodb.docs_out")
