@@ -299,11 +299,45 @@ def _cc_small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _cc_local(spark, edge_rows) -> DataFrame:
+    """Driver-side union-find over a SMALL edge list — exact same output
+    contract as the distributed path (id -> min id of its component, ids
+    from the edge set only). Near-dup pair sets are usually tiny relative
+    to the corpus (the whole point of deduplication), so below the
+    threshold the O(log n) star rounds' 10+ Spark jobs cost more than the
+    entire problem; parity with the distributed path is pytest-gated
+    (test_connected_components.test_local_path_matches_distributed)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = find(int(r["u"])), find(int(r["v"]))
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    rows = []
+    for members in comp.values():
+        m = min(members)
+        rows.extend((n, m) for n in members)
+    return spark.createDataFrame(rows, "id long, cluster_id long")
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    local_max_edges: int | None = 100_000,
 ) -> DataFrame:
     """Resolve candidate near-dup PAIRS into transitive CLUSTERS:
     (id, cluster_id) where cluster_id = min doc id of the component.
@@ -324,7 +358,12 @@ def connected_components(
 
     Only ids that appear in ``pairs`` are returned; singleton docs are
     their own cluster by definition (left-join the output and coalesce to
-    own id, as dedup_clusters does)."""
+    own id, as dedup_clusters does).
+
+    ``local_max_edges``: edge sets at or below this size resolve with a
+    driver-side union-find (one job to collect the distinct edges) —
+    identical labeling, none of the per-round job overhead. ``None``/0
+    forces the distributed star rounds (tests, forced-scale runs)."""
     edges = (
         pairs.select(
             F.col(src).cast("long").alias("u"),
@@ -333,6 +372,12 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    if local_max_edges:
+        # limit(n+1) bounds the probe: never collects more than the
+        # threshold + 1 rows even on a billion-edge pair set
+        head = edges.limit(local_max_edges + 1).collect()
+        if len(head) <= local_max_edges:
+            return _cc_local(pairs.sparkSession, head)
     prev_sig = None
     for _ in range(max_iterations):
         edges = _cc_small_star(_cc_large_star(edges)).localCheckpoint(

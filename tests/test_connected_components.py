@@ -49,9 +49,11 @@ def _spark_labels(spark, edges):
     df = spark.createDataFrame(
         [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
     )
+    # local_max_edges=0 forces the distributed star rounds — these tests
+    # exist to check THAT path against the union-find reference
     return {
         r["id"]: r["cluster_id"]
-        for r in connected_components(df).collect()
+        for r in connected_components(df, local_max_edges=0).collect()
     }
 
 
@@ -127,3 +129,23 @@ def test_cc_end_to_end_with_jaccard_pairs(spark):
     }
     assert labels[1] == labels[2] == labels[3] == 1
     assert labels[4] == 4
+
+
+def test_local_path_matches_distributed(spark):
+    """The driver union-find fast path (edge sets <= local_max_edges)
+    must label identically to the distributed star rounds."""
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(300)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+    )
+    local = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df).collect()  # takes the fast path
+    }
+    dist = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df, local_max_edges=0).collect()
+    }
+    assert local == dist and local == _union_find_labels(edges)
