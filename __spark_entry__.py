@@ -287,6 +287,21 @@ def _q_ft_span_first(spark, sf):
     return _ft(_engine(spark, sf).search_span_first("table scan", 32, k=10))
 
 
+def _q_ft_span_near(spark, sf):
+    """ES/Lucene span_near in_order=FALSE (the unordered half): both
+    terms within a window of 2+3 tokens in EITHER order — the query
+    gives them in reverse corpus order, so ordered proximity alone
+    would under-match. One searchsorted per term over the merged
+    occurrence set inside the standing positional kernel; conjunctive
+    BM25 scoring (proximity filters, never scores).
+    engine.search_span_near."""
+    return _ft(
+        _engine(spark, sf).search_span_near(
+            "batch_450 query_300", slop=3, in_order=False, k=10
+        )
+    )
+
+
 def _q_ft_span_not(spark, sf):
     """ES/Lucene span_not: 'table scan' spans with no 'key' occurrence
     inside the +/-2-token widened window (pre=2, post=2). Per-SPAN
@@ -1662,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_top10": _q_ft_phrase,
         "ft_phrase_slop": _q_ft_phrase_slop,
         "ft_span_first": _q_ft_span_first,
+        "ft_span_near": _q_ft_span_near,
         "ft_span_not": _q_ft_span_not,
         "ft_span_within": _q_ft_span_within,
         "ft_phrase_prefix": _q_ft_phrase_prefix,
@@ -1794,6 +1810,7 @@ def _bm25_sql(
     boosts: dict[str, float] | None = None,
     span_first: int | None = None,
     demote: tuple[list[str], float] | None = None,
+    span_near: int | None = None,
 ) -> str:
     if fuzzy is not None:
         # term set = the distance-<=1 vocabulary neighborhood, OR-scored
@@ -1819,7 +1836,24 @@ def _bm25_sql(
         if lang
         else ""
     )
-    if phrase:
+    if span_near is not None:
+        # unordered span_near over TWO terms: exists positions i (term a)
+        # and j (term b) with |i - j| <= 1 + slop (the engine's window
+        # criterion (end - start) <= len(terms) - 1 + slop for 2 terms).
+        # Token positions via regexp_extract_all; out-of-range list
+        # indexing yields NULL, which the lambda predicate drops.
+        a, b = phrase
+        w = 1 + span_near
+        filt += (
+            " JOIN (SELECT doc_id, regexp_extract_all(lower(text),"
+            " '[a-z0-9_]+') AS st FROM documents) sp"
+            " ON tf.doc_id = sp.doc_id AND len(list_filter("
+            f"range(1, len(st)+1), i -> st[i] = '{a}'"
+            " AND len(list_filter("
+            f"range(CASE WHEN i > {w} THEN i - {w} ELSE 1 END,"
+            f" i + {w} + 1), j -> st[j] = '{b}')) > 0)) > 0"
+        )
+    elif phrase:
         # two-term proximity == one bounded gap, so the re2 regex equals
         # the kernel's total-window semantics (engine._phrase_pattern);
         # with `prefix` the final slot is open-ended (match_phrase_prefix:
@@ -2272,6 +2306,10 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "ft_span_first": _bm25_sql(
             ["table", "scan"], 10, phrase=["table", "scan"], span_first=32
+        ),
+        "ft_span_near": _bm25_sql(
+            ["batch_450", "query_300"], 10,
+            phrase=["batch_450", "query_300"], span_near=3,
         ),
         "ft_phrase_prefix": _bm25_sql(
             ["table"], 10, phrase=["table"], prefix="s"

@@ -123,6 +123,26 @@ class FulltextAPI:
             as_pandas=as_pandas, slop=slop, first_end=span_first,
         )
 
+    def search_span_near(
+        self,
+        query: str,
+        slop: int = 0,
+        in_order: bool = False,
+        size: int = 100,
+        from_: int = 0,
+        filters: dict | None = None,
+        as_pandas: bool = False,
+        span_first: int | None = None,
+    ):
+        """ES/Lucene span_near with single-term clauses: all terms within
+        a window of len(terms)+slop tokens, in any order unless
+        ``in_order``; ``span_first`` composes the first-N-positions gate.
+        See SearchEngine.search_span_near."""
+        return self.engine.search_span_near(
+            query, slop=slop, in_order=in_order, k=size, offset=from_,
+            filters=filters, as_pandas=as_pandas, first_end=span_first,
+        )
+
     def search_span_not(
         self,
         include: str,

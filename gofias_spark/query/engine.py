@@ -86,7 +86,8 @@ def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
                             first_end: int | None = None,
                             not_seq: list[str] | None = None,
                             not_pre: int = 0, not_post: int = 0,
-                            span_gate: str = "not"):
+                            span_gate: str = "not",
+                            unordered: bool = False):
     """applyInPandas kernel over one doc_part of the positional sidecar:
     decode the phrase terms' position blocks, find the doc_ids where the
     token sequence ``seq`` occurs consecutively. Runs on the sidecar's own
@@ -139,6 +140,11 @@ def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
         raise ValueError("not_seq requires slop=0 and no prefix_terms")
     if span_gate not in ("not", "containing", "within"):
         raise ValueError("span_gate must be not|containing|within")
+    if unordered and (prefix_terms is not None or not_seq is not None):
+        raise ValueError(
+            "unordered span_near combines with neither prefix_terms nor "
+            "not_seq"
+        )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         from gofias_spark.index.codec import (
@@ -273,7 +279,41 @@ def _phrase_position_kernel(seq: list[str], score_params: dict | None = None,
             owner, vals = owner[m], vals[m]
             return owner * big + vals
 
-        if slop:
+        if unordered:
+            # UNORDERED proximity (Lucene span_near in_order=false with
+            # single-term clauses): every unique query term occurs inside
+            # a window of len(uniq)+slop tokens, in ANY order (duplicate
+            # query terms collapse — one occurrence satisfies them, a
+            # documented divergence from Lucene's per-clause spans).
+            # Exact minimal-window test, vectorized: a valid window can
+            # always start at an occurrence of SOME term, and the minimal
+            # window starting at key x ends at max over terms of the
+            # smallest same-owner occurrence >= x — one searchsorted per
+            # term over the merged occurrence set, no per-candidate loop.
+            keysets = {t: term_keys(t, 0) for t in uniq}
+            allk = np.unique(np.concatenate(list(keysets.values())))
+            ok = np.ones(allk.size, dtype=bool)
+            endk = allk.copy()
+            for t in uniq:
+                arr = keysets[t]
+                if arr.size == 0:
+                    ok[:] = False
+                    break
+                i = np.searchsorted(arr, allk, side="left")
+                has = i < arr.size
+                nx = arr[np.minimum(i, arr.size - 1)]
+                has &= (nx // big) == (allk // big)
+                ok &= has
+                endk = np.maximum(endk, np.where(has, nx, endk))
+            fits = ok & (
+                (endk - allk) <= np.int64(len(uniq) - 1 + slop)
+            )
+            if first_end is not None:
+                # span end (exclusive) within the first ``first_end``
+                # positions — same contract as the ordered gates
+                fits &= (endk % big) + 1 <= np.int64(first_end)
+            keys = allk[fits]
+        elif slop:
             # ordered proximity (ES span_near in_order=true / match_phrase
             # slop analogue, restricted to in-order matches): positions
             # strictly increase term-to-term and the whole span fits a
@@ -1351,6 +1391,7 @@ class SearchEngine:
         not_pre: int = 0,
         not_post: int = 0,
         span_gate: str = "not",
+        unordered: bool = False,
     ):
         """Exact phrase top-k (ES ``match_phrase`` analogue — an extension
         beyond the reference, which only issues operator=and matches,
@@ -1427,6 +1468,7 @@ class SearchEngine:
                 first_end=first_end,
                 not_seq=not_seq, not_pre=not_pre, not_post=not_post,
                 span_gate=span_gate,
+                unordered=unordered,
             )(sub)
             r = res.sort_values(
                 ["score", "doc_id"], ascending=[False, True],
@@ -1473,6 +1515,7 @@ class SearchEngine:
                 first_end=first_end,
                 not_seq=not_seq, not_pre=not_pre, not_post=not_post,
                 span_gate=span_gate,
+                unordered=unordered,
             )(pdf)
             topk_pdf = res.sort_values(
                 ["score", "doc_id"], ascending=[False, True],
@@ -1482,7 +1525,7 @@ class SearchEngine:
         verified = self._phrase_frame(
             seq, filters, slop=slop, first_end=first_end,
             not_seq=not_seq, not_pre=not_pre, not_post=not_post,
-            span_gate=span_gate,
+            span_gate=span_gate, unordered=unordered,
         )
         if verified is None:
             return self._empty_result(with_meta, as_pdf=as_pandas)
@@ -1581,6 +1624,47 @@ class SearchEngine:
             include, k=k, offset=offset, filters=filters,
             with_meta=with_meta, as_pandas=as_pandas,
             not_seq=ex_seq, not_pre=pre, not_post=post,
+        )
+
+    def search_span_near(
+        self,
+        query: str,
+        slop: int = 0,
+        in_order: bool = False,
+        k: int = 10,
+        offset: int = 0,
+        filters: dict | None = None,
+        with_meta: bool = True,
+        as_pandas: bool = False,
+        first_end: int | None = None,
+    ):
+        """ES/Lucene ``span_near`` with single-term clauses: every query
+        term must occur inside a window of ``len(terms)+slop`` tokens.
+        ``in_order=True`` is exactly :meth:`search_phrase` with ``slop``
+        (ordered proximity); ``in_order=False`` — the half the engine
+        previously lacked — accepts the terms in ANY order. Duplicate
+        query terms collapse to one required occurrence (documented
+        divergence from Lucene's per-clause spans, consistent with the
+        engine's conjunctive candidate model). ``first_end`` composes the
+        span_first gate (the matching window must end within the first N
+        positions), as Lucene's span_first accepts any span clause.
+
+        Scoring follows the standing phrase contract: conjunctive BM25
+        sum over the terms — proximity filters, never scores — so
+        ordered and unordered matches of the same doc score identically.
+        Same three-tier routing and one-positions-scan cost as
+        :meth:`search_phrase`; the unordered window test is one
+        searchsorted per term over the merged occurrence set (no
+        per-candidate loop). Requires positions (like Lucene span
+        queries) — the content-regex fallback can't verify unordered
+        windows.
+        """
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
+        return self.search_phrase(
+            query, k=k, offset=offset, filters=filters,
+            with_meta=with_meta, as_pandas=as_pandas, slop=slop,
+            first_end=first_end, unordered=not in_order,
         )
 
     def search_span_containing(
@@ -1914,6 +1998,7 @@ class SearchEngine:
         not_seq: list[str] | None = None,
         not_pre: int = 0, not_post: int = 0,
         span_gate: str = "not",
+        unordered: bool = False,
     ) -> DataFrame | None:
         """Lazy (doc_id, score) frame of verified phrase matches, or None
         when a phrase term is absent from the vocabulary (short-circuit —
@@ -1961,6 +2046,7 @@ class SearchEngine:
                         slop=slop, first_end=first_end,
                         not_seq=not_seq, not_pre=not_pre,
                         not_post=not_post, span_gate=span_gate,
+                        unordered=unordered,
                     ),
                     schema=RESULT_SCHEMA,
                 )
@@ -1973,14 +2059,15 @@ class SearchEngine:
                 _phrase_position_kernel(
                     seq, slop=slop, first_end=first_end,
                     not_seq=not_seq, not_pre=not_pre, not_post=not_post,
-                    span_gate=span_gate,
+                    span_gate=span_gate, unordered=unordered,
                 ),
                 schema="doc_id long",
             )
             return scored.join(F.broadcast(matched), "doc_id")
-        if first_end is not None or not_seq is not None:
+        if first_end is not None or not_seq is not None or unordered:
             raise ValueError(
-                "span queries (span_first / span_not) require a positional "
+                "span queries (span_first / span_not / unordered "
+                "span_near) require a positional "
                 "index (build with IndexConfig(positions=True)) — like "
                 "Lucene span queries, they cannot run against a "
                 "positions-less index"

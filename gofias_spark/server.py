@@ -571,8 +571,25 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                                 "span_not combines with neither slop= "
                                 "nor span_first="
                             )
+                    in_order_raw = q.get("in_order", ["true"])[0].lower()
+                    if in_order_raw not in ("true", "false", "1", "0"):
+                        raise BadRequest("in_order must be true|false")
+                    in_order = in_order_raw in ("true", "1")
+                    if not in_order and sn is not None:
+                        raise BadRequest(
+                            "in_order=false combines not with span_not="
+                        )
                     try:
-                        if sn is not None:
+                        if not in_order:
+                            # Lucene span_near(in_order=false): any-order
+                            # proximity window
+                            pdf = api.search_span_near(
+                                _term(q), slop=slop, in_order=False,
+                                size=size, from_=from_,
+                                filters=_filters_from_query(q),
+                                as_pandas=True, span_first=span_first,
+                            )
+                        elif sn is not None:
                             pdf = api.search_span_not(
                                 _term(q), sn, size=size, from_=from_,
                                 pre=sn_pre, post=sn_post,

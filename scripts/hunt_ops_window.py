@@ -39,6 +39,11 @@ TARGETS = [
         "script": "measure_substring_scale.py",
         "out": os.path.join(REPO, "BENCH_SUBSTRING_SCALE.json"),
     },
+    {
+        "name": "phrase",
+        "script": "measure_phrase_scale.py",
+        "out": os.path.join(REPO, "BENCH_PHRASE_SCALE.json"),
+    },
 ]
 
 

@@ -101,6 +101,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--reps", type=int, default=7)
+    ap.add_argument("--attempts", type=int, default=1,
+                    help="accepted for hunter compatibility; one ABBA "
+                         "pass per invocation")
     ap.add_argument(
         "--out", default=os.path.join(REPO, "BENCH_PHRASE_SCALE.json")
     )
@@ -158,8 +161,12 @@ def main() -> None:
             "pass": ops["phrase"]["p50_to"] <= fb_p50,
         },
     }
+    ceil = min(ctl_before["mem"]["eff"], ctl_after["mem"]["eff"])
+    result["bracket_ceiling"] = round(ceil, 3)
+    result["bracket_valid"] = ceil >= 0.5
     result["pass"] = (
-        all(o["pass"] for o in ops.values())
+        result["bracket_valid"]
+        and all(o["pass"] for o in ops.values())
         and result["vs_content_verify_fallback"]["pass"]
     )
     with open(args.out, "w") as f:

@@ -638,3 +638,92 @@ def test_span_containing_little_longer_than_big(sr_engines):
     got = local.search_span_containing("beta gamma",
                                        "alpha beta gamma", k=20).collect()
     assert got == []  # a longer little can never be contained
+
+
+def _unordered_oracle(rows, phrase, slop):
+    """Brute force for span_near(in_order=false): doc matches iff some
+    assignment of positions to the UNIQUE terms (any order) spans
+    <= len(unique)-1+slop."""
+    import itertools
+    import re
+
+    out = set()
+    uniq = list(dict.fromkeys(phrase.split()))
+    for path, text in rows:
+        toks = re.findall(r"\w+", text.lower())
+        occ = [[i for i, t in enumerate(toks) if t == w] for w in uniq]
+        for combo in itertools.product(*occ):
+            if max(combo) - min(combo) <= len(uniq) - 1 + slop:
+                out.add(path)
+                break
+    return out
+
+
+UNORDERED = [
+    ("beta alpha", 0),     # adjacent, either order: d4 AND d0/d1-style
+    ("beta alpha", 1),
+    ("beta alpha", 2),
+    ("gamma alpha", 1),    # reversed corpus order only matches unordered
+    ("gamma alpha", 5),
+    ("alpha gamma beta", 2),   # 3 terms, any order (d14/d0)
+]
+
+
+@pytest.mark.parametrize("q,slop", UNORDERED, ids=str)
+def test_span_near_unordered_matches_bruteforce(engines, q, slop):
+    """search_span_near(in_order=False) agrees with the brute-force
+    any-order window oracle on every positional tier (local sidecar,
+    distributed one-pass, serve tier)."""
+    ep, epd, eps, es = engines
+    want = _unordered_oracle(DOCS, q, slop)
+    for eng in (ep, epd, eps):
+        got = {
+            r["path"]
+            for r in eng.search_span_near(q, slop=slop, k=50).collect()
+        }
+        assert got == want, (eng, q, slop)
+    # positionless index: explicit, actionable refusal (Lucene parity)
+    with pytest.raises(ValueError, match="positional"):
+        es.search_span_near(q, slop=slop, k=5).collect()
+
+
+def test_span_near_in_order_equals_sloppy_phrase(engines):
+    ep, *_ = engines
+    for q, slop in (("alpha beta", 2), ("alpha two beta", 1)):
+        assert _rows(ep.search_span_near(q, slop=slop, in_order=True,
+                                         k=50)) == \
+            _rows(ep.search_phrase(q, k=50, slop=slop))
+
+
+def test_span_near_scores_are_conjunctive_bm25(engines):
+    """Proximity filters, never scores: an unordered survivor scores
+    exactly as the plain AND match of the same terms."""
+    ep, *_ = engines
+    near = {r["path"]: round(r["score"], 9)
+            for r in ep.search_span_near("gamma alpha", slop=5, k=50)
+            .collect()}
+    assert near  # sanity: reversed order matches only via unordered
+    plain = {r["path"]: round(r["score"], 9)
+             for r in ep.search("gamma alpha", k=50, mode="and").collect()}
+    for path, score in near.items():
+        assert plain[path] == score
+
+
+def test_span_near_first_end_composes(engines):
+    """span_first over an unordered near span: the matching window must
+    END within the first N positions."""
+    ep, *_ = engines
+    # d4 "beta alpha": window [0,1], end 2 -> passes first_end=2
+    # d0 "alpha beta gamma": window [0,1] passes too
+    got = {r["path"] for r in ep.search_span_near(
+        "beta alpha", slop=0, k=50, first_end=2).collect()}
+    want = set()
+    import re
+    for path, text in DOCS:
+        toks = re.findall(r"\w+", text.lower())
+        pa = [i for i, t in enumerate(toks) if t == "beta"]
+        pb = [i for i, t in enumerate(toks) if t == "alpha"]
+        if any(abs(i - j) <= 1 and max(i, j) + 1 <= 2
+               for i in pa for j in pb):
+            want.add(path)
+    assert got == want

@@ -1272,3 +1272,41 @@ def test_bulk_two_list_form_upsert_wins(spark, tmp_path_factory):
     assert res["indexed"] == 1 and res["deleted"] == 1
     assert len(api.engine.search("twolist_doc", k=5).collect()) == 1
     api.close()
+
+
+def test_span_near_route(gateway):
+    """match=phrase&in_order=false = Lucene span_near unordered: terms
+    within the window in either order; the gateway mirrors the API
+    facade, and bad in_order values / span_not combos are 400s."""
+    api, base = gateway
+    q = urllib.parse.quote("batch_450 query_300")
+    status, res = _get(
+        base,
+        f"/api/v1/address/term?term={q}&match=phrase&slop=3"
+        "&in_order=false&size=10",
+    )
+    assert status == 200
+    direct = api.search_span_near(
+        "batch_450 query_300", slop=3, in_order=False, size=10
+    ).collect()
+    assert [i["doc_id"] for i in res["items"]] == [
+        r["doc_id"] for r in direct
+    ]
+    # unordered must be a superset of (or equal to) the ordered match set
+    status, res_ord = _get(
+        base,
+        f"/api/v1/address/term?term={q}&match=phrase&slop=3&size=10",
+    )
+    assert status == 200
+    assert {i["doc_id"] for i in res_ord["items"]} <= {
+        i["doc_id"] for i in res["items"]
+    } or len(res["items"]) == 10
+    assert _get_status(
+        base,
+        f"/api/v1/address/term?term={q}&match=phrase&in_order=maybe",
+    ) == 400
+    assert _get_status(
+        base,
+        f"/api/v1/address/term?term={q}&match=phrase&in_order=false"
+        "&span_not=key",
+    ) == 400
