@@ -841,6 +841,25 @@ def _q_curate_redact_pii(spark, sf):
     return redact_pii(aug)
 
 
+def _q_curate_perplexity(spark, sf):
+    """Bigram-LM perplexity scoring (CCNet/KenLM-shape quality signal,
+    operators/lm.py): train add-alpha bigram counts on the even-doc_id
+    half of the corpus, score every doc as exp(mean -ln p(w2|w1)), top-10
+    most reference-like (ppl asc). TRAIN = two map-side-combinable
+    groupBys; SCORE = one broadcast-join map stage + one combinable
+    groupBy(doc) - the corpus text never shuffles."""
+    from gofias_spark.operators.lm import perplexity_score, train_bigram_lm
+
+    docs = _documents(spark, sf).withColumnRenamed("text", "content")
+    bigrams, contexts, v = train_bigram_lm(docs.filter("doc_id % 2 = 0"))
+    return (
+        perplexity_score(docs, bigrams, contexts, v, alpha=0.1)
+        .select("doc_id", F.round("ppl", 4).alias("ppl"))
+        .orderBy(F.asc("ppl"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def _q_curate_decontaminate(spark, sf):
     """GPT-3/Pile-style benchmark decontamination (operators/dedup.py
     decontaminate): flag training docs sharing ANY 13-token gram with a
@@ -1720,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus curation
         "dedup_exact_groups": _q_dedup_exact,
         "curate_boilerplate": _q_curate_boilerplate,
+        "curate_perplexity": _q_curate_perplexity,
         "curate_decontaminate": _q_curate_decontaminate,
         "curate_redact_pii": _q_curate_redact_pii,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -2756,6 +2776,25 @@ SELECT doc_id,
        len(regexp_extract_all(content, '\+\d[\d\-()]{7,}\d'))::BIGINT
          AS n_phone
 FROM aug
+""",
+        "curate_perplexity": r"""
+WITH tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+            FROM documents),
+bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       FROM tl, UNNEST(range(1, len(t))) AS u(i)),
+train AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
+big AS (SELECT w1, w2, count(*)::DOUBLE AS c12 FROM train GROUP BY w1, w2),
+uni AS (SELECT w1, count(*)::DOUBLE AS c1 FROM train GROUP BY w1),
+v AS (SELECT count(DISTINCT t2.term)::DOUBLE AS vs FROM
+      (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+       FROM documents WHERE doc_id % 2 = 0) t2),
+scored AS (SELECT bg.doc_id,
+                  avg(-ln((coalesce(c12, 0) + 0.1)
+                          / (coalesce(c1, 0) + 0.1 * v.vs))) AS nll
+           FROM bg LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1)
+           CROSS JOIN v GROUP BY bg.doc_id)
+SELECT doc_id, round(exp(nll), 4) AS ppl FROM scored
+ORDER BY ppl ASC, doc_id ASC LIMIT 10
 """,
         "curate_decontaminate": r"""
 WITH src AS (
