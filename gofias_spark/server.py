@@ -1314,6 +1314,39 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                         for _, r in pdf.iterrows()
                     }}
                 )
+            elif url.path == "/api/v1/analyze":
+                # ES _analyze analogue: run a text through the index's
+                # analyzer chain (or an explicit mode) and return the
+                # token stream with positions — THE debugging surface
+                # for "why didn't this match" questions. Driver-only:
+                # no engine state is touched, no Spark job.
+                text = q.get("text", [""])[0]
+                if not text:
+                    raise BadRequest("text= is required")
+                if len(text) > 8 * MAX_TERM_LEN:
+                    raise BadRequest(
+                        f"text longer than {8 * MAX_TERM_LEN} chars"
+                    )
+                mode = q.get("mode", [None])[0]
+                cfg = api.engine.analyzer
+                if mode is not None:
+                    from gofias_spark.config import AnalyzerConfig
+                    if mode not in ("standard", "edge_ngram", "ngram"):
+                        raise BadRequest(
+                            "mode must be standard|edge_ngram|ngram"
+                        )
+                    cfg = AnalyzerConfig(
+                        mode=mode, token_pattern=cfg.token_pattern
+                    )
+                from gofias_spark.analyzer import tokenize_text
+                toks = tokenize_text(text, cfg)
+                self._json({
+                    "analyzer": cfg.mode,
+                    "tokens": [
+                        {"token": t, "position": i}
+                        for i, t in enumerate(toks)
+                    ],
+                })
             elif url.path == "/metrics":
                 with lock:
                     snap = dict(metrics, by_path=dict(metrics["by_path"]),

@@ -1310,3 +1310,24 @@ def test_span_near_route(gateway):
         f"/api/v1/address/term?term={q}&match=phrase&in_order=false"
         "&span_not=key",
     ) == 400
+
+
+def test_analyze_route(gateway):
+    """GET /api/v1/analyze (ES _analyze analogue): token stream +
+    positions under the index analyzer or an explicit mode."""
+    api, base = gateway
+    status, res = _get(
+        base, "/api/v1/analyze?text=" + urllib.parse.quote("Foo_bar BAZ!")
+    )
+    assert status == 200 and res["analyzer"] == "standard"
+    assert [t["token"] for t in res["tokens"]] == ["foo_bar", "baz"]
+    assert [t["position"] for t in res["tokens"]] == [0, 1]
+    status, res2 = _get(
+        base, "/api/v1/analyze?text=scan&mode=edge_ngram"
+    )
+    assert status == 200
+    assert "sc" in [t["token"] for t in res2["tokens"]]
+    assert _get_status(base, "/api/v1/analyze") == 400          # no text
+    assert _get_status(
+        base, "/api/v1/analyze?text=x&mode=bogus"
+    ) == 400
