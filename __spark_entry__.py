@@ -435,6 +435,29 @@ def _q_ft_suggest_phrase(spark, sf):
     return spark.createDataFrame(pdf, schema="suggestion string, score double")
 
 
+def _q_ft_sampler(spark, sf):
+    """ES sampler + terms sub-agg: lang facet counts over ONLY the top-25
+    best-scoring matches of an AND query (score-bounded sample, so the
+    aggregation reads relevance, not the weak-match tail). The sample is
+    the engine's standard budgeted top-N; the facet is driver-side over
+    <= shard_size rows."""
+    pdf = _engine(spark, sf).sampler_facets(
+        "lang", "data query", shard_size=25, k=10
+    )
+    return spark.createDataFrame(pdf, schema="lang string, cnt long")
+
+
+def _q_ft_sampler_div(spark, sf):
+    """ES diversified_sampler: same top-25 sample but at most 2 docs per
+    repo (source) make it, taken in score order - one dominant source
+    cannot monopolize the sample."""
+    pdf = _engine(spark, sf).sampler_facets(
+        "lang", "data query", shard_size=25, k=10,
+        diversify_field="repo", max_docs_per_value=2,
+    )
+    return spark.createDataFrame(pdf, schema="lang string, cnt long")
+
+
 def _q_ft_adjacency_matrix(spark, sf):
     """ES adjacency_matrix aggregation: doc counts for each named
     AND-query and each pairwise intersection (key 'a&b'). Intersections
@@ -1705,6 +1728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_wildcard_top10": _q_ft_wildcard,
         "ft_count": _q_ft_count,
         "ft_count_many": _q_ft_count_many,
+        "ft_sampler": _q_ft_sampler,
+        "ft_sampler_div": _q_ft_sampler_div,
         "ft_adjacency_matrix": _q_ft_adjacency_matrix,
         "ft_facets_lang": _q_ft_facets_lang,
         "ft_rare_terms": _q_ft_rare_terms,
@@ -2390,6 +2415,59 @@ WITH tok AS ({TOK}),
 m AS (SELECT doc_id, count(DISTINCT term) AS nt FROM tok
       WHERE term IN ('window', 'group') GROUP BY doc_id)
 SELECT count(*)::BIGINT AS cnt FROM m WHERE nt = 2
+""",
+        "ft_sampler": f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('data', 'query') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score,
+         count(*) AS matched
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s GROUP BY tf.doc_id),
+top AS (SELECT doc_id FROM scored WHERE matched = 2
+        ORDER BY score DESC, doc_id ASC LIMIT 25)
+SELECT d.lang AS lang, count(*)::BIGINT AS cnt
+FROM top JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY cnt DESC, lang ASC LIMIT 10
+""",
+        "ft_sampler_div": f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('data', 'query') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score,
+         count(*) AS matched
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s GROUP BY tf.doc_id),
+top AS (SELECT doc_id, score FROM scored WHERE matched = 2
+        ORDER BY score DESC, doc_id ASC LIMIT 25),
+div AS (SELECT t.doc_id FROM (
+          SELECT t.doc_id,
+                 row_number() OVER (PARTITION BY d.source
+                                    ORDER BY t.score DESC, t.doc_id ASC)
+                 AS rn
+          FROM top t JOIN documents d USING (doc_id)) t
+        WHERE t.rn <= 2)
+SELECT d.lang AS lang, count(*)::BIGINT AS cnt
+FROM div JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY cnt DESC, lang ASC LIMIT 10
 """,
         "ft_adjacency_matrix": f"""
 WITH tok AS ({TOK})

@@ -468,6 +468,28 @@ class FulltextAPI:
             field, ps, term, mode=mode, filters=filters
         )
 
+    def sampler_facets(
+        self,
+        field: str,
+        term: str,
+        shard_size: int = 100,
+        k: int = 10,
+        diversify_field: str | None = None,
+        max_docs_per_value: int = 1,
+        mode: str = "and",
+        filters: dict | None = None,
+    ):
+        """ES sampler / diversified_sampler + terms sub-agg: facet counts
+        over only the top-``shard_size`` scoring matches, optionally
+        capped per diversify_field value. See
+        SearchEngine.sampler_facets."""
+        return self.engine.sampler_facets(
+            field, term, shard_size=shard_size, k=k,
+            diversify_field=diversify_field,
+            max_docs_per_value=max_docs_per_value,
+            mode=mode, filters=filters,
+        )
+
     def rare_terms(
         self,
         field: str,

@@ -3822,6 +3822,89 @@ class SearchEngine:
             .reset_index(drop=True)
         )
 
+    def sampler_facets(
+        self,
+        field: str,
+        query: str,
+        *,
+        shard_size: int = 100,
+        k: int = 10,
+        diversify_field: str | None = None,
+        max_docs_per_value: int = 1,
+        mode: str = "and",
+        filters: dict | None = None,
+    ) -> pd.DataFrame:
+        """ES ``sampler`` / ``diversified_sampler`` + terms
+        sub-aggregation: facet counts of ``field`` over ONLY the
+        ``shard_size`` best-scoring matches — the standard trick for
+        focusing an aggregation on relevant docs instead of the long
+        tail of weak matches. With ``diversify_field``, at most
+        ``max_docs_per_value`` docs per distinct value of that field
+        make the sample (taken in score order), so one dominant
+        source/repo can't monopolize it; docs with a null diversify
+        value are skipped (ES missing semantics). Returns
+        ``[field, 'cnt']``, cnt desc then value asc, top-``k``.
+
+        Scale shape: the sample is score-bounded (``shard_size`` capped
+        at 10k), so the plan is the engine's standard budgeted top-N
+        (serve/local/distributed tiers apply unchanged) plus ONE pruned
+        meta lookup of sample_size ids — the aggregation itself is
+        driver-side over <= shard_size rows, never corpus-shaped."""
+        for f in (field, diversify_field):
+            if f is not None and (
+                f in ("doc_id", "doc_part")
+                or f not in self.doc_meta.columns
+            ):
+                raise ValueError(f"unknown field {f!r}")
+        if not 1 <= shard_size <= 10_000:
+            raise ValueError("shard_size must be in [1, 10000]")
+        if k < 1 or max_docs_per_value < 1:
+            raise ValueError("k and max_docs_per_value must be >= 1")
+        empty = pd.DataFrame(
+            {field: pd.Series(dtype=object),
+             "cnt": pd.Series(dtype="int64")}
+        )
+        top = self.search(
+            query, k=shard_size, mode=mode, filters=filters,
+            with_meta=False, as_pandas=True,
+        )
+        if not len(top):
+            return empty
+        ids = [int(x) for x in top["doc_id"]]
+        need = ["doc_id", field]
+        if diversify_field and diversify_field != field:
+            need.append(diversify_field)
+        if self._local_meta is not None:
+            sub = self._local_meta.loc[
+                self._local_meta["doc_id"].isin(ids), need
+            ].reset_index(drop=True)
+        else:
+            sub = (
+                self._meta_slim.filter(F.col("doc_id").isin(ids))
+                .select(*need)
+                .toPandas()
+            )
+        pdf = top.merge(sub, on="doc_id", how="left").sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        if diversify_field:
+            pdf = pdf[pdf[diversify_field].notna()]
+            pdf = pdf.groupby(diversify_field, sort=False).head(
+                max_docs_per_value
+            )
+        pdf = pdf[pdf[field].notna()]
+        if not len(pdf):
+            return empty
+        g = pdf.groupby(field, sort=False).size().reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype("int64")
+        return (
+            g.sort_values([
+                "cnt", field
+            ], ascending=[False, True], kind="mergesort")
+            .head(k)
+            .reset_index(drop=True)
+        )
+
     def multi_terms(
         self,
         fields: list[str],

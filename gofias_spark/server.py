@@ -974,6 +974,36 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                     raise BadRequest(str(exc)) from exc
                 self._json({"values": {str(p): v
                                        for p, v in vals.items()}})
+            elif url.path == "/api/v1/sampler":
+                # ES sampler/diversified_sampler + terms sub-agg: facet
+                # counts over only the top-shard_size scoring matches
+                field = q.get("field", [""])[0]
+                if not field:
+                    raise BadRequest("field= is required")
+                term = _term(q)
+                if not term:
+                    raise BadRequest("term= is required")
+                try:
+                    shard = int(q.get("shard_size", ["100"])[0])
+                    size = int(q.get("size", ["10"])[0])
+                    mpv = int(q.get("max_docs_per_value", ["1"])[0])
+                except ValueError:
+                    raise BadRequest(
+                        "shard_size/size/max_docs_per_value must be "
+                        "integers"
+                    ) from None
+                if not 1 <= size <= 1000:
+                    raise BadRequest("size must be in [1, 1000]")
+                div = q.get("diversify", [None])[0]
+                try:
+                    pdf = api.sampler_facets(
+                        field, term, shard_size=shard, k=size,
+                        diversify_field=div, max_docs_per_value=mpv,
+                        filters=_filters_from_query(q),
+                    )
+                except ValueError as exc:
+                    raise BadRequest(str(exc)) from exc
+                self._json({"buckets": _items(pdf)})
             elif url.path == "/api/v1/rare_terms":
                 field = q.get("field", [""])[0]
                 if not field:

@@ -270,3 +270,55 @@ def test_facets_respects_tombstones(spark, corpus):
         got = eng.facets("lang", Q, k=5)
         pd.testing.assert_frame_equal(got, exp), label
         assert victim_lang not in got["lang"].tolist()
+
+
+def test_sampler_facets_restricts_to_top_scores(spark, tmp_path_factory):
+    """sampler_facets counts only the top-shard_size scoring matches
+    (brute-force check against search order) and the diversified variant
+    caps docs per value in score order."""
+    from gofias_spark.config import IndexConfig
+    from gofias_spark.corpus import synth_corpus
+    from gofias_spark.index.build import build_segment
+    from gofias_spark.query.engine import SearchEngine
+
+    root = str(tmp_path_factory.mktemp("sampleridx"))
+    build_segment(spark, synth_corpus(spark, 120), root,
+                  IndexConfig(n_buckets=3, block_size=16))
+    eng = SearchEngine(spark, root)
+    eng.warm()
+    try:
+        shard = 15
+        top = eng.search("common_util", k=shard, with_meta=True).collect()
+        assert len(top) == shard
+        want: dict = {}
+        for r in top:
+            want[r["lang"]] = want.get(r["lang"], 0) + 1
+        got = eng.sampler_facets("lang", "common_util", shard_size=shard,
+                                 k=100)
+        assert {r["lang"]: int(r["cnt"])
+                for _, r in got.iterrows()} == want
+        # order contract: cnt desc, value asc
+        pairs = [(int(r["cnt"]), r["lang"]) for _, r in got.iterrows()]
+        assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+        # diversified: max 1 per repo, in score order
+        seen = set()
+        want_div: dict = {}
+        for r in top:
+            if r["repo"] in seen:
+                continue
+            seen.add(r["repo"])
+            want_div[r["lang"]] = want_div.get(r["lang"], 0) + 1
+        got_div = eng.sampler_facets(
+            "lang", "common_util", shard_size=shard, k=100,
+            diversify_field="repo", max_docs_per_value=1,
+        )
+        assert {r["lang"]: int(r["cnt"])
+                for _, r in got_div.iterrows()} == want_div
+        # validation
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            eng.sampler_facets("doc_id", "x")
+        with _pytest.raises(ValueError):
+            eng.sampler_facets("lang", "x", shard_size=0)
+    finally:
+        eng.close()

@@ -1331,3 +1331,38 @@ def test_analyze_route(gateway):
     assert _get_status(
         base, "/api/v1/analyze?text=x&mode=bogus"
     ) == 400
+
+
+def test_sampler_route(gateway):
+    """GET /api/v1/sampler (ES sampler/diversified_sampler + terms):
+    facet counts over only the top-shard_size scoring matches; diversify
+    caps docs per value; param validation is a 400."""
+    api, base = gateway
+    status, res = _get(
+        base,
+        "/api/v1/sampler?term=common_util&field=lang&shard_size=20&size=5",
+    )
+    assert status == 200
+    direct = api.sampler_facets("lang", "common_util", shard_size=20, k=5)
+    assert [(b["lang"], b["cnt"]) for b in res["buckets"]] == [
+        (r["lang"], int(r["cnt"])) for _, r in direct.iterrows()
+    ]
+    assert sum(b["cnt"] for b in res["buckets"]) <= 20
+    status, res_div = _get(
+        base,
+        "/api/v1/sampler?term=common_util&field=lang&shard_size=20"
+        "&size=5&diversify=repo&max_docs_per_value=1",
+    )
+    assert status == 200
+    # <=1 doc per repo: sample can only shrink
+    assert sum(b["cnt"] for b in res_div["buckets"]) <= sum(
+        b["cnt"] for b in res["buckets"]
+    )
+    for bad in (
+        "/api/v1/sampler?field=lang",                      # no term
+        "/api/v1/sampler?term=x",                          # no field
+        "/api/v1/sampler?term=x&field=bogus",              # unknown field
+        "/api/v1/sampler?term=x&field=lang&shard_size=0",  # bad size
+        "/api/v1/sampler?term=x&field=lang&diversify=bogus",
+    ):
+        assert _get_status(base, bad) == 400, bad
