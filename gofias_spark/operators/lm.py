@@ -55,16 +55,26 @@ def train_bigram_lm(
     ref_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "content",
+    min_count: int = 1,
 ) -> tuple[DataFrame, DataFrame, int]:
     """Fit the reference LM: returns ``(bigrams, contexts, vocab_size)``
     where ``bigrams`` is (w1, w2, c12), ``contexts`` is (w1, c1) with
     c1 = Σ_w2 c12 (bigram-context counts, so the conditional
     distribution sums to 1 under add-alpha smoothing), and
-    ``vocab_size`` = distinct tokens in the reference stream."""
+    ``vocab_size`` = distinct tokens in the reference stream.
+
+    ``min_count`` prunes bigrams observed fewer times (KenLM-style
+    singleton pruning): on a web-scale reference corpus the bigram table
+    is dominated by hapax pairs that add memory, not signal — pruned
+    pairs simply fall back to the smoothing floor at score time.
+    Context counts stay UNPRUNED (they are the denominators; pruning
+    them would inflate probabilities of surviving pairs)."""
     bg = _bigrams(ref_docs, id_col, text_col)
     bigrams = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("double").alias("c12")
     )
+    if min_count > 1:
+        bigrams = bigrams.filter(F.col("c12") >= float(min_count))
     contexts = bg.groupBy("w1").agg(
         F.count(F.lit(1)).cast("double").alias("c1")
     )
@@ -86,18 +96,29 @@ def perplexity_score(
     alpha: float = 0.1,
     id_col: str = "doc_id",
     text_col: str = "content",
+    broadcast_model: bool | None = None,
 ) -> DataFrame:
     """Per-doc bigram perplexity under the trained LM:
     ``(id_col, ppl, n_bigrams)``, one row per doc with >= 2 tokens.
 
     p(w2|w1) = (c12 + alpha) / (c1 + alpha * V); unseen contexts and
     pairs coalesce to 0, so the formula degrades to the uniform-ish
-    alpha/(alpha*V) floor instead of -inf. The model sides broadcast
-    (vocabulary-sized); the corpus side is one map stage + one
-    combinable groupBy(id)."""
+    alpha/(alpha*V) floor instead of -inf.
+
+    ``broadcast_model`` None (default) auto-sizes: the model sides get
+    an explicit broadcast hint when the bigram table counts <= 5M rows
+    (one cheap count on the already-aggregated model; the normal case —
+    a curated reference corpus, optionally min_count-pruned). A larger
+    model drops the hint so Catalyst plans a shuffle join instead of
+    OOMing the driver — the corpus side then shuffles by (w1, w2),
+    which is the correct plan at that scale. True/False force it."""
     if alpha <= 0:
         raise ValueError("alpha must be > 0")
+    if broadcast_model is None:
+        broadcast_model = bigrams.count() <= 5_000_000
     bg = _bigrams(docs, id_col, text_col)
+    b_side = F.broadcast(bigrams) if broadcast_model else bigrams
+    c_side = F.broadcast(contexts) if broadcast_model else contexts
     p = (
         F.coalesce(F.col("c12"), F.lit(0.0)) + F.lit(float(alpha))
     ) / (
@@ -105,8 +126,8 @@ def perplexity_score(
         + F.lit(float(alpha) * vocab_size)
     )
     return (
-        bg.join(F.broadcast(bigrams), ["w1", "w2"], "left")
-        .join(F.broadcast(contexts), ["w1"], "left")
+        bg.join(b_side, ["w1", "w2"], "left")
+        .join(c_side, ["w1"], "left")
         .withColumn("_nll", -F.log(p))
         .groupBy("id")
         .agg(

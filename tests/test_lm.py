@@ -112,3 +112,33 @@ def test_filter_gate(spark):
     bg, ctx, v = train_bigram_lm(train)
     with pytest.raises(ValueError):
         perplexity_score(docs, bg, ctx, v, alpha=0.0)
+
+
+def test_min_count_pruning_floors_pruned_pairs(spark):
+    """Pruned bigrams score at the smoothing floor; contexts stay
+    unpruned so surviving pairs keep their true denominators."""
+    # bigrams: (a,b),(b,a),(a,b),(b,a),(a,c) -> (a,b)x2 (b,a)x2 (a,c)x1
+    train = _docs(spark, [(0, "a b a b a c")])
+    bg, ctx, v = train_bigram_lm(train, min_count=2)
+    assert {(r["w1"], r["w2"]) for r in bg.collect()} == {
+        ("a", "b"), ("b", "a")
+    }
+    ctx_map = {r["w1"]: r["c1"] for r in ctx.collect()}
+    assert ctx_map == {"a": 3.0, "b": 2.0}  # unpruned denominators
+    got = {r["doc_id"]: r["ppl"] for r in perplexity_score(
+        _docs(spark, [(1, "a c")]), bg, ctx, v).collect()}
+    # (a,c) pruned -> floor: (0+0.1)/(3+0.1*3)
+    assert got[1] == pytest.approx((3 + 0.3) / 0.1, rel=1e-12)
+
+
+def test_large_model_skips_broadcast_hint(spark):
+    train = _docs(spark, [(0, "a b c d")])
+    bg, ctx, v = train_bigram_lm(train)
+    out = perplexity_score(train, bg, ctx, v, broadcast_model=False)
+    plan = C.physical_plan(out)
+    assert "BroadcastHashJoin" not in plan or "SortMergeJoin" in plan
+    # results identical either way
+    a = {r["doc_id"]: round(r["ppl"], 9) for r in out.collect()}
+    b = {r["doc_id"]: round(r["ppl"], 9) for r in perplexity_score(
+        train, bg, ctx, v, broadcast_model=True).collect()}
+    assert a == b
