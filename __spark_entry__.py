@@ -435,6 +435,20 @@ def _q_ft_suggest_phrase(spark, sf):
     return spark.createDataFrame(pdf, schema="suggestion string, score double")
 
 
+def _q_ft_synonyms(spark, sf):
+    """Query-time synonym expansion (ES search-time synonym filter):
+    'fast scan' with fast->{hash} compiles to +(fast hash) +(scan) on
+    the query_string composition path - every group must match via some
+    variant, each matched variant scores its own BM25 with its own idf
+    (the engine's standing expansion-scoring contract).
+    engine.search_synonyms."""
+    return _ft(
+        _engine(spark, sf).search_synonyms(
+            "fast scan", {"fast": ["hash"]}, k=10
+        )
+    )
+
+
 def _q_ft_sampler(spark, sf):
     """ES sampler + terms sub-agg: lang facet counts over ONLY the top-25
     best-scoring matches of an AND query (score-bounded sample, so the
@@ -1728,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_wildcard_top10": _q_ft_wildcard,
         "ft_count": _q_ft_count,
         "ft_count_many": _q_ft_count_many,
+        "ft_synonyms": _q_ft_synonyms,
         "ft_sampler": _q_ft_sampler,
         "ft_sampler_div": _q_ft_sampler_div,
         "ft_adjacency_matrix": _q_ft_adjacency_matrix,
@@ -2415,6 +2430,30 @@ WITH tok AS ({TOK}),
 m AS (SELECT doc_id, count(DISTINCT term) AS nt FROM tok
       WHERE term IN ('window', 'group') GROUP BY doc_id)
 SELECT count(*)::BIGINT AS cnt FROM m WHERE nt = 2
+""",
+        "ft_synonyms": f"""
+WITH tok AS ({TOK}),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('fast', 'hash', 'scan') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * {K1 + 1.0}
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score,
+         max(CASE WHEN tf.term IN ('fast', 'hash') THEN 1 ELSE 0 END)
+             AS has_g1,
+         max(CASE WHEN tf.term = 'scan' THEN 1 ELSE 0 END) AS has_g2
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM scored
+WHERE has_g1 = 1 AND has_g2 = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "ft_sampler": f"""
 WITH tok AS ({TOK}),

@@ -468,6 +468,24 @@ class FulltextAPI:
             field, ps, term, mode=mode, filters=filters
         )
 
+    def search_synonyms(
+        self,
+        term: str,
+        synonyms: dict[str, list[str]],
+        size: int = 100,
+        from_: int = 0,
+        mode: str = "and",
+        filters: dict | None = None,
+        as_pandas: bool = False,
+    ):
+        """Query-time synonym expansion (ES search-time synonym filter):
+        each query token widens to an OR-group of itself + its synonyms.
+        See SearchEngine.search_synonyms."""
+        return self.engine.search_synonyms(
+            term, synonyms, k=size, offset=from_, mode=mode,
+            filters=filters, as_pandas=as_pandas,
+        )
+
     def sampler_facets(
         self,
         field: str,

@@ -2589,6 +2589,68 @@ class SearchEngine:
             with_meta=with_meta, as_pandas=as_pandas,
         )
 
+    def search_synonyms(
+        self,
+        query: str,
+        synonyms: dict[str, list[str]],
+        k: int = 10,
+        offset: int = 0,
+        mode: str = "and",
+        filters: dict | None = None,
+        with_meta: bool = True,
+        as_pandas: bool = False,
+    ):
+        """Query-time synonym expansion (ES search-time ``synonym`` /
+        ``synonym_graph`` filter analogue): each analyzed query token
+        expands to an OR-group of itself plus its single-token synonyms,
+        and the groups combine under ``mode`` (``and`` = every group
+        must match via at least one variant — the reference's
+        operator=and semantics, synonym-widened).
+
+        Scoring: every matched variant contributes its own BM25 with its
+        own idf — the engine's standing expansion-scoring contract
+        (wildcard/fuzzy), a deliberate divergence from ES's blended
+        ``SynonymQuery`` frequencies (which depend on index-time
+        statistics unavailable at query time and are not rank-stable
+        across segment layouts).
+
+        Compiles onto the query_string composition path (``+(fast hash)
+        +(scan)``), so tier routing, group scoring, filters, and paging
+        apply unchanged; index-time synonym folding stays available
+        separately via functions/text.py X3. Synonym entries are
+        analyzed with the query analyzer; multi-token synonyms raise
+        (graph-phrase expansion is match_phrase territory)."""
+        if mode not in ("or", "and"):
+            raise ValueError("mode must be 'or' or 'and'")
+        from gofias_spark.query.querystring import execute_query_string
+
+        toks = analyze_query(query, self.analyzer)
+        if not toks:
+            return self._empty_result(with_meta, as_pdf=as_pandas)
+        groups: list[list[str]] = []
+        for t in toks:
+            variants = [t]
+            for syn in synonyms.get(t, []):
+                st = analyze_query(syn, self.analyzer)
+                if len(st) != 1:
+                    raise ValueError(
+                        f"synonym {syn!r} for {t!r} analyzes to "
+                        f"{len(st)} tokens; only single-token synonyms "
+                        "are supported"
+                    )
+                if st[0] not in variants:
+                    variants.append(st[0])
+            groups.append(variants)
+        parts = []
+        for vs in groups:
+            body = "(" + " ".join(vs) + ")" if len(vs) > 1 else vs[0]
+            parts.append(("+" if mode == "and" else "") + body)
+        return execute_query_string(
+            self, " ".join(parts), k=k, offset=offset,
+            default_operator="or", filters=filters, with_meta=with_meta,
+            as_pandas=as_pandas,
+        )
+
     def search_fuzzy(
         self,
         term: str,

@@ -682,6 +682,40 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                         )
                     except ValueError as exc:  # bad/unportable regex
                         raise BadRequest(str(exc)) from exc
+                elif match in ("and", "or") and "synonyms" in q:
+                    # query-time synonym expansion: repeated
+                    # synonyms=token:alt1|alt2 params widen each token
+                    # to an OR-group
+                    if sort_by or after is not None or exclude is not None \
+                            or "negative" in q or "boost" in q \
+                            or "minimum_should_match" in q:
+                        raise BadRequest(
+                            "synonyms= combines with none of sort=/"
+                            "search_after=/exclude=/negative=/boost=/"
+                            "minimum_should_match="
+                        )
+                    syn: dict[str, list[str]] = {}
+                    for raw in q["synonyms"]:
+                        tok_, sep, alts = raw.partition(":")
+                        if not sep or not tok_ or not alts:
+                            raise BadRequest(
+                                "synonyms must be token:alt1|alt2, got "
+                                f"{raw!r}"
+                            )
+                        if tok_ in syn:
+                            raise BadRequest(
+                                f"duplicate synonyms entry for {tok_!r}"
+                            )
+                        syn[tok_] = [a for a in alts.split("|") if a]
+                    try:
+                        pdf = api.search_synonyms(
+                            _term(q), syn, size=size, from_=from_,
+                            mode=match,
+                            filters=_filters_from_query(q),
+                            as_pandas=True,
+                        )
+                    except ValueError as exc:
+                        raise BadRequest(str(exc)) from exc
                 elif match in ("and", "or") and "negative" in q:
                     # ES boosting query: negative=<query> demotes (not
                     # excludes) by negative_boost in (0, 1]

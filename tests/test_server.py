@@ -1366,3 +1366,40 @@ def test_sampler_route(gateway):
         "/api/v1/sampler?term=x&field=lang&diversify=bogus",
     ):
         assert _get_status(base, bad) == 400, bad
+
+
+def test_synonyms_route(gateway):
+    """match=and|or with synonyms=token:alt1|alt2 widens each token to
+    an OR-group (ES search-time synonym filter); conflicts are 400s."""
+    api, base = gateway
+    q = urllib.parse.quote("func common_util")
+    syn = urllib.parse.quote("func:def")
+    status, res = _get(
+        base,
+        f"/api/v1/address/term?term={q}&synonyms={syn}&size=10",
+    )
+    assert status == 200 and res["items"]
+    direct = api.search_synonyms(
+        "func common_util", {"func": ["def"]}, size=10
+    ).collect()
+    assert [i["doc_id"] for i in res["items"]] == [
+        r["doc_id"] for r in direct
+    ]
+    # widening can only add matches vs the plain AND query
+    status, plain = _get(
+        base, f"/api/v1/address/term?term={q}&size=100"
+    )
+    status2, wide = _get(
+        base, f"/api/v1/address/term?term={q}&synonyms={syn}&size=100"
+    )
+    assert status == status2 == 200
+    assert {i["doc_id"] for i in plain["items"]} <= {
+        i["doc_id"] for i in wide["items"]
+    }
+    for bad in (
+        f"/api/v1/address/term?term={q}&synonyms=noseparator",
+        f"/api/v1/address/term?term={q}&synonyms={syn}&synonyms={syn}",
+        f"/api/v1/address/term?term={q}&synonyms={syn}&boost=func:2.0",
+        f"/api/v1/address/term?term={q}&synonyms={syn}&negative=def",
+    ):
+        assert _get_status(base, bad) == 400, bad
