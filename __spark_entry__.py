@@ -472,6 +472,22 @@ def _q_ft_sampler_div(spark, sf):
     return spark.createDataFrame(pdf, schema="lang string, cnt long")
 
 
+def _q_ft_decay(spark, sf):
+    """ES function_score decay (gauss): score x
+    exp(-max(|doclen - 100| - 10, 0)^2 / (2 sigma^2)) with sigma^2 =
+    -scale^2 / (2 ln 0.5), scale=80 - freshness/proximity-style prior
+    peaking at doclen 100. Same all-matches plan as field_value_factor;
+    the decay closure is the ONE numpy function every tier runs."""
+    eng = _engine(spark, sf)
+    return _ft(
+        eng.function_score(
+            "table scan", k=10, field="doclen",
+            decay={"shape": "gauss", "origin": 100.0, "scale": 80.0,
+                   "offset": 10.0, "decay": 0.5},
+        )
+    )
+
+
 def _q_ft_adjacency_matrix(spark, sf):
     """ES adjacency_matrix aggregation: doc counts for each named
     AND-query and each pairwise intersection (key 'a&b'). Intersections
@@ -1775,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_rescore": _q_ft_rescore,
         "ft_regexp_top10": _q_ft_regexp,
         "ft_function_score": _q_ft_function_score,
+        "ft_decay": _q_ft_decay,
         "ft_collapse": _q_ft_collapse,
         # corpus curation
         "dedup_exact_groups": _q_dedup_exact,
@@ -2202,6 +2219,20 @@ def _function_score_sql() -> str:
     analyzer)."""
     return f"""{_scored_cte(["table", "scan"])}
 SELECT s.doc_id, round(s.score * ln(1 + 0.1 * dl.dl), 4) AS score
+FROM scored s JOIN dl ON s.doc_id = dl.doc_id
+WHERE s.matched = 2
+ORDER BY score DESC, s.doc_id ASC LIMIT 10
+"""
+
+
+def _decay_sql() -> str:
+    """Gauss-decay oracle: score x exp(-max(|dl-100|-10, 0)^2 / (2 s2)),
+    s2 = -80^2 / (2 ln 0.5), over the AND-matches of {table, scan}."""
+    return f"""{_scored_cte(["table", "scan"])}
+SELECT s.doc_id,
+       round(s.score * exp(-pow(greatest(abs(dl.dl - 100) - 10, 0), 2)
+                           / (2 * (-(80.0 * 80.0) / (2 * ln(0.5))))),
+             4) AS score
 FROM scored s JOIN dl ON s.doc_id = dl.doc_id
 WHERE s.matched = 2
 ORDER BY score DESC, s.doc_id ASC LIMIT 10
@@ -3438,6 +3469,7 @@ FROM orders WHERE o_orderkey % 97 = 0
 """,
         "ft_rescore": _rescore_sql(),
         "ft_function_score": _function_score_sql(),
+        "ft_decay": _decay_sql(),
         "ft_collapse": _collapse_sql(),
         "text_repetition": """
 WITH L AS (

@@ -659,13 +659,15 @@ class FulltextAPI:
         mode: str = "and",
         filters: dict | None = None,
         as_pandas: bool = False,
+        decay: dict | None = None,
     ):
-        """ES function_score / field_value_factor analogue; see
+        """ES function_score analogue: field_value_factor by default, or
+        a gauss/exp/linear decay function when ``decay`` is given; see
         SearchEngine.function_score."""
         return self.engine.function_score(
             term, k=size, field=field, modifier=modifier, factor=factor,
             boost_mode=boost_mode, mode=mode, filters=filters,
-            as_pandas=as_pandas,
+            as_pandas=as_pandas, decay=decay,
         )
 
     def collapse(

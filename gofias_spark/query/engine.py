@@ -5681,6 +5681,43 @@ class SearchEngine:
 
         return fv
 
+    @staticmethod
+    def _decay_modifier(shape: str, origin: float, scale: float,
+                        offset: float = 0.0, decay: float = 0.5):
+        """ES decay-function arithmetic (gauss/exp/linear over a numeric
+        field), one numpy function shared verbatim by every tier — the
+        same cross-tier bit-identity contract as _fv_modifier. The
+        parametrization is ES's: the function evaluates to ``decay`` at
+        distance ``scale`` from ``origin`` (after subtracting
+        ``offset``); docs missing the field get the neutral value 1.0
+        (they are neither promoted nor demoted — ES's behavior for a
+        doc without the field when the query still matches it)."""
+        if shape not in ("gauss", "exp", "linear"):
+            raise ValueError("shape must be gauss|exp|linear")
+        if scale <= 0:
+            raise ValueError("scale must be > 0")
+        if not 0.0 < decay < 1.0:
+            raise ValueError("decay must be in (0, 1)")
+        if offset < 0:
+            raise ValueError("offset must be >= 0")
+
+        def fv(vals: np.ndarray) -> np.ndarray:
+            dist = np.maximum(
+                np.abs(vals - float(origin)) - float(offset), 0.0
+            )
+            if shape == "gauss":
+                sigma2 = -(scale * scale) / (2.0 * np.log(decay))
+                out = np.exp(-(dist * dist) / (2.0 * sigma2))
+            elif shape == "exp":
+                lam = np.log(decay) / scale
+                out = np.exp(lam * dist)
+            else:  # linear
+                s = scale / (1.0 - decay)
+                out = np.maximum((s - dist) / s, 0.0)
+            return np.where(np.isnan(vals), 1.0, out)
+
+        return fv
+
     def function_score(
         self,
         query: str,
@@ -5696,12 +5733,21 @@ class SearchEngine:
         offset: int = 0,
         with_meta: bool = True,
         as_pandas: bool = False,
+        decay: dict | None = None,
     ):
         """ES function_score / field_value_factor analogue: every match's
         BM25 score is combined with ``modifier(factor * doc[field])`` —
         ``multiply`` (relevance shaped by a document prior, e.g. length or
         freshness) or ``sum``. ``missing`` substitutes for null field
         values BEFORE factor/modifier (ES's ``missing`` param).
+
+        ``decay`` switches the function from field_value_factor to an ES
+        decay function over the same numeric field: a dict with ``shape``
+        (gauss|exp|linear), ``origin``, ``scale``, optional ``offset``
+        and ``decay`` (value at distance scale; default 0.5) — freshness
+        and proximity scoring (_decay_modifier). ``modifier``/``factor``/
+        ``missing`` are ignored in decay mode; docs missing the field get
+        the neutral 1.0.
 
         The modifier can reorder arbitrarily, so relevance pruning is off:
         ALL matches are scored (exactly like composite sorts, engine O1).
@@ -5714,7 +5760,14 @@ class SearchEngine:
         if boost_mode not in ("multiply", "sum"):
             raise ValueError("boost_mode must be multiply|sum")
         self._require_numeric_field(field, "function_score")
-        fv = self._fv_modifier(modifier, factor, missing)
+        if decay is not None:
+            fv = self._decay_modifier(
+                decay.get("shape", "gauss"),
+                decay["origin"], decay["scale"],
+                decay.get("offset", 0.0), decay.get("decay", 0.5),
+            )
+        else:
+            fv = self._fv_modifier(modifier, factor, missing)
         sm = self.score_matches(query, mode=mode, filters=filters)
         if isinstance(sm, pd.DataFrame):
             if len(sm) == 0:

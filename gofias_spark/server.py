@@ -1254,12 +1254,38 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                     factor = float(q.get("factor", ["1.0"])[0])
                 except ValueError:
                     raise BadRequest("factor must be a float") from None
+                decay = None
+                if "origin" in q or "scale" in q or "shape" in q:
+                    # ES decay-function mode (gauss/exp/linear):
+                    # origin= and scale= are required together
+                    try:
+                        decay = {
+                            "shape": q.get("shape", ["gauss"])[0],
+                            "origin": float(q["origin"][0]),
+                            "scale": float(q["scale"][0]),
+                            "offset": float(
+                                q.get("decay_offset", ["0"])[0]
+                            ),
+                            "decay": float(
+                                q.get("decay_value", ["0.5"])[0]
+                            ),
+                        }
+                    except KeyError as e:
+                        raise BadRequest(
+                            "decay mode needs both origin= and scale="
+                        ) from e
+                    except ValueError:
+                        raise BadRequest(
+                            "origin/scale/decay_offset/decay_value must "
+                            "be floats"
+                        ) from None
                 try:
                     pdf = api.function_score(
                         _term(q), size=size, field=field,
                         modifier=modifier, factor=factor,
                         boost_mode=boost_mode, mode=mode,
                         filters=_filters_from_query(q), as_pandas=True,
+                        decay=decay,
                     )
                 except ValueError as exc:  # bad modifier/field/mode
                     raise BadRequest(str(exc)) from exc

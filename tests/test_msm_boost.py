@@ -255,3 +255,40 @@ def test_boosting_with_filters_and_paging(engines):
         )
         exp = want.iloc[3:8]
         assert list(got["doc_id"]) == list(exp["doc_id"]), tier
+
+
+def test_decay_modifier_math():
+    """ES decay parametrization: the function evaluates to `decay` at
+    distance scale from origin (after offset), 1 at the origin, and
+    linear clamps to 0 beyond s = scale/(1-decay)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from gofias_spark.query.engine import SearchEngine
+
+    for shape in ("gauss", "exp", "linear"):
+        fv = SearchEngine._decay_modifier(shape, origin=100, scale=50,
+                                          offset=0, decay=0.3)
+        assert fv(np.array([100.0]))[0] == _pytest.approx(1.0)
+        assert fv(np.array([150.0]))[0] == _pytest.approx(0.3)
+        assert fv(np.array([50.0]))[0] == _pytest.approx(0.3)  # symmetric
+    # offset widens the flat top
+    fv = SearchEngine._decay_modifier("gauss", 100, 50, offset=20,
+                                      decay=0.5)
+    assert fv(np.array([115.0]))[0] == _pytest.approx(1.0)
+    # linear hits exactly 0 at dist >= scale/(1-decay)
+    fv = SearchEngine._decay_modifier("linear", 0, 50, decay=0.5)
+    assert fv(np.array([100.0]))[0] == _pytest.approx(0.0)
+    assert fv(np.array([200.0]))[0] == 0.0
+    # missing field values are neutral
+    import numpy as _np
+    assert fv(_np.array([_np.nan]))[0] == 1.0
+    for bad in (dict(scale=0), dict(decay=0.0), dict(decay=1.0),
+                dict(offset=-1)):
+        with _pytest.raises(ValueError):
+            SearchEngine._decay_modifier(
+                "gauss", 0, bad.get("scale", 1),
+                bad.get("offset", 0), bad.get("decay", 0.5),
+            )
+    with _pytest.raises(ValueError):
+        SearchEngine._decay_modifier("bogus", 0, 1)

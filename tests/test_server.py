@@ -1403,3 +1403,30 @@ def test_synonyms_route(gateway):
         f"/api/v1/address/term?term={q}&synonyms={syn}&negative=def",
     ):
         assert _get_status(base, bad) == 400, bad
+
+
+def test_function_score_decay_route(gateway):
+    """function_score decay mode (gauss/exp/linear): origin/scale params
+    switch the function from field_value_factor; validation is 400."""
+    api, base = gateway
+    status, res = _get(
+        base,
+        "/api/v1/function_score?term=common_util&field=doclen"
+        "&shape=gauss&origin=100&scale=80&size=5",
+    )
+    assert status == 200 and res["items"]
+    direct = api.function_score(
+        "common_util", size=5, field="doclen",
+        decay={"shape": "gauss", "origin": 100.0, "scale": 80.0},
+        as_pandas=True,
+    )
+    assert [i["doc_id"] for i in res["items"]] == [
+        int(x) for x in direct["doc_id"]
+    ]
+    for bad in (
+        "/api/v1/function_score?term=x&shape=gauss",        # no origin
+        "/api/v1/function_score?term=x&origin=1&scale=abc",
+        "/api/v1/function_score?term=x&origin=1&scale=0",   # scale > 0
+        "/api/v1/function_score?term=x&origin=1&scale=5&shape=bogus",
+    ):
+        assert _get_status(base, bad) == 400, bad
