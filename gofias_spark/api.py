@@ -23,7 +23,11 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gofias_spark.query.engine import SearchEngine, compile_filters
+from gofias_spark.query.engine import (
+    DEFAULT_MAX_EXPANSIONS,
+    SearchEngine,
+    compile_filters,
+)
 
 
 class FulltextAPI:
@@ -40,9 +44,14 @@ class FulltextAPI:
     ):
         self.spark = spark
         self.index_root = str(index_root)
-        # serializes engine swaps (_reopen) against each other; reads
-        # keep going against whichever engine object they grabbed
-        self._reopen_lock = threading.Lock()
+        # Serializes MUTATORS (bulk / delete_by_query / update_by_query)
+        # end-to-end — match-set resolution, apply_delta's read-manifest/
+        # compute/write-manifest cycle, and the engine swap — against each
+        # other, so two concurrent POST /bulk on the ThreadingHTTPServer
+        # can't lose one batch's manifest delta. Reentrant so _reopen can
+        # re-acquire inside a locked mutator. Reads keep going lock-free
+        # against whichever engine object they grabbed.
+        self._reopen_lock = threading.RLock()
         self.engine = SearchEngine(spark, index_root)
         self.prefix_engine = (
             SearchEngine(spark, prefix_index_root)
@@ -209,11 +218,14 @@ class FulltextAPI:
         mode: str = "or",
         filters: dict | None = None,
         as_pandas: bool = False,
-        max_expansions: int | None = None,
+        max_expansions: int | None = DEFAULT_MAX_EXPANSIONS,
     ):
         """ES match_bool_prefix analogue (search-as-you-type, no
         adjacency): fixed tokens as term clauses + the final token as a
-        prefix clause; mode = ES operator. See
+        prefix clause; mode = ES operator. Inherits the engine's
+        Lucene-style rewrite bound (DEFAULT_MAX_EXPANSIONS, df-desc) so a
+        1-char public prefix can't trigger an unbounded expansion;
+        ``None`` stays the explicit exact escape hatch. See
         SearchEngine.search_bool_prefix."""
         return self.engine.search_bool_prefix(
             query, k=size, offset=from_, mode=mode, filters=filters,
@@ -765,15 +777,16 @@ class FulltextAPI:
         materialization of the match set) and MERGE the deletions through
         the normal tombstone path. Reopens the engine on the updated
         manifest and returns it."""
-        keys = self.engine.matched_keys(
-            term, mode=mode, filters=filters, must_not=must_not
-        )
         from gofias_spark.index.merge import apply_delta
 
-        manifest = apply_delta(
-            self.spark, self.index_root, deletes=keys
-        )
-        self._reopen()
+        with self._reopen_lock:
+            keys = self.engine.matched_keys(
+                term, mode=mode, filters=filters, must_not=must_not
+            )
+            manifest = apply_delta(
+                self.spark, self.index_root, deletes=keys
+            )
+            self._reopen()
         return manifest
 
     def bulk(
@@ -866,10 +879,12 @@ class FulltextAPI:
             if dels
             else None
         )
-        apply_delta(
-            self.spark, self.index_root, upserts=ups_df, deletes=del_df
-        )
-        self._reopen()
+        with self._reopen_lock:
+            apply_delta(
+                self.spark, self.index_root, upserts=ups_df,
+                deletes=del_df,
+            )
+            self._reopen()
         return {
             "indexed": n_idx,
             "deleted": n_del,
@@ -909,18 +924,21 @@ class FulltextAPI:
                     f"identity key column {c!r} is immutable in "
                     "update_by_query (delete + re-add instead)"
                 )
-        keys = self.engine.matched_keys(
-            term, mode=mode, filters=filters, must_not=must_not
-        )
-        live = self.engine.get_doc().select(
-            "repo", "path", "commit", "lang", "content"
-        )
-        upd = live.join(keys, LOGICAL_KEY, "inner")
-        for colname, expr in set_exprs.items():
-            col = F.expr(expr) if isinstance(expr, str) else expr
-            upd = upd.withColumn(colname, col)
-        manifest = apply_delta(self.spark, self.index_root, upserts=upd)
-        self._reopen()
+        with self._reopen_lock:
+            keys = self.engine.matched_keys(
+                term, mode=mode, filters=filters, must_not=must_not
+            )
+            live = self.engine.get_doc().select(
+                "repo", "path", "commit", "lang", "content"
+            )
+            upd = live.join(keys, LOGICAL_KEY, "inner")
+            for colname, expr in set_exprs.items():
+                col = F.expr(expr) if isinstance(expr, str) else expr
+                upd = upd.withColumn(colname, col)
+            manifest = apply_delta(
+                self.spark, self.index_root, upserts=upd
+            )
+            self._reopen()
         return manifest
 
     def reindex(
@@ -964,7 +982,9 @@ class FulltextAPI:
         so (a) concurrent readers on a threaded server never observe a
         closed/unwarmed engine mid-swap, and (b) a failed rebuild raises
         while the old engine stays live instead of wedging the API. The
-        lock serializes concurrent mutators (two bulk posts)."""
+        (reentrant) lock is normally already held by the calling mutator
+        around its whole apply_delta + reopen sequence; acquiring it here
+        too keeps any direct _reopen caller safe on its own."""
         with self._reopen_lock:
             new = SearchEngine(self.spark, self.index_root)
             try:

@@ -658,6 +658,10 @@ class SearchEngine:
         self._stats_cache: dict[str, int] | None = None
         self._fuzzy_map: dict[str, list[str]] | None = None
         self._fuzzy_map_token: str | None = None
+        # index-state token at which the governor refused the enlarged
+        # (stats + fuzzy-map) entry; blocks per-query rebuilds until the
+        # next delta/warm
+        self._fuzzy_map_refused_token: str | None = None
         # identity key for the process-wide CacheGovernor (byte budget
         # across every warmed engine on this driver)
         self._gov_key = object()
@@ -868,6 +872,7 @@ class SearchEngine:
         # holds; over-budget admission drops our caches (cold routing
         # still serves correctly), under-budget admission evicts LRU
         # peers instead
+        self._fuzzy_map_refused_token = None  # budget may have changed
         nbytes = self._resident_cache_bytes()
         if nbytes and not GOVERNOR.admit(
             self._gov_key, nbytes, self._drop_resident_caches
@@ -892,6 +897,18 @@ class SearchEngine:
             # dict overhead ~100 B/slot + key string bytes + int value
             total += sum(len(t) for t in self._stats_cache) + 128 * len(
                 self._stats_cache
+            )
+        if self._fuzzy_map:
+            # deletion-variant dict is a MULTIPLE of the stats dict:
+            # ~(len(term)+1) slots per vocab term. Keys are new strings
+            # (count their bytes + slot overhead); list values hold
+            # pointers to the stats dict's existing term strings (already
+            # counted above), so charge pointer + list overhead only.
+            total += (
+                sum(len(k) for k in self._fuzzy_map)
+                + 128 * len(self._fuzzy_map)
+                + 8 * sum(len(v) for v in self._fuzzy_map.values())
+                + 64 * len(self._fuzzy_map)
             )
         return total
 
@@ -2521,6 +2538,11 @@ class SearchEngine:
         if self._stats_cache is None or len(self._stats_cache) > 200_000:
             return None
         token = self._delta_token()
+        if getattr(self, "_fuzzy_map_refused_token", None) == token:
+            # governor refused the enlarged entry at this index state —
+            # don't rebuild the O(vocab) map every query just to re-fail;
+            # the Spark join path serves until the next delta import
+            return None
         if self._fuzzy_map is None or self._fuzzy_map_token != token:
             m: dict[str, list[str]] = {}
             for w in self._stats_cache:
@@ -2528,6 +2550,24 @@ class SearchEngine:
                     m.setdefault(v, []).append(w)
             self._fuzzy_map = m
             self._fuzzy_map_token = token
+            # The map is a multiple of the stats dict's footprint and was
+            # built AFTER warm()'s admission — re-admit so the process
+            # governor accounts the real resident bytes. If the enlarged
+            # entry no longer fits alone, keep the (admitted) smaller
+            # caches and serve fuzzy via the Spark join path instead.
+            nbytes = self._resident_cache_bytes()
+            if nbytes and not GOVERNOR.admit(
+                self._gov_key, nbytes, self._drop_resident_caches
+            ):
+                self._fuzzy_map = None
+                self._fuzzy_map_token = None
+                self._fuzzy_map_refused_token = token
+                smaller = self._resident_cache_bytes()
+                if smaller and not GOVERNOR.admit(
+                    self._gov_key, smaller, self._drop_resident_caches
+                ):
+                    self._drop_resident_caches()
+                return None
         return self._fuzzy_map
 
     def search_bool_prefix(

@@ -161,14 +161,68 @@ def to_dict(msg) -> dict:
 def from_dict(cls, d: dict):
     """Inverse of :func:`to_dict`, recursing into nested message fields.
     Unknown keys are rejected (proto3 would silently drop them, but a
-    typo'd filter silently matching everything is the worse failure)."""
+    typo'd filter silently matching everything is the worse failure).
+    Field TYPES are validated here too — decode is the only place wrong
+    wire types may surface as INVALID_ARGUMENT; past this point a type
+    error is a server bug (make_wire_handler lets it propagate)."""
+    if not isinstance(d, dict):
+        raise InvalidArgument(
+            f"{cls.__name__}: expected a JSON object, "
+            f"got {type(d).__name__}"
+        )
     kwargs = {}
     fields = {f.name: f for f in dataclasses.fields(cls)}
     for k, v in d.items():
         if k not in fields:
             raise InvalidArgument(f"{cls.__name__}: unknown field {k!r}")
         sub = _MESSAGE_FIELDS.get((cls, k))
-        kwargs[k] = from_dict(sub, v) if sub and v is not None else v
+        if sub is not None:
+            kwargs[k] = from_dict(sub, v) if v is not None else None
+            continue
+        f = fields[k]
+        if v is not None:
+            elem = _LIST_ELEM.get((cls, k))
+            opt = _OPTIONAL_SCALARS.get((cls, k))
+            if elem is not None:
+                if not isinstance(v, list) or not all(
+                    isinstance(x, elem) and not isinstance(x, bool)
+                    if elem is not str else isinstance(x, str)
+                    for x in v
+                ):
+                    raise InvalidArgument(
+                        f"{cls.__name__}.{k}: expected a list of "
+                        f"{'strings' if elem is str else 'numbers'}"
+                    )
+            elif opt is not None:
+                if not isinstance(v, opt) or isinstance(v, bool):
+                    raise InvalidArgument(
+                        f"{cls.__name__}.{k}: expected a number"
+                    )
+            elif f.default_factory is not dataclasses.MISSING:
+                raise InvalidArgument(
+                    f"{cls.__name__}.{k}: unsupported wire field"
+                )
+            elif isinstance(f.default, bool):
+                if not isinstance(v, bool):
+                    raise InvalidArgument(
+                        f"{cls.__name__}.{k}: expected a boolean"
+                    )
+            elif isinstance(f.default, str):
+                if not isinstance(v, str):
+                    raise InvalidArgument(
+                        f"{cls.__name__}.{k}: expected a string"
+                    )
+            elif isinstance(f.default, float):
+                if not isinstance(v, (int, float)) or isinstance(v, bool):
+                    raise InvalidArgument(
+                        f"{cls.__name__}.{k}: expected a number"
+                    )
+            elif isinstance(f.default, int):
+                if not isinstance(v, int) or isinstance(v, bool):
+                    raise InvalidArgument(
+                        f"{cls.__name__}.{k}: expected an integer"
+                    )
+        kwargs[k] = v
     return cls(**kwargs)
 
 
@@ -179,6 +233,17 @@ _MESSAGE_FIELDS = {
     (FilterObject, "doclen"): NumberFilter,
     (FilterObject, "lang"): StringFilter,
     (FilterObject, "repo"): StringFilter,
+}
+
+# wire types the dataclass defaults can't express (list element types,
+# optional scalars whose default is None) — used by from_dict validation
+_LIST_ELEM = {
+    (StringFilter, "values"): str,
+    (NumberFilter, "values"): (int, float),
+}
+_OPTIONAL_SCALARS = {
+    (NumberFilter, "min"): (int, float),
+    (NumberFilter, "max"): (int, float),
 }
 
 
@@ -375,16 +440,23 @@ def make_wire_handler(servicer: FulltextServicer, method: str):
     req_cls = _REQUEST_TYPES[method]
 
     def handler(request_bytes: bytes, context) -> bytes:
+        # Decode errors (bad JSON, wrong field types, unknown fields) are
+        # request errors -> INVALID_ARGUMENT. The catch is scoped to the
+        # DECODE step only: a TypeError raised inside the servicer or the
+        # engine is a server-side bug and must surface as INTERNAL (i.e.
+        # propagate), not masquerade as a bad request.
         try:
             d = json.loads(request_bytes or b"{}")
             req = None if req_cls is type(None) else from_dict(req_cls, d)
+        except (InvalidArgument, json.JSONDecodeError, TypeError) as exc:
+            context.abort("INVALID_ARGUMENT", str(exc))
+            raise AssertionError("context.abort must raise")
+        try:
             resp = getattr(servicer, method)(req)
         except NotFound as exc:
             context.abort("NOT_FOUND", str(exc))
             raise AssertionError("context.abort must raise")
-        except (InvalidArgument, json.JSONDecodeError, TypeError) as exc:
-            # decode failures (bad JSON, wrong field types, unknown
-            # fields) are request errors, same status as semantic ones
+        except InvalidArgument as exc:
             context.abort("INVALID_ARGUMENT", str(exc))
             raise AssertionError("context.abort must raise")
         return json.dumps(to_dict(resp)).encode()

@@ -273,6 +273,22 @@ def _term(q: dict) -> str:
     return term
 
 
+def _max_expansions(q: dict) -> int | None:
+    """Parse the optional ``max_expansions=`` query param; None when the
+    param is absent (callers decide whether absent means the engine
+    default or the exact escape hatch)."""
+    raw = q.get("max_expansions", [None])[0]
+    if raw is None:
+        return None
+    try:
+        mx = int(raw)
+    except ValueError as e:
+        raise BadRequest("max_expansions must be an integer") from e
+    if not 1 <= mx <= 10000:
+        raise BadRequest("max_expansions must be in [1, 10000]")
+    return mx
+
+
 def _rows(df) -> list[dict]:
     return [r.asDict() for r in df.collect()]
 
@@ -612,19 +628,10 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                         raise BadRequest(
                             "match=phrase_prefix does not support sort="
                         )
-                    mx_raw = q.get("max_expansions", [None])[0]
-                    mx = None
-                    if mx_raw is not None:
-                        try:
-                            mx = int(mx_raw)
-                        except ValueError as e:
-                            raise BadRequest(
-                                "max_expansions must be an integer"
-                            ) from e
-                        if not 1 <= mx <= 10000:
-                            raise BadRequest(
-                                "max_expansions must be in [1, 10000]"
-                            )
+                    # absent -> None -> the documented exact default of
+                    # search_phrase_prefix (expansions feed an adjacency
+                    # check, so the match set is position-bounded)
+                    mx = _max_expansions(q)
                     pdf = api.search_phrase_prefix(
                         _term(q), size=size, from_=from_,
                         filters=_filters_from_query(q), as_pandas=True,
@@ -639,11 +646,17 @@ def make_handler(api: FulltextAPI, cache_size: int = 256):
                     op = q.get("operator", ["or"])[0]
                     if op not in ("or", "and"):
                         raise BadRequest("operator must be or|and")
+                    # absent -> omit the kwarg so the API/engine default
+                    # cap (DEFAULT_MAX_EXPANSIONS, df-desc) applies; an
+                    # unbounded public route would let `a*` expand the
+                    # whole term dictionary
+                    mx = _max_expansions(q)
+                    mx_kw = {} if mx is None else {"max_expansions": mx}
                     try:
                         pdf = api.search_bool_prefix(
                             _term(q), size=size, from_=from_, mode=op,
                             filters=_filters_from_query(q),
-                            as_pandas=True,
+                            as_pandas=True, **mx_kw,
                         )
                     except ValueError as exc:  # conflicting filters
                         raise BadRequest(str(exc)) from exc

@@ -37,6 +37,20 @@ spark = get_spark("substrscale", master=f"local[{{cpus}}]",
                   shuffle_partitions=max(8, cpus))
 docs = spark.read.parquet({corpus!r})
 ident = docs.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+# The synthetic corpus has no verbatim 20-token repeats (every line is an
+# independent random draw), so measure with a REAL duplicated-span
+# population: ~1% of docs get an identical 24-token license preamble, the
+# cross-doc boilerplate shape Lee et al. dedup exists for. Deterministic
+# (keyed on doc_id), injected identically at both parallelism levels, and
+# exercises detect + canonical-site exemption + span-merge emission, not
+# just the zero-match hash exchange.
+PREAMBLE = " ".join("lic_tok_%d" % (i % 8) for i in range(24))
+ident = ident.withColumn(
+    "content",
+    F.when(F.pmod("doc_id", F.lit(100)) == 0,
+           F.concat(F.lit(PREAMBLE + " "), F.col("content")))
+     .otherwise(F.col("content")),
+)
 t0 = time.perf_counter()
 n_spans = duplicate_spans(ident, n=20).count()
 wall = round(time.perf_counter() - t0, 2)

@@ -88,6 +88,49 @@ def test_admission_refused_when_cap_tiny(spark, tmp_path_factory,
         eng.close()
 
 
+def test_fuzzy_map_reaccounted_and_droppable(spark, tmp_path_factory,
+                                             unlimited_budget):
+    """The lazily built fuzzy deletion map (a MULTIPLE of the stats
+    dict's bytes) must be re-admitted to the governor when materialized
+    (r4 advice): its bytes show up in the accounting, and under a budget
+    that fits warm() but not warm()+map, the map alone is dropped —
+    fuzzy queries fall back to the Spark join path with identical
+    results."""
+    eng = _mk_engine(spark, tmp_path_factory, "govf")
+    try:
+        eng.warm()
+        warm_bytes = eng._resident_cache_bytes()
+        assert warm_bytes > 0
+        assert eng._fuzzy_map is None
+        # materialize the map: accounting grows and the governor sees it
+        assert eng._fuzzy_deletion_map() is not None
+        full_bytes = eng._resident_cache_bytes()
+        assert full_bytes > warm_bytes
+        assert GOVERNOR._entries[eng._gov_key][0] == full_bytes
+        fuzzy_with_map = eng.search_fuzzy("commom_util", k=5,
+                                          as_pandas=True)
+        # back to the warm-only entry, then a budget that fits the warm
+        # caches but NOT the enlarged entry: the next map (re)build is
+        # refused, map dropped, smaller entry kept
+        eng._fuzzy_map = None
+        eng._fuzzy_map_token = None
+        eng.warm()
+        warm_bytes2 = eng._resident_cache_bytes()
+        set_cache_budget(warm_bytes2 + (full_bytes - warm_bytes) // 2)
+        assert eng._fuzzy_deletion_map() is None
+        assert eng._fuzzy_map is None
+        assert eng._stats_cache is not None  # smaller entry re-admitted
+        assert GOVERNOR.total_bytes() <= GOVERNOR.budget_bytes
+        # refusal is memoized per index state: no rebuild-to-fail loop
+        assert eng._fuzzy_map_refused_token is not None
+        assert eng._fuzzy_deletion_map() is None
+        # join-path fuzzy returns the same rows as the map path
+        fuzzy_cold = eng.search_fuzzy("commom_util", k=5, as_pandas=True)
+        assert list(fuzzy_cold["doc_id"]) == list(fuzzy_with_map["doc_id"])
+    finally:
+        eng.close()
+
+
 def test_close_releases_accounting(spark, tmp_path_factory,
                                    unlimited_budget):
     eng = _mk_engine(spark, tmp_path_factory, "govd")

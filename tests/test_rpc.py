@@ -236,3 +236,38 @@ def test_wire_codec_error_statuses(servicer):
     with pytest.raises(_FakeAbort) as e:
         handler(b"not json", _FakeContext())
     assert e.value.status == "INVALID_ARGUMENT"
+
+
+def test_wire_codec_server_bug_not_invalid_argument(servicer):
+    """A TypeError raised INSIDE the servicer is a server-side bug and
+    must propagate (-> INTERNAL at the transport), not be mapped to
+    INVALID_ARGUMENT by the decode-step catch (r4 advice)."""
+    sv, _ = servicer
+
+    class Buggy:
+        def ListDocs(self, req):
+            raise TypeError("server bug, not a request error")
+
+    handler = rpc.make_wire_handler(Buggy(), "ListDocs")
+    with pytest.raises(TypeError, match="server bug"):
+        handler(
+            json.dumps({"filter": {"lang": {"values": ["py"]}}}).encode(),
+            _FakeContext(),
+        )
+    # while decode-step WIRE-TYPE errors still map to INVALID_ARGUMENT
+    # (from_dict now validates field types, so bad requests never reach
+    # the servicer to raise TypeError there)
+    handler2 = rpc.make_wire_handler(sv, "ListDocs")
+    for payload in (
+        {"filter": "not-an-object"},
+        {"filter": {"lang": {"values": [1, 2]}}},
+        {"filter": {"doclen": {"min": "low"}}},
+        {"limit": "ten"},
+    ):
+        with pytest.raises(_FakeAbort) as e:
+            handler2(json.dumps(payload).encode(), _FakeContext())
+        assert e.value.status == "INVALID_ARGUMENT", payload
+    handler3 = rpc.make_wire_handler(sv, "GetAddressByTerm")
+    with pytest.raises(_FakeAbort) as e:
+        handler3(json.dumps({"term": 7}).encode(), _FakeContext())
+    assert e.value.status == "INVALID_ARGUMENT"

@@ -1009,6 +1009,43 @@ def test_bool_prefix_route(gateway):
     ) == 400
 
 
+def test_bool_prefix_default_cap_and_max_expansions_param(gateway):
+    """The API wrapper inherits the engine's DEFAULT_MAX_EXPANSIONS
+    rewrite bound (r4 advice: a public 1-char prefix must never trigger
+    an unbounded expansion), and the route takes max_expansions= like
+    phrase_prefix does."""
+    import inspect
+
+    from gofias_spark.api import FulltextAPI
+    from gofias_spark.query.engine import DEFAULT_MAX_EXPANSIONS
+
+    sig = inspect.signature(FulltextAPI.search_bool_prefix)
+    assert (
+        sig.parameters["max_expansions"].default == DEFAULT_MAX_EXPANSIONS
+    )
+    api, base = gateway
+    status, res = _get(
+        base,
+        "/api/v1/address/term?term=common_ut&match=bool_prefix&size=5"
+        "&max_expansions=1",
+    )
+    assert status == 200
+    direct = api.search_bool_prefix(
+        "common_ut", size=5, max_expansions=1
+    ).collect()
+    assert [i["doc_id"] for i in res["items"]] == [
+        r["doc_id"] for r in direct
+    ]
+    assert _get_status(
+        base,
+        "/api/v1/address/term?term=a&match=bool_prefix&max_expansions=0",
+    ) == 400
+    assert _get_status(
+        base,
+        "/api/v1/address/term?term=a&match=bool_prefix&max_expansions=x",
+    ) == 400
+
+
 def test_bulk_route(spark, tmp_path_factory):
     """POST /api/v1/bulk (ES _bulk / reference S6 sink): index + delete
     actions apply as one MERGE; own index so the shared gateway fixture
@@ -1077,6 +1114,45 @@ def test_bulk_route(spark, tmp_path_factory):
         assert code == 404
     finally:
         server.shutdown()
+
+
+def test_concurrent_bulk_no_lost_update(spark, tmp_path_factory):
+    """Two concurrent mutators must BOTH land (r4 advice: apply_delta's
+    read-manifest/compute/write-manifest cycle was outside the lock, so
+    a ThreadingHTTPServer could drop one batch's manifest delta). The
+    mutation lock now serializes the whole apply_delta + reopen
+    sequence."""
+    import threading as _t
+
+    root = str(tmp_path_factory.mktemp("bulkrace"))
+    build_segment(spark, synth_corpus(spark, 30), root, CFG)
+    api = FulltextAPI(spark, root)
+    try:
+        n0 = api.engine.stats()["n_docs"]
+        errs = []
+
+        def add(i):
+            try:
+                api.bulk(upserts=[{
+                    "repo": f"racer{i}", "path": "r.py", "commit": "c",
+                    "lang": "py",
+                    "content": f"def race_probe_{i}(): return {i}",
+                }])
+            except Exception as exc:  # noqa: BLE001 - fail the test below
+                errs.append(exc)
+
+        threads = [_t.Thread(target=add, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        assert api.engine.stats()["n_docs"] == n0 + 3
+        for i in range(3):
+            hits = api.engine.search(f"race_probe_{i}", k=2).collect()
+            assert len(hits) == 1 and hits[0]["repo"] == f"racer{i}"
+    finally:
+        api.close()
 
 
 def test_span_not_route(spark, tmp_path_factory):
