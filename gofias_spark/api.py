@@ -490,9 +490,10 @@ class FulltextAPI:
         filters: dict | None = None,
         as_pandas: bool = False,
     ):
-        """Query-time synonym expansion (ES search-time synonym filter):
-        each query token widens to an OR-group of itself + its synonyms.
-        See SearchEngine.search_synonyms."""
+        """Query-time synonym expansion (ES search-time synonym_graph
+        filter): each query token widens to an OR-group of itself + its
+        synonyms; multi-token synonyms become phrase alternatives. See
+        SearchEngine.search_synonyms."""
         return self.engine.search_synonyms(
             term, synonyms, k=size, offset=from_, mode=mode,
             filters=filters, as_pandas=as_pandas,

@@ -662,6 +662,11 @@ class SearchEngine:
         # (stats + fuzzy-map) entry; blocks per-query rebuilds until the
         # next delta/warm
         self._fuzzy_map_refused_token: str | None = None
+        # lazily built sorted vocabulary keys for prefix-cut expansion
+        # scans (wildcard/regexp/complete_prefix warm tier); _src pins
+        # the stats dict it was built from so a re-warm invalidates it
+        self._sorted_vocab: list[str] | None = None
+        self._sorted_vocab_src: object = None
         # identity key for the process-wide CacheGovernor (byte budget
         # across every warmed engine on this driver)
         self._gov_key = object()
@@ -910,6 +915,9 @@ class SearchEngine:
                 + 8 * sum(len(v) for v in self._fuzzy_map.values())
                 + 64 * len(self._fuzzy_map)
             )
+        if self._sorted_vocab is not None:
+            # pointer array over the stats dict's own key strings
+            total += 8 * len(self._sorted_vocab) + 64
         return total
 
     def _drop_resident_caches(self) -> None:
@@ -922,6 +930,8 @@ class SearchEngine:
         self._local_positions = None
         self._stats_cache = None
         self._fuzzy_map = None
+        self._sorted_vocab = None
+        self._sorted_vocab_src = None
 
     def _build_serve(self, n_blocks: int) -> None:
         """Materialize the term-bucketed serve cache (idempotent per index
@@ -2155,36 +2165,56 @@ class SearchEngine:
                 if _lev_le1(c, t)
             ]
         else:
-            dels = F.transform(
-                F.sequence(F.lit(1), F.length("term")),
-                lambda i: F.concat(
-                    F.col("term").substr(F.lit(1), i - F.lit(1)),
-                    F.col("term").substr(i + F.lit(1), F.length("term")),
-                ),
-            )
-            vdf = self.spark.createDataFrame(
-                [(v,) for v in sorted(qvars)], "dkey string"
-            )
-            rows = (
-                self._stats.filter(
-                    F.length("term").between(len(t) - 1, len(t) + 1)
-                )
-                .withColumn(
-                    "dkey",
-                    F.explode(
-                        F.array_union(F.array(F.col("term")), dels)
-                    ),
-                )
-                .join(F.broadcast(vdf), "dkey")
-                .filter(F.levenshtein(F.col("term"), F.lit(t)) <= max_dist)
-                .select("term", "df")
-                .distinct()
-                .collect()
-            )
+            rows = self._fuzzy_candidate_scan(
+                t, qvars, max_dist, max_expansions
+            ).collect()
             out = [(r["term"], int(r["df"])) for r in rows]
         out.sort(key=lambda p: (-p[1], p[0]))
         terms = [c for c, _ in out]
         return terms[:max_expansions] if max_expansions else terms
+
+    def _fuzzy_candidate_scan(
+        self,
+        t: str,
+        qvars: set[str],
+        max_dist: int,
+        max_expansions: int | None,
+    ):
+        """Cold-path fuzzy neighborhood as a DataFrame: deletion-key
+        equi-join against the stats table, with ``max_expansions`` pushed
+        INTO the plan as orderBy(df desc, term asc).limit(n) (physical
+        TakeOrderedAndProject) — symmetric with :meth:`_expansion_scan`,
+        so at most n rows reach the driver even for a pathologically
+        dense neighborhood. ``None`` collects the exact neighborhood
+        (intrinsically small for distance 1)."""
+        dels = F.transform(
+            F.sequence(F.lit(1), F.length("term")),
+            lambda i: F.concat(
+                F.col("term").substr(F.lit(1), i - F.lit(1)),
+                F.col("term").substr(i + F.lit(1), F.length("term")),
+            ),
+        )
+        vdf = self.spark.createDataFrame(
+            [(v,) for v in sorted(qvars)], "dkey string"
+        )
+        cand = (
+            self._stats.filter(
+                F.length("term").between(len(t) - 1, len(t) + 1)
+            )
+            .withColumn(
+                "dkey",
+                F.explode(F.array_union(F.array(F.col("term")), dels)),
+            )
+            .join(F.broadcast(vdf), "dkey")
+            .filter(F.levenshtein(F.col("term"), F.lit(t)) <= max_dist)
+            .select("term", "df")
+            .distinct()
+        )
+        if max_expansions is not None:
+            cand = cand.orderBy(F.desc("df"), F.asc("term")).limit(
+                max_expansions
+            )
+        return cand
 
     # -- suggesters (term-dictionary lookups) -------------------------------
 
@@ -2228,9 +2258,9 @@ class SearchEngine:
         if not p:
             raise ValueError("prefix must be non-empty")
         if self._stats_cache is not None:
+            # bisected sorted-vocab range — no full dict scan per keystroke
             out = sorted(
-                ((t, n) for t, n in self._stats_cache.items()
-                 if t.startswith(p)),
+                self._warm_expansion_candidates(p),
                 key=lambda x: (-x[1], x[0]),
             )[:k]
         else:
@@ -2375,6 +2405,70 @@ class SearchEngine:
                 parts.append(_re.escape(ch))
         return "^" + "".join(parts) + "$"
 
+    # regex metachars that end a literal prefix; quantifiers additionally
+    # make the PRECEDING char non-literal (`ab*` matches `a`, `ab`, ...)
+    _RX_META = set(".?*+()[]{}|\\^$")
+    _RX_QUANT = set("*?+{")
+
+    @classmethod
+    def _literal_prefix(cls, pattern: str, dialect: str) -> str:
+        """Longest literal prefix every match of ``pattern`` must start
+        with — the Lucene PrefixQuery-style cut that turns a full
+        term-dictionary scan into a sorted-range scan. ``dialect`` is
+        ``"wildcard"`` (``*``/``?`` are the only metachars) or
+        ``"regexp"`` (conservative: stop at any regex metachar, and drop
+        the previous char when the stopper is a quantifier). Returns ""
+        when the pattern starts with a metachar (leading-wildcard scans
+        stay full, as in Lucene)."""
+        if dialect == "wildcard":
+            for i, ch in enumerate(pattern):
+                if ch in "*?":
+                    return pattern[:i]
+            return pattern
+        if "|" in pattern:
+            # alternation has lowest precedence: `gamma|delta` matches
+            # delta too, so no prefix is safe (even a grouped `a(b|c)`
+            # stays full-scan — conservatively, no group tracking)
+            return ""
+        out: list[str] = []
+        for ch in pattern:
+            if ch in cls._RX_META:
+                if ch in cls._RX_QUANT and out:
+                    out.pop()
+                break
+            out.append(ch)
+        return "".join(out)
+
+    def _sorted_terms(self) -> list[str] | None:
+        """Sorted vocabulary keys over the warm stats dict, built lazily
+        and invalidated whenever the dict itself is replaced (re-warm /
+        delta reopen). Pointer-array only (~8 B/term, counted by
+        _resident_cache_bytes) — the strings are the dict's own keys."""
+        sc = self._stats_cache
+        if sc is None:
+            return None
+        if self._sorted_vocab is None or self._sorted_vocab_src is not sc:
+            self._sorted_vocab = sorted(sc)
+            self._sorted_vocab_src = sc
+        return self._sorted_vocab
+
+    def _warm_expansion_candidates(self, prefix: str):
+        """(term, df) candidates for a warm-tier expansion scan: the
+        bisected ``[prefix, prefix~)`` slice of the sorted vocabulary
+        when the pattern pins a non-empty literal prefix — O(log V +
+        matching range) instead of a full O(V) dict scan per query —
+        else the whole stats dict (leading-wildcard patterns, exactly
+        the case Lucene also scans fully)."""
+        if not prefix:
+            return self._stats_cache.items()
+        vocab = self._sorted_terms()
+        import bisect as _bisect
+
+        lo = _bisect.bisect_left(vocab, prefix)
+        hi = _bisect.bisect_left(vocab, prefix + "\U0010ffff")
+        sc = self._stats_cache
+        return ((t, sc[t]) for t in vocab[lo:hi])
+
     def _expansion_scan(self, rx: str, max_expansions: int | None):
         """Cold-path expansion candidates as a DataFrame: the (term, df)
         stats table filtered by the rewrite regex, with the expansion cap
@@ -2412,9 +2506,10 @@ class SearchEngine:
             import re as _re
 
             crx = _re.compile(rx)
-            out = [
-                (t, n) for t, n in self._stats_cache.items() if crx.match(t)
-            ]
+            cands = self._warm_expansion_candidates(
+                self._literal_prefix(pattern.lower(), "wildcard")
+            )
+            out = [(t, n) for t, n in cands if crx.match(t)]
         else:
             rows = self._expansion_scan(rx, max_expansions).collect()
             out = [(r["term"], int(r["df"])) for r in rows]
@@ -2488,9 +2583,10 @@ class SearchEngine:
         except _re.error as exc:
             raise ValueError(f"invalid regexp {pattern!r}: {exc}") from exc
         if self._stats_cache is not None:
-            out = [
-                (t, n) for t, n in self._stats_cache.items() if crx.match(t)
-            ]
+            cands = self._warm_expansion_candidates(
+                self._literal_prefix(pattern.lower(), "regexp")
+            )
+            out = [(t, n) for t, n in cands if crx.match(t)]
         else:
             rows = self._expansion_scan(rx, max_expansions).collect()
             out = [(r["term"], int(r["df"])) for r in rows]
@@ -2658,8 +2754,13 @@ class SearchEngine:
         +(scan)``), so tier routing, group scoring, filters, and paging
         apply unchanged; index-time synonym folding stays available
         separately via functions/text.py X3. Synonym entries are
-        analyzed with the query analyzer; multi-token synonyms raise
-        (graph-phrase expansion is match_phrase territory)."""
+        analyzed with the query analyzer. MULTI-token synonyms expand as
+        PHRASE alternatives inside the token's OR-group — ES
+        ``synonym_graph`` semantics (``ml => "machine learning"`` makes
+        the group ``(ml "machine learning")``, the phrase matching with
+        match_phrase adjacency through the standing positional tiers),
+        so graph synonyms need the same positional support match_phrase
+        needs."""
         if mode not in ("or", "and"):
             raise ValueError("mode must be 'or' or 'and'")
         from gofias_spark.query.querystring import execute_query_string
@@ -2672,14 +2773,16 @@ class SearchEngine:
             variants = [t]
             for syn in synonyms.get(t, []):
                 st = analyze_query(syn, self.analyzer)
-                if len(st) != 1:
+                if not st:
                     raise ValueError(
-                        f"synonym {syn!r} for {t!r} analyzes to "
-                        f"{len(st)} tokens; only single-token synonyms "
-                        "are supported"
+                        f"synonym {syn!r} for {t!r} analyzes to no tokens"
                     )
-                if st[0] not in variants:
-                    variants.append(st[0])
+                # single-token -> bare term clause; multi-token -> quoted
+                # phrase clause (analyzed tokens are [a-z0-9_]+, so the
+                # quoted body needs no escaping)
+                v = st[0] if len(st) == 1 else '"' + " ".join(st) + '"'
+                if v not in variants:
+                    variants.append(v)
             groups.append(variants)
         parts = []
         for vs in groups:

@@ -194,6 +194,61 @@ def test_wildcard_terms_both_paths_agree(eng):
     }
 
 
+def test_literal_prefix_extraction():
+    """Conservative literal-prefix cut for the warm expansion scan (r4
+    verdict #5): wildcard dialect stops at */?; regexp dialect stops at
+    any metachar and un-claims the char a quantifier applies to."""
+    lp = SearchEngine._literal_prefix
+    assert lp("alpha*", "wildcard") == "alpha"
+    assert lp("a?x*", "wildcard") == "a"
+    assert lp("*tail", "wildcard") == ""
+    assert lp("plain", "wildcard") == "plain"
+    assert lp("abc.*", "regexp") == "abc"
+    assert lp("ab*", "regexp") == "a"      # b is quantified away
+    assert lp("ab+c", "regexp") == "a"
+    assert lp("ab{2}", "regexp") == "a"
+    # any alternation kills the prefix: `gamma|delta` matches delta too
+    assert lp("gamma|delta", "regexp") == ""
+    assert lp("a(b|c)", "regexp") == ""
+    assert lp("[ab]x", "regexp") == ""
+    assert lp("a\\d+", "regexp") == "a"
+    assert lp("literal", "regexp") == "literal"
+
+
+def test_prefix_cut_matches_full_scan(eng):
+    """The bisected sorted-vocab range scan must return exactly the
+    full-dict scan's expansions for every pattern shape (and the cut is
+    actually taken: the sorted vocab gets built)."""
+    import re
+
+    assert eng._stats_cache is not None
+    for pat in ("alpha*", "a*", "g?mma", "x", "alphax", "zz*", "*a"):
+        rx = re.compile(SearchEngine._wildcard_regex(pat))
+        full = sorted(
+            t for t in eng._stats_cache if rx.match(t)
+        )
+        assert sorted(eng.wildcard_terms(pat, max_expansions=None)) \
+            == full, pat
+    assert eng._sorted_vocab is not None  # the cut path was exercised
+    for pat in ("al.*", "gamma|delta", "be(ta)?", ".*x"):
+        rx = re.compile(f"^(?:{pat})$")
+        full = sorted(t for t in eng._stats_cache if rx.match(t))
+        assert sorted(eng.regexp_terms(pat, max_expansions=None)) \
+            == full, pat
+    # complete_prefix equals the startswith scan, hottest-first
+    got = eng.complete_prefix("al", k=10)
+    want = sorted(
+        ((t, n) for t, n in eng._stats_cache.items()
+         if t.startswith("al")),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert list(got["term"]) == [t for t, _ in want]
+    # sorted vocab is invalidated with the caches it indexes
+    eng._drop_resident_caches()
+    assert eng._sorted_vocab is None
+    eng.warm()
+
+
 def test_wildcard_literal_is_exact_lookup(eng):
     assert eng.wildcard_terms("beta") == ["beta"]
     assert eng.wildcard_terms("bet") == []  # no partial match w/o wildcard

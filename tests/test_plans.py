@@ -224,3 +224,20 @@ def test_wildcard_expansion_cap_pushed_into_plan(engine):
     exact = engine.wildcard_terms("*", max_expansions=None)
     top2 = engine.wildcard_terms("*", max_expansions=2)
     assert top2 == exact[:2]
+
+
+def test_fuzzy_expansion_cap_pushed_into_plan(engine):
+    """The fuzzy cold path (no warm stats dict) pushes max_expansions
+    into the neighborhood scan as orderBy(df desc).limit(n) ->
+    TakeOrderedAndProject, symmetric with _expansion_scan (r4 verdict
+    #6) — and the capped result is the df-desc head of the exact one."""
+    assert engine._stats_cache is None
+    t = "common_utim"  # distance-1 neighbor of common_util
+    qvars = {t} | {t[:i] + t[i + 1:] for i in range(len(t))}
+    df = engine._fuzzy_candidate_scan(t, qvars, 1, 2)
+    assert C.uses_take_ordered(df), C.physical_plan(df)
+    assert not C.uses_take_ordered(
+        engine._fuzzy_candidate_scan(t, qvars, 1, None)
+    )
+    exact = engine.fuzzy_terms(t)
+    assert exact and engine.fuzzy_terms(t, max_expansions=1) == exact[:1]

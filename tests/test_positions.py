@@ -727,3 +727,47 @@ def test_span_near_first_end_composes(engines):
                for i in pa for j in pb):
             want.add(path)
     assert got == want
+
+
+def test_graph_synonyms_expand_as_phrases(engines):
+    """Multi-token synonyms expand as PHRASE alternatives (ES
+    synonym_graph): gamma => "alpha beta" matches gamma docs plus docs
+    with alpha ADJACENT beta — never the scattered 'alpha x beta' — and
+    the positional and content-verify tiers agree exactly."""
+    import re
+
+    ep, es = engines[0], engines[1]
+    syn = {"gamma": ["alpha beta"]}
+    want = set()
+    for path, text in DOCS:
+        toks = re.findall(r"\w+", text.lower())
+        adjacent = any(
+            a == "alpha" and b == "beta"
+            for a, b in zip(toks, toks[1:])
+        )
+        if "gamma" in toks or adjacent:
+            want.add(path)
+    got_p = {(r["path"], round(r["score"], 9))
+             for r in ep.search_synonyms("gamma", syn, k=50).collect()}
+    assert {p for p, _ in got_p} == want
+    got_s = {(r["path"], round(r["score"], 9))
+             for r in es.search_synonyms("gamma", syn, k=50).collect()}
+    assert got_p == got_s  # tier equivalence, scores included
+    # mixed single+multi alternatives in one group, AND mode with a
+    # second required term
+    mixed = ep.search_synonyms(
+        "gamma delta", {"gamma": ["x", "alpha beta"]}, k=50, mode="and"
+    ).collect()
+    got_paths = {r["path"] for r in mixed}
+    want_paths = set()
+    for path, text in DOCS:
+        toks = re.findall(r"\w+", text.lower())
+        adjacent = any(a == "alpha" and b == "beta"
+                       for a, b in zip(toks, toks[1:]))
+        g_ok = "gamma" in toks or "x" in toks or adjacent
+        if g_ok and "delta" in toks:
+            want_paths.add(path)
+    assert got_paths == want_paths
+    # a synonym that analyzes to nothing still raises
+    with pytest.raises(ValueError, match="no tokens"):
+        ep.search_synonyms("gamma", {"gamma": ["..."]}, k=5)
