@@ -886,12 +886,15 @@ class FulltextAPI:
                 deletes=del_df,
             )
             self._reopen()
+            # live count post-merge (manifest keeps only per-segment +
+            # tombstone counts; the reopened engine nets them out) —
+            # read INSIDE the lock so a concurrent mutator's swap can't
+            # make this response report a different batch's merge
+            n_docs = self.engine.n_docs
         return {
             "indexed": n_idx,
             "deleted": n_del,
-            # live count post-merge (manifest keeps only per-segment +
-            # tombstone counts; the reopened engine nets them out)
-            "n_docs": self.engine.n_docs,
+            "n_docs": n_docs,
         }
 
     def update_by_query(

@@ -180,48 +180,51 @@ def from_dict(cls, d: dict):
             kwargs[k] = from_dict(sub, v) if v is not None else None
             continue
         f = fields[k]
-        if v is not None:
-            elem = _LIST_ELEM.get((cls, k))
-            opt = _OPTIONAL_SCALARS.get((cls, k))
-            if elem is not None:
-                if not isinstance(v, list) or not all(
-                    isinstance(x, elem) and not isinstance(x, bool)
-                    if elem is not str else isinstance(x, str)
-                    for x in v
-                ):
-                    raise InvalidArgument(
-                        f"{cls.__name__}.{k}: expected a list of "
-                        f"{'strings' if elem is str else 'numbers'}"
-                    )
-            elif opt is not None:
-                if not isinstance(v, opt) or isinstance(v, bool):
-                    raise InvalidArgument(
-                        f"{cls.__name__}.{k}: expected a number"
-                    )
-            elif f.default_factory is not dataclasses.MISSING:
+        if v is None:
+            # proto3 JSON: null = the field's default — leave the
+            # dataclass default in place (constructing with None would
+            # push a type error past decode into the servicer)
+            continue
+        elem = _LIST_ELEM.get((cls, k))
+        opt = _OPTIONAL_SCALARS.get((cls, k))
+        if elem is not None:
+            if not isinstance(v, list) or not all(
+                isinstance(x, elem) and not isinstance(x, bool)
+                for x in v
+            ):
                 raise InvalidArgument(
-                    f"{cls.__name__}.{k}: unsupported wire field"
+                    f"{cls.__name__}.{k}: expected a list of "
+                    f"{'strings' if elem is str else 'numbers'}"
                 )
-            elif isinstance(f.default, bool):
-                if not isinstance(v, bool):
-                    raise InvalidArgument(
-                        f"{cls.__name__}.{k}: expected a boolean"
-                    )
-            elif isinstance(f.default, str):
-                if not isinstance(v, str):
-                    raise InvalidArgument(
-                        f"{cls.__name__}.{k}: expected a string"
-                    )
-            elif isinstance(f.default, float):
-                if not isinstance(v, (int, float)) or isinstance(v, bool):
-                    raise InvalidArgument(
-                        f"{cls.__name__}.{k}: expected a number"
-                    )
-            elif isinstance(f.default, int):
-                if not isinstance(v, int) or isinstance(v, bool):
-                    raise InvalidArgument(
-                        f"{cls.__name__}.{k}: expected an integer"
-                    )
+        elif opt is not None:
+            if not isinstance(v, opt) or isinstance(v, bool):
+                raise InvalidArgument(
+                    f"{cls.__name__}.{k}: expected a number"
+                )
+        elif f.default_factory is not dataclasses.MISSING:
+            raise InvalidArgument(
+                f"{cls.__name__}.{k}: unsupported wire field"
+            )
+        elif isinstance(f.default, bool):
+            if not isinstance(v, bool):
+                raise InvalidArgument(
+                    f"{cls.__name__}.{k}: expected a boolean"
+                )
+        elif isinstance(f.default, str):
+            if not isinstance(v, str):
+                raise InvalidArgument(
+                    f"{cls.__name__}.{k}: expected a string"
+                )
+        elif isinstance(f.default, float):
+            if not isinstance(v, (int, float)) or isinstance(v, bool):
+                raise InvalidArgument(
+                    f"{cls.__name__}.{k}: expected a number"
+                )
+        elif isinstance(f.default, int):
+            if not isinstance(v, int) or isinstance(v, bool):
+                raise InvalidArgument(
+                    f"{cls.__name__}.{k}: expected an integer"
+                )
         kwargs[k] = v
     return cls(**kwargs)
 

@@ -271,3 +271,21 @@ def test_wire_codec_server_bug_not_invalid_argument(servicer):
     with pytest.raises(_FakeAbort) as e:
         handler3(json.dumps({"term": 7}).encode(), _FakeContext())
     assert e.value.status == "INVALID_ARGUMENT"
+
+
+def test_wire_null_means_field_default(servicer):
+    """proto3 JSON semantics: an explicit null leaves the field at its
+    default instead of constructing the request with None (which would
+    push a TypeError past decode into the servicer — post-review fix)."""
+    _, api = servicer
+    r = _call(servicer, "GetAddressByTerm",
+              {"term": "common_util", "size": None, "from_": None,
+               "filter": None})
+    # size=None fell back to the dataclass default (100), not a crash
+    direct = api.search_by_term("common_util", size=100).collect()
+    assert [d["doc_id"] for d in r["items"]] == [
+        x["doc_id"] for x in direct
+    ]
+    from gofias_spark.rpc import ListRequest, from_dict
+    req = from_dict(ListRequest, {"limit": None, "filter": None})
+    assert req.limit == 10000 and req.filter is None
