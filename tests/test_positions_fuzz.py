@@ -95,3 +95,47 @@ def test_span_first_matches_bruteforce(eng, terms, first_end):
                 want.add(path)
                 break
     assert got == want, (q, first_end)
+
+
+# -- BM25 rank identity vs a from-scratch naive scorer ---------------------
+
+
+def _naive_bm25(docs, qterms, mode, k1=1.2, b=0.75):
+    """Independent BM25 reference computed from raw text (no engine
+    code): returns [(path, score)] for matching docs, score desc then
+    doc order stable — the WAND/block-max pruning must reproduce these
+    scores exactly."""
+    toks = {p: re.findall(r"\w+", t.lower()) for p, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfs = {t: sum(1 for v in toks.values() if t in v) for t in qterms}
+    out = []
+    for p, tv in toks.items():
+        present = [t for t in qterms if t in tv]
+        if mode == "and" and len(present) != len(qterms):
+            continue
+        if not present:
+            continue
+        score = 0.0
+        for t in present:
+            tf = tv.count(t)
+            idf = np.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            score += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * len(tv) / avgdl)
+            )
+        out.append((p, score))
+    return out
+
+
+@given(terms=st.lists(st.sampled_from(ALPHABET), min_size=1, max_size=3,
+                      unique=True),
+       mode=st.sampled_from(["and", "or"]))
+@settings(max_examples=120, **FUZZ)
+def test_bm25_rank_identity_vs_naive(eng, terms, mode):
+    q = " ".join(terms)
+    got = {r["path"]: r["score"]
+           for r in eng.search(q, k=100, mode=mode).collect()}
+    want = dict(_naive_bm25(DOCS, terms, mode))
+    assert set(got) == set(want), (q, mode)
+    for p, s in want.items():
+        assert got[p] == pytest.approx(s, rel=1e-9), (q, mode, p)
