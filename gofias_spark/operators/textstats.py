@@ -626,6 +626,27 @@ def code_quality_flags(
     one JVM expression tree per doc — a pure map stage, no shuffle, no
     Python; at 100 TB it fuses into the scan that feeds it.
     """
+    exprs = _code_quality_exprs(
+        text_col, max_line_len, max_avg_line_len, min_alnum_ratio,
+        autogen_head_lines,
+    )
+    return docs.select(
+        F.col(id_col),
+        *(c.alias(name) for name, c in exprs.items()),
+    )
+
+
+def _code_quality_exprs(
+    text_col: str,
+    max_line_len: int = 1000,
+    max_avg_line_len: float = 100.0,
+    min_alnum_ratio: float = 0.25,
+    autogen_head_lines: int = 5,
+) -> dict:
+    """The Stack/StarCoder ruleset as a named dict of pure column
+    expressions — shared by :func:`code_quality_flags` (full per-rule
+    report) and :func:`repo_rollup` (which fuses only ``code_pass`` into
+    its scan instead of joining the flags frame back to the corpus)."""
     txt = F.col(text_col)
     lines = F.split(txt, "\n")
     n_lines = F.size(lines)
@@ -649,25 +670,24 @@ def code_quality_flags(
     ok_alnum = alnum >= min_alnum_ratio
     ok_not_xml = ~is_xml
     ok_not_autogen = ~is_autogen
-    return docs.select(
-        F.col(id_col),
-        n_lines.alias("n_lines"),
-        maxl.alias("max_line_len"),
-        F.round(avgl, 4).alias("avg_line_len"),
-        F.round(alnum, 4).alias("alnum_ratio"),
-        ok_max_line.alias("ok_max_line"),
-        ok_avg_line.alias("ok_avg_line"),
-        ok_alnum.alias("ok_alnum"),
-        ok_not_xml.alias("ok_not_xml"),
-        ok_not_autogen.alias("ok_not_autogen"),
-        (
+    return {
+        "n_lines": n_lines,
+        "max_line_len": maxl,
+        "avg_line_len": F.round(avgl, 4),
+        "alnum_ratio": F.round(alnum, 4),
+        "ok_max_line": ok_max_line,
+        "ok_avg_line": ok_avg_line,
+        "ok_alnum": ok_alnum,
+        "ok_not_xml": ok_not_xml,
+        "ok_not_autogen": ok_not_autogen,
+        "code_pass": (
             ok_max_line
             & ok_avg_line
             & ok_alnum
             & ok_not_xml
             & ok_not_autogen
-        ).alias("code_pass"),
-    )
+        ),
+    }
 
 
 def repo_rollup(
@@ -686,30 +706,28 @@ def repo_rollup(
     weights.
 
     Plan: the per-file flags/metrics are pure map-stage column
-    expressions fused into the scan; the rollup is ONE map-side-
+    expressions fused into the ONE corpus scan — ``code_pass`` comes
+    from the shared :func:`_code_quality_exprs` tree inline, NOT by
+    joining the flags frame back to the corpus (the previous shape: a
+    corpus×corpus sort-merge self-join on a computed uid, a full extra
+    shuffle of every row that dominated the op at small-op scale and
+    would be the bottleneck at 100 TB). The rollup is then ONE map-side-
     combinable groupBy on ``group_col`` whose shuffle carries a partial
     row per (repo, partition) — never files. Returns
     ``(group_col, n_files, n_tokens, n_chars, pass_rate, n_langs)``
     ordered by ``n_files`` desc, group asc.
     """
     txt = F.col(text_col)
-    # identity inside a grouped corpus is (group, id) — id_col alone may
-    # repeat across groups (every repo has a README.md), so the flag join
-    # keys on a composite uid, not the bare id
-    uid = "_rr_uid"
-    tagged = docs.withColumn(
-        uid, F.concat_ws("\x1f", F.col(group_col), F.col(id_col))
-    )
-    flags = code_quality_flags(tagged, id_col=uid, text_col=text_col)
-    per_doc = tagged.select(
+    code_pass = _code_quality_exprs(text_col)["code_pass"]
+    per_doc = docs.select(
         F.col(group_col),
-        F.col(uid),
         F.size(
             F.filter(F.split(F.trim(txt), r"\s+"), lambda w: w != "")
         ).alias("_tok"),
         F.length(txt).alias("_chars"),
+        code_pass.alias("code_pass"),
         *([F.col(lang_col)] if lang_col else []),
-    ).join(flags.select(uid, "code_pass"), uid)
+    )
     aggs = [
         F.count(F.lit(1)).alias("n_files"),
         F.sum("_tok").alias("n_tokens"),
