@@ -2469,7 +2469,12 @@ class SearchEngine:
         sc = self._stats_cache
         return ((t, sc[t]) for t in vocab[lo:hi])
 
-    def _expansion_scan(self, rx: str, max_expansions: int | None):
+    def _expansion_scan(
+        self,
+        rx: str,
+        max_expansions: int | None,
+        prefix: str = "",
+    ):
         """Cold-path expansion candidates as a DataFrame: the (term, df)
         stats table filtered by the rewrite regex, with the expansion cap
         pushed INTO the plan as ``orderBy(df desc, term asc).limit(n)``
@@ -2477,8 +2482,18 @@ class SearchEngine:
         a 10^8-term dictionary ships at most n rows to the driver, never
         the whole matching vocabulary. ``max_expansions=None`` is the
         explicit exact escape hatch (oracle runs) and collects every
-        match."""
-        df = self._stats.filter(F.col("term").rlike(rx)).select("term", "df")
+        match.
+
+        ``prefix`` (the pattern's literal prefix, when it pins one) adds
+        a redundant-but-pushable StartsWith predicate: ``rlike`` never
+        reaches the parquet scan, but StartsWith does — and the stats
+        files are term-sorted, so row-group min/max pruning skips the
+        vocabulary outside the prefix range entirely (the cold-path twin
+        of the warm tier's sorted-vocab bisect)."""
+        df = self._stats
+        if prefix:
+            df = df.filter(F.col("term").startswith(prefix))
+        df = df.filter(F.col("term").rlike(rx)).select("term", "df")
         if max_expansions is not None:
             df = df.orderBy(F.desc("df"), F.asc("term")).limit(
                 max_expansions
@@ -2511,7 +2526,10 @@ class SearchEngine:
             )
             out = [(t, n) for t, n in cands if crx.match(t)]
         else:
-            rows = self._expansion_scan(rx, max_expansions).collect()
+            rows = self._expansion_scan(
+                rx, max_expansions,
+                prefix=self._literal_prefix(pattern.lower(), "wildcard"),
+            ).collect()
             out = [(r["term"], int(r["df"])) for r in rows]
         out.sort(key=lambda p: (-p[1], p[0]))
         terms = [t for t, _ in out]
@@ -2588,7 +2606,10 @@ class SearchEngine:
             )
             out = [(t, n) for t, n in cands if crx.match(t)]
         else:
-            rows = self._expansion_scan(rx, max_expansions).collect()
+            rows = self._expansion_scan(
+                rx, max_expansions,
+                prefix=self._literal_prefix(pattern.lower(), "regexp"),
+            ).collect()
             out = [(r["term"], int(r["df"])) for r in rows]
         out.sort(key=lambda p: (-p[1], p[0]))
         terms = [t for t, _ in out]

@@ -226,6 +226,27 @@ def test_wildcard_expansion_cap_pushed_into_plan(engine):
     assert top2 == exact[:2]
 
 
+def test_expansion_scan_prefix_pushes_to_parquet(engine):
+    """A literal-prefix pattern adds a StartsWith predicate the parquet
+    scan can push (rlike never pushes): the stats files are term-sorted,
+    so row-group min/max pruning skips the out-of-range vocabulary —
+    the cold-path twin of the warm sorted-vocab bisect."""
+    rx = engine._wildcard_regex("quer*")
+    df = engine._expansion_scan(rx, 512, prefix="quer")
+    assert C.has_pushed_filter(df, "term"), C.physical_plan(df)
+    plan = C.physical_plan(df)
+    assert "StartsWith" in plan, plan
+    # no prefix (leading wildcard) -> no StartsWith, plan still valid
+    assert "StartsWith" not in C.physical_plan(
+        engine._expansion_scan(engine._wildcard_regex("*x"), 512)
+    )
+    # results identical with and without the redundant predicate
+    a = [r["term"] for r in df.collect()]
+    b = [r["term"]
+         for r in engine._expansion_scan(rx, 512).collect()]
+    assert sorted(a) == sorted(b)
+
+
 def test_fuzzy_expansion_cap_pushed_into_plan(engine):
     """The fuzzy cold path (no warm stats dict) pushes max_expansions
     into the neighborhood scan as orderBy(df desc).limit(n) ->
